@@ -1,0 +1,79 @@
+"""Token cleaning and decade bucketing as pure column expressions.
+
+Semantics match the reference (``NGramUtils.java:29-39`` cleanToken,
+``NGramUtils.java:8`` toDecade) but are expressed as Catalyst column
+expressions so they stay inside whole-stage codegen. A Python mirror of
+each is provided for property tests.
+
+cleanToken semantics (reference ``NGramUtils.java:29-39``):
+  1. trim whitespace;
+  2. strip a POS suffix: everything from the first ``_`` on, but only if
+     the ``_`` is NOT the first character (Java ``idx > 0``);
+  3. trim leading and trailing non-alphanumerics (Unicode ``\\p{L}\\p{N}``);
+  4. lowercase.
+Both Java regex (Spark) and RE2 (DuckDB) support ``\\p{L}``/``\\p{N}``,
+and neither side needs lookbehind, so the same logic is expressible in
+the oracle SQL (see ``oracle.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_LEAD = r"^[^\p{L}\p{N}]+"
+_TRAIL = r"[^\p{L}\p{N}]+$"
+
+
+def clean_token(col: Column) -> Column:
+    """Column expression implementing reference cleanToken."""
+    t = F.trim(col)
+    # strip POS suffix only when '_' appears after position 1 (1-based instr)
+    t = F.when(F.instr(t, "_") > 1, F.substring_index(t, "_", 1)).otherwise(t)
+    t = F.regexp_replace(t, _LEAD, "")
+    t = F.regexp_replace(t, _TRAIL, "")
+    return F.lower(F.trim(t))
+
+
+def clean_token_sql(expr: str) -> str:
+    """Same cleaning as DuckDB SQL over an arbitrary string expression."""
+    t = f"trim({expr})"
+    t = f"(CASE WHEN strpos({t}, '_') > 1 THEN split_part({t}, '_', 1) ELSE {t} END)"
+    t = f"regexp_replace({t}, '{_LEAD}', '')"
+    t = f"regexp_replace({t}, '{_TRAIL}', '')"
+    return f"lower(trim({t}))"
+
+
+def _is_alnum(ch: str) -> bool:
+    # Python's \w includes underscore; use explicit Unicode categories to
+    # match Java \p{L}\p{N}.
+    import unicodedata
+
+    return unicodedata.category(ch)[0] in ("L", "N")
+
+
+def clean_token_ref(t: str | None) -> str:
+    """Faithful Python port of reference cleanToken (property-test oracle)."""
+    if t is None:
+        return ""
+    t = t.strip()
+    if not t:
+        return ""
+    idx = t.find("_")
+    if idx > 0:
+        t = t[:idx]
+    i, j = 0, len(t)
+    while i < j and not _is_alnum(t[i]):
+        i += 1
+    while j > i and not _is_alnum(t[j - 1]):
+        j -= 1
+    return t[i:j].strip().lower()
+
+
+def decade(col: Column) -> Column:
+    """(year / 10) * 10, as int64 (reference ``NGramUtils.java:8``)."""
+    return (F.floor(col / 10) * 10).cast("long")
+
+
+def decade_sql(expr: str) -> str:
+    return f"CAST(floor(({expr}) / 10) * 10 AS BIGINT)"

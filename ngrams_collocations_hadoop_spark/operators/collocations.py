@@ -1,0 +1,214 @@
+"""The flagship pipeline: Top-K bigram collocations by log-likelihood
+ratio per (lang, decade) — the full dataflow of the reference
+(SURVEY.md §2.9), re-expressed Spark-first.
+
+Reference mapping (all file:line cites are into /root/reference):
+
+  stage                      reference                       here
+  -------------------------  ------------------------------  -----------------------------
+  token cleaning             NGramUtils.java:29-39           functions.text.clean_token
+  occ>0 / empty-token drops  Job1.java:138,142,181,186       filters (pushed down)
+  stopword anti-join         Job1.java:144,189               broadcast left_anti join
+  decade bucketing           NGramUtils.java:8               functions.text.decade
+  c1 agg (A2)                Job1.java:279-281               groupBy().sum()
+  c12 agg (A3, *intended*)   Job1.java:282-292 (quirky)      exact groupBy().sum()
+  N agg (A4)                 Job1.java:265-267,306-311       exact groupBy().sum()
+  join on w1 (J1)            Job1.java:62-94,237-314 (~120   one .join() — Catalyst picks
+                             LoC hand-rolled merge join)     SMJ/SHJ, AQE may rewrite
+  join on w2 (J2)            Job2.java:51-84,192-251         one .join()
+  broadcast N (J3)           Job2.java:168-190 (dist cache)  F.broadcast() hash join
+  LLR (C1)                   LLR.java:16-47                  functions.llr.llr (codegen)
+  NaN/guard drop (P7)        Job2.java:227,235-241           llr IS NOT NULL filter
+  Top-100 / group (T1-T3)    Job3.java:56-110 (heap+comb.)   row_number window ≤ K
+                                                             (WindowGroupLimitExec gives
+                                                             the partial top-k push-down
+                                                             the reference hand-wrote)
+
+Deliberate divergences from reference quirks (SURVEY.md §4): exact c12
+across map tasks, exact N at any parallelism, deterministic Top-K
+tiebreak (llr desc, w1, w2).
+
+Scale notes (100 TB): the raw record streams never materialize — clean +
+filter + partial agg happen map-side before the first shuffle (the
+reference's combiner, for free via HashAggregateExec). The two big joins
+shuffle on (lang, decade, word) — high cardinality, well distributed
+after stopword removal. N (≈ langs × decades rows) is broadcast. The
+unigram-count subtree feeds three consumers (c1, c2, N); callers running
+the full pipeline should pass ``cache_counts=True`` so it computes once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..constants import LLR_ROUND, TOP_K
+from ..functions.llr import llr
+from ..functions.text import clean_token, decade
+from ..sources.ngram_source import bigram_records, unigram_records
+from ..sources.tables import stopwords_df
+
+
+# --- record-level transforms (DataFrame -> DataFrame) -------------------
+
+def clean_unigrams(uni_raw: DataFrame, stop: DataFrame) -> DataFrame:
+    """(lang, token, year, occurrences) -> (lang, decade, word, occ).
+
+    Applies validity filters (occ > 0), token cleaning, empty-token drop,
+    and the per-language stopword anti-join (broadcast).
+    """
+    cleaned = (
+        uni_raw
+        .filter(F.col("occurrences") > 0)
+        .select(
+            "lang",
+            decade(F.col("year")).alias("decade"),
+            clean_token(F.col("token")).alias("word"),
+            F.col("occurrences").cast("long").alias("occ"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return cleaned.join(F.broadcast(stop), on=["lang", "word"], how="left_anti")
+
+
+def clean_bigrams(big_raw: DataFrame, stop: DataFrame) -> DataFrame:
+    """(lang, token1, token2, year, occurrences) -> (lang, decade, w1, w2, occ).
+
+    A bigram is dropped when EITHER side cleans to empty or is a stopword
+    for the record's language (reference Job1.java:189).
+    """
+    cleaned = (
+        big_raw
+        .filter(F.col("occurrences") > 0)
+        .select(
+            "lang",
+            decade(F.col("year")).alias("decade"),
+            clean_token(F.col("token1")).alias("w1"),
+            clean_token(F.col("token2")).alias("w2"),
+            F.col("occurrences").cast("long").alias("occ"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    stop1 = F.broadcast(stop.select("lang", F.col("word").alias("w1")))
+    stop2 = F.broadcast(stop.select("lang", F.col("word").alias("w2")))
+    return (
+        cleaned
+        .join(stop1, on=["lang", "w1"], how="left_anti")
+        .join(stop2, on=["lang", "w2"], how="left_anti")
+    )
+
+
+# --- aggregations (A2/A3/A4 — exact at any parallelism) -----------------
+
+def unigram_counts(uni: DataFrame) -> DataFrame:
+    """c1 per (lang, decade, word). Partial agg before shuffle is
+    automatic (HashAggregateExec partial→final), matching the
+    reference's hand-written combiner (Job1.java:197-209)."""
+    return (uni.groupBy("lang", "decade", "word")
+            .agg(F.sum("occ").alias("c1")))
+
+
+def bigram_counts(big: DataFrame) -> DataFrame:
+    """c12 per (lang, decade, w1, w2) — the *intended* semantics of the
+    reference's quirky partial-sum (SURVEY.md §4 quirk 1)."""
+    return (big.groupBy("lang", "decade", "w1", "w2")
+            .agg(F.sum("occ").alias("c12")))
+
+
+def totals(uni: DataFrame) -> DataFrame:
+    """N per (lang, decade) over stopword-filtered unigrams — exact at
+    any parallelism (fixes reference quirk 2, Job2.java:185)."""
+    return (uni.groupBy("lang", "decade")
+            .agg(F.sum("occ").alias("n_total")))
+
+
+# --- joins + scoring (J1/J2/J3 + C1 + P7) -------------------------------
+
+def score_collocations(c12_df: DataFrame, c1_df: DataFrame,
+                       totals_df: DataFrame) -> DataFrame:
+    """Attach c1 (join on w1), c2 (join on w2), N (broadcast), compute
+    LLR, drop guard violations.
+
+    Output: (lang, decade, w1, w2, c1, c2, c12, n_total, llr) with llr
+    rounded to LLR_ROUND decimals (cross-engine float comparability).
+    """
+    u1 = c1_df.select("lang", "decade",
+                      F.col("word").alias("w1"), "c1")
+    u2 = c1_df.select("lang", "decade",
+                      F.col("word").alias("w2"),
+                      F.col("c1").alias("c2"))
+    scored = (
+        c12_df
+        .join(u1, on=["lang", "decade", "w1"], how="inner")
+        .join(u2, on=["lang", "decade", "w2"], how="inner")
+        .join(F.broadcast(totals_df), on=["lang", "decade"], how="inner")
+        .withColumn("llr", F.round(
+            llr(F.col("c1"), F.col("c2"), F.col("c12"), F.col("n_total")),
+            LLR_ROUND))
+        .filter(F.col("llr").isNotNull())
+    )
+    return scored.select("lang", "decade", "w1", "w2",
+                         "c1", "c2", "c12", "n_total", "llr")
+
+
+def top_collocations(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Top-K per (lang, decade) by llr desc, deterministic tiebreak
+    (w1, w2). Spark ≥3.5 compiles the row_number-≤-k filter into
+    WindowGroupLimitExec — a partial top-k before the shuffle, exactly
+    the reference's Top-K combiner (Job3.java:83-93) for free.
+
+    Output: (lang, decade, bigram, llr, rank).
+    """
+    w = (Window.partitionBy("lang", "decade")
+         .orderBy(F.desc("llr"), F.asc("w1"), F.asc("w2")))
+    return (
+        scored
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "decade",
+                F.concat_ws(" ", "w1", "w2").alias("bigram"),
+                "llr", "rank")
+    )
+
+
+# --- whole-pipeline wrappers (spark, sf_dir) -> DataFrame ----------------
+
+def _cleaned_inputs(spark: SparkSession, sf_dir: str):
+    stop = stopwords_df(spark)
+    uni = clean_unigrams(unigram_records(spark, sf_dir), stop)
+    big = clean_bigrams(bigram_records(spark, sf_dir), stop)
+    return uni, big
+
+def q_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uni, _ = _cleaned_inputs(spark, sf_dir)
+    return unigram_counts(uni)
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, big = _cleaned_inputs(spark, sf_dir)
+    return bigram_counts(big)
+
+
+def q_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uni, _ = _cleaned_inputs(spark, sf_dir)
+    return totals(uni)
+
+
+def q_scored(spark: SparkSession, sf_dir: str,
+             cache_counts: bool = False) -> DataFrame:
+    uni, big = _cleaned_inputs(spark, sf_dir)
+    c1_df = unigram_counts(uni)
+    if cache_counts:
+        # c1 feeds three consumers (J1 probe, J2 probe as c2, N);
+        # at scale, computing the unigram-count subtree once matters.
+        c1_df = c1_df.persist()
+    # N = Σ c1 — rolls up from the (possibly cached) counts instead of
+    # re-scanning the raw unigram stream (algebraically identical).
+    totals_df = (c1_df.groupBy("lang", "decade")
+                 .agg(F.sum("c1").alias("n_total")))
+    return score_collocations(bigram_counts(big), c1_df, totals_df)
+
+
+def q_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    return top_collocations(q_scored(spark, sf_dir), k)

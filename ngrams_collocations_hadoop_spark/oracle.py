@@ -1,0 +1,115 @@
+"""DuckDB oracle-SQL generators.
+
+Every SQL string here is built from the SAME constants and expression
+builders the Spark operators use (``constants``, ``functions.text``,
+``functions.llr``), so the two sides cannot silently drift. The driver
+runs these against the parquet tables registered as views
+(region nation customer supplier part orders lineitem events documents
+embeddings) and hash-compares against the Spark results.
+"""
+
+from __future__ import annotations
+
+from .constants import LLR_ROUND, TOP_K, stopword_values_sql
+from .functions.llr import llr_sql
+from .functions.text import clean_token_sql, decade_sql
+from .sources.ngram_source import BIGRAM_RECORDS_SQL, UNIGRAM_RECORDS_SQL
+
+
+def ngram_ctes() -> str:
+    """The shared WITH-clause body for all collocation-pipeline oracles:
+    raw records -> cleaned/filtered streams -> counts -> scored."""
+    uni_word = clean_token_sql("token")
+    w1 = clean_token_sql("token1")
+    w2 = clean_token_sql("token2")
+    return f"""
+uni_raw AS ({UNIGRAM_RECORDS_SQL}),
+big_raw AS ({BIGRAM_RECORDS_SQL}),
+stop AS (SELECT * FROM {stopword_values_sql()}),
+uni AS (
+    SELECT u.lang, u.decade, u.word, u.occ
+    FROM (
+        SELECT lang, {decade_sql('year')} AS decade,
+               {uni_word} AS word,
+               CAST(occurrences AS BIGINT) AS occ
+        FROM uni_raw WHERE occurrences > 0
+    ) u
+    WHERE u.word <> ''
+      AND NOT EXISTS (SELECT 1 FROM stop s
+                      WHERE s.lang = u.lang AND s.word = u.word)
+),
+big AS (
+    SELECT b.lang, b.decade, b.w1, b.w2, b.occ
+    FROM (
+        SELECT lang, {decade_sql('year')} AS decade,
+               {w1} AS w1, {w2} AS w2,
+               CAST(occurrences AS BIGINT) AS occ
+        FROM big_raw WHERE occurrences > 0
+    ) b
+    WHERE b.w1 <> '' AND b.w2 <> ''
+      AND NOT EXISTS (SELECT 1 FROM stop s
+                      WHERE s.lang = b.lang AND s.word = b.w1)
+      AND NOT EXISTS (SELECT 1 FROM stop s
+                      WHERE s.lang = b.lang AND s.word = b.w2)
+),
+c1 AS (
+    SELECT lang, decade, word, CAST(sum(occ) AS BIGINT) AS c1
+    FROM uni GROUP BY lang, decade, word
+),
+c12 AS (
+    SELECT lang, decade, w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+    FROM big GROUP BY lang, decade, w1, w2
+),
+totals AS (
+    SELECT lang, decade, CAST(sum(occ) AS BIGINT) AS n_total
+    FROM uni GROUP BY lang, decade
+),
+scored AS (
+    SELECT *
+    FROM (
+        SELECT b.lang, b.decade, b.w1, b.w2,
+               u1.c1, u2.c1 AS c2, b.c12, t.n_total,
+               round({llr_sql('u1.c1', 'u2.c1', 'b.c12', 't.n_total')},
+                     {LLR_ROUND}) AS llr
+        FROM c12 b
+        JOIN c1 u1 ON u1.lang = b.lang AND u1.decade = b.decade
+                  AND u1.word = b.w1
+        JOIN c1 u2 ON u2.lang = b.lang AND u2.decade = b.decade
+                  AND u2.word = b.w2
+        JOIN totals t ON t.lang = b.lang AND t.decade = b.decade
+    )
+    WHERE llr IS NOT NULL
+)
+"""
+
+
+def colloc_unigram_counts_sql() -> str:
+    return f"WITH {ngram_ctes()} SELECT lang, decade, word, c1 FROM c1"
+
+
+def colloc_bigram_counts_sql() -> str:
+    return f"WITH {ngram_ctes()} SELECT lang, decade, w1, w2, c12 FROM c12"
+
+
+def colloc_totals_sql() -> str:
+    return f"WITH {ngram_ctes()} SELECT lang, decade, n_total FROM totals"
+
+
+def colloc_scored_sql() -> str:
+    return (f"WITH {ngram_ctes()} "
+            f"SELECT lang, decade, w1, w2, c1, c2, c12, n_total, llr "
+            f"FROM scored")
+
+
+def colloc_topk_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH {ngram_ctes()},
+ranked AS (
+    SELECT lang, decade, w1 || ' ' || w2 AS bigram, llr,
+           CAST(row_number() OVER (
+               PARTITION BY lang, decade
+               ORDER BY llr DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT lang, decade, bigram, llr, rank FROM ranked WHERE rank <= {k}
+"""

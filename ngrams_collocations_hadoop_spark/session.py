@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM (``local[N]``); the config below still encodes
+the cluster-relevant choices (AQE, adaptive skew join, Arrow for the
+Pandas-UDF path, UTC session timezone for oracle comparability).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "ngrams_collocations_hadoop_spark",
+              cpus: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - ``spark.sql.shuffle.partitions`` ≈ cores locally; on a real cluster
+      this would be sized to ~2-3× total executor cores (or left to AQE
+      coalescing, which is enabled).
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switching — the knobs that matter at 100 TB.
+    - Arrow on: the Pandas-UDF operators (similarity, multimodal) move
+      data JVM<->Python in columnar batches, not row-at-a-time pickle.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,94 @@
+"""Reference-shaped ngram record streams derived from the `documents`
+fixture table (FIXTURES.md §B derivation rule — deterministic, no RNG).
+
+The reference consumes Google N-Grams records
+(``ngram \\t year \\t occurrences``; parsing at reference
+``Job1.java:126-137`` for unigrams, ``Job1.java:166-181`` for bigrams).
+Here the same record families are derived from `documents`:
+
+  unigram records: (lang, token, year, occurrences) — one per token
+  bigram records:  (lang, token1, token2, year, occurrences) — one per
+                   adjacent token pair
+
+with ``year = 2000 + doc_id % 30`` and ``occurrences = 1 + doc_id % 5``.
+
+Everything is a column expression (split / transform / explode) — token
+pairing happens inside codegen with zero shuffles; at 100 TB this stage
+is a pure map over the document scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_BASE_COLS = """
+    doc_id, lang,
+    CAST(2000 + doc_id % 30 AS BIGINT) AS year,
+    CAST(1 + doc_id % 5 AS BIGINT) AS occurrences
+"""
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        (F.lit(2000) + F.col("doc_id") % 30).cast("long").alias("year"),
+        (F.lit(1) + F.col("doc_id") % 5).cast("long").alias("occurrences"),
+        F.split(F.col("text"), " ").alias("ts"),
+    )
+
+
+def unigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, token, year, occurrences) — raw, pre-cleaning."""
+    return (
+        _docs_with_tokens(spark, sf_dir)
+        .select("lang", "year", "occurrences", F.explode("ts").alias("token"))
+    )
+
+
+def bigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, token1, token2, year, occurrences) — adjacent pairs.
+
+    `transform` over a slice pairs ts[i] with ts[i+1] entirely JVM-side
+    (Spark SQL array subscripts are 0-based); single-token documents
+    produce no pairs.
+    """
+    pairs = F.expr(
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
+        "(x, i) -> struct(x AS token1, ts[i + 1] AS token2))"
+    )
+    return (
+        _docs_with_tokens(spark, sf_dir)
+        .select("lang", "year", "occurrences", F.explode(pairs).alias("bg"))
+        .select("lang", F.col("bg.token1").alias("token1"),
+                F.col("bg.token2").alias("token2"), "year", "occurrences")
+    )
+
+
+# --- DuckDB-oracle CTE bodies (same derivation in ANSI SQL) -------------
+
+UNIGRAM_RECORDS_SQL = """
+    SELECT lang,
+           CAST(2000 + doc_id % 30 AS BIGINT) AS year,
+           CAST(1 + doc_id % 5 AS BIGINT) AS occurrences,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+"""
+
+BIGRAM_RECORDS_SQL = """
+    SELECT lang,
+           ts[i] AS token1,
+           ts[i + 1] AS token2,
+           year,
+           occurrences
+    FROM (
+        SELECT lang,
+               CAST(2000 + doc_id % 30 AS BIGINT) AS year,
+               CAST(1 + doc_id % 5 AS BIGINT) AS occurrences,
+               string_split(text, ' ') AS ts
+        FROM documents
+    ) t, UNNEST(range(1, len(ts))) AS u(i)
+"""

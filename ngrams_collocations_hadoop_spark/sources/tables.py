@@ -1,0 +1,45 @@
+"""Parquet loaders for the driver-generated star schema (TESTDATA.md) and
+the broadcast-style side tables (stopwords).
+
+Reference mapping: the reference's `MultipleInputs` SequenceFile scans
+(`CollocationExtraction3Jobs.java:68-71`) become plain `spark.read`
+calls; the distributed-cache stopword files (`Stopwords.java:23-43`)
+become a tiny DataFrame used with `F.broadcast` anti-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..constants import stopword_rows
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_STOP_SCHEMA = T.StructType([
+    T.StructField("lang", T.StringType(), False),
+    T.StructField("word", T.StringType(), False),
+])
+
+
+def stopwords_df(spark: SparkSession) -> DataFrame:
+    """Per-language stopword table — the broadcast side input."""
+    return spark.createDataFrame(stopword_rows(), schema=_STOP_SCHEMA)
