@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the no-op sink (full plan
+runs, nothing is collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ngrams_collocations_hadoop_spark.session import get_spark  # noqa: E402
+
+# Headline queries benched per round. Keep to the expensive/representative
+# ones — the full registry runs in the correctness gate, not here.
+BENCH_QUERIES = [
+    "colloc_topk",
+    "colloc_scored",
+    "colloc_unigram_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    from ngrams_collocations_hadoop_spark.registry import QUERIES
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # Warm-up: run each query once at the smallest sf so the timed runs
+    # measure the engine, not JVM JIT / whole-stage-codegen compilation.
+    for name in names:
+        QUERIES[name](spark, "/root/testdata/sf0.001") \
+            .write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):  # best-of-2 damps noisy-neighbor variance
+            t0 = time.time()
+            (QUERIES[name](spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,15 +138,25 @@ def score_collocations(c12_df: DataFrame, c1_df: DataFrame,
     u2 = c1_df.select("lang", "decade",
                       F.col("word").alias("w2"),
                       F.col("c1").alias("c2"))
+    c1c, c2c, c12c, nc = (F.col("c1"), F.col("c2"), F.col("c12"),
+                          F.col("n_total"))
+    # Filter on the integer guard predicates, NOT on llr IS NOT NULL:
+    # llr is NULL exactly when these fail, but a null-check on the llr
+    # column would be pushed into the join condition with the whole LLR
+    # expression inlined — evaluating it twice and bloating codegen past
+    # JIT limits. The guards are cheap int comparisons.
+    valid = (
+        (c12c > 0) & (c1c > 0) & (c2c > 0) & (nc > 0)
+        & (c1c - c12c >= 0) & (c2c - c12c >= 0)
+        & (nc - c1c - c2c + c12c >= 0)
+    )
     scored = (
         c12_df
         .join(u1, on=["lang", "decade", "w1"], how="inner")
         .join(u2, on=["lang", "decade", "w2"], how="inner")
         .join(F.broadcast(totals_df), on=["lang", "decade"], how="inner")
-        .withColumn("llr", F.round(
-            llr(F.col("c1"), F.col("c2"), F.col("c12"), F.col("n_total")),
-            LLR_ROUND))
-        .filter(F.col("llr").isNotNull())
+        .filter(valid)
+        .withColumn("llr", F.round(llr(c1c, c2c, c12c, nc), LLR_ROUND))
     )
     return scored.select("lang", "decade", "w1", "w2",
                          "c1", "c2", "c12", "n_total", "llr")

@@ -24,15 +24,24 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
-_BASE_COLS = """
-    doc_id, lang,
-    CAST(2000 + doc_id % 30 AS BIGINT) AS year,
-    CAST(1 + doc_id % 5 AS BIGINT) AS occurrences
-"""
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Ensure the downstream explode/regex map stage uses every core.
+
+    A small parquet input (one file, one row group) scans as a single
+    partition, which would serialize the CPU-heavy tokenize+clean stage.
+    On a real cluster the input has thousands of splits and this is a
+    no-op; locally it round-robins the (cheap, compressed) document rows
+    once before the expensive map work.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang",
         (F.lit(2000) + F.col("doc_id") % 30).cast("long").alias("year"),

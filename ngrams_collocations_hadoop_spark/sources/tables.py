@@ -10,7 +10,6 @@ become a tiny DataFrame used with `F.broadcast` anti-joins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 from ..constants import stopword_rows
 
@@ -34,12 +33,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
-_STOP_SCHEMA = T.StructType([
-    T.StructField("lang", T.StringType(), False),
-    T.StructField("word", T.StringType(), False),
-])
-
-
 def stopwords_df(spark: SparkSession) -> DataFrame:
-    """Per-language stopword table — the broadcast side input."""
-    return spark.createDataFrame(stopword_rows(), schema=_STOP_SCHEMA)
+    """Per-language stopword table — the broadcast side input.
+
+    Built with a SQL VALUES literal, not ``createDataFrame(list)``: a
+    Python-parallelized DataFrame drags a Python-worker deserialization
+    stage into every broadcast that references it; an inline VALUES
+    relation stays entirely JVM-side (and Catalyst folds it to a
+    LocalRelation).
+    """
+    rows = ", ".join(f"('{l}', '{w}')" for l, w in stopword_rows())
+    return spark.sql(f"SELECT lang, word FROM (VALUES {rows}) AS t(lang, word)")

@@ -1,0 +1,147 @@
+"""Collocation pipeline: golden test on a hand-computable corpus
+(FIXTURES.md §B edge cases), plus DuckDB differential at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from ngrams_collocations_hadoop_spark.functions.llr import llr_py
+from ngrams_collocations_hadoop_spark.operators import collocations as co
+from ngrams_collocations_hadoop_spark.sources.tables import stopwords_df
+
+from .util_diff import assert_query_matches_oracle
+
+UNI_SCHEMA = T.StructType([
+    T.StructField("lang", T.StringType()),
+    T.StructField("token", T.StringType()),
+    T.StructField("year", T.IntegerType()),
+    T.StructField("occurrences", T.LongType()),
+])
+BIG_SCHEMA = T.StructType([
+    T.StructField("lang", T.StringType()),
+    T.StructField("token1", T.StringType()),
+    T.StructField("token2", T.StringType()),
+    T.StructField("year", T.IntegerType()),
+    T.StructField("occurrences", T.LongType()),
+])
+
+# Hand-built corpus hitting FIXTURES.md edge cases 1-6:
+UNI_ROWS = [
+    # (lang, token, year, occ)
+    ("en", "apple", 2003, 10),
+    ("en", "apple", 2007, 5),      # same decade, summed → c1(apple)=15
+    ("en", "pie_NOUN", 2003, 8),   # POS suffix cleaned → pie
+    ("en", "--cherry--", 2001, 4), # edge punctuation → cherry
+    ("en", "the", 2005, 99),       # stopword → excluded from counts AND N
+    ("en", "tart", 2004, 3),
+    ("en", "zero", 2002, 0),       # occ=0 → dropped
+    ("en", "neg", 2002, -5),       # occ<0 → dropped
+    ("en", "...", 2002, 7),        # cleans to empty → dropped
+    ("en", "apple", 2013, 2),      # different decade
+    ("fr", "apple", 2003, 6),      # different lang, same word
+]
+BIG_ROWS = [
+    ("en", "apple", "pie_NOUN", 2003, 4),
+    ("en", "apple", "pie", 2007, 2),       # same decade → c12(apple,pie)=6
+    ("en", "the", "apple", 2005, 9),       # w1 stopword → dropped
+    ("en", "apple", "the", 2005, 9),       # w2 stopword → dropped
+    ("en", "ghost", "apple", 2003, 3),     # w1 has no unigram → join-dropped
+    ("en", "apple", "tart", 2004, 1),
+    ("en", "cherry", "tart", 2001, 2),
+    ("en", "apple", "pie", 2013, 1),       # different decade
+    ("fr", "apple", "pie", 2003, 1),       # fr: no 'pie' unigram → dropped
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark):
+    stop = stopwords_df(spark)
+    uni = co.clean_unigrams(
+        spark.createDataFrame(UNI_ROWS, UNI_SCHEMA), stop)
+    big = co.clean_bigrams(
+        spark.createDataFrame(BIG_ROWS, BIG_SCHEMA), stop)
+    c1 = co.unigram_counts(uni)
+    c12 = co.bigram_counts(big)
+    n = co.totals(uni)
+    scored = co.score_collocations(c12, c1, n)
+    return {"uni": uni, "big": big, "c1": c1, "c12": c12, "n": n,
+            "scored": scored}
+
+
+def test_unigram_counts_golden(pipeline):
+    got = {(r["lang"], r["decade"], r["word"]): r["c1"]
+           for r in pipeline["c1"].collect()}
+    assert got == {
+        ("en", 2000, "apple"): 15,
+        ("en", 2000, "pie"): 8,
+        ("en", 2000, "cherry"): 4,
+        ("en", 2000, "tart"): 3,
+        ("en", 2010, "apple"): 2,
+        ("fr", 2000, "apple"): 6,
+    }
+
+
+def test_totals_golden(pipeline):
+    got = {(r["lang"], r["decade"]): r["n_total"]
+           for r in pipeline["n"].collect()}
+    # 'the' (stopword), occ<=0, and empty-cleaned rows excluded from N
+    assert got == {("en", 2000, ): 30, ("en", 2010): 2, ("fr", 2000): 6}
+
+
+def test_bigram_counts_golden(pipeline):
+    got = {(r["lang"], r["decade"], r["w1"], r["w2"]): r["c12"]
+           for r in pipeline["c12"].collect()}
+    assert got == {
+        ("en", 2000, "apple", "pie"): 6,   # summed across years in decade
+        ("en", 2000, "ghost", "apple"): 3,  # survives until the join
+        ("en", 2000, "apple", "tart"): 1,
+        ("en", 2000, "cherry", "tart"): 2,
+        ("en", 2010, "apple", "pie"): 1,
+        ("fr", 2000, "apple", "pie"): 1,
+    }
+
+
+def test_scored_golden(pipeline):
+    rows = {(r["lang"], r["decade"], r["w1"], r["w2"]): r
+            for r in pipeline["scored"].collect()}
+    # ghost→ no unigram for w1 → inner-join drop (reference Job1.java:284)
+    assert ("en", 2000, "ghost", "apple") not in rows
+    # fr apple pie: no 'pie' unigram in fr → drop (per-lang join keys)
+    assert ("fr", 2000, "apple", "pie") not in rows
+    # en 2010 apple pie: c12=1 but no 'pie' unigram in 2010 → drop
+    assert ("en", 2010, "apple", "pie") not in rows
+    expected_keys = {("en", 2000, "apple", "pie"),
+                     ("en", 2000, "apple", "tart"),
+                     ("en", 2000, "cherry", "tart")}
+    assert set(rows) == expected_keys
+    r = rows[("en", 2000, "apple", "pie")]
+    assert (r["c1"], r["c2"], r["c12"], r["n_total"]) == (15, 8, 6, 30)
+    assert r["llr"] == pytest.approx(llr_py(15, 8, 6, 30), abs=1e-6)
+
+
+def test_topk_cutoff_and_tiebreak(spark):
+    # >K distinct bigrams in one group; ties at the boundary broken by (w1, w2)
+    uni_rows = [("en", f"w{i:03d}", 2000, 100) for i in range(30)]
+    big_rows = []
+    for i in range(29):
+        big_rows.append(("en", f"w{i:03d}", f"w{(i + 1):03d}", 2000, 1))
+    stop = stopwords_df(spark)
+    uni = co.clean_unigrams(spark.createDataFrame(uni_rows, UNI_SCHEMA), stop)
+    big = co.clean_bigrams(spark.createDataFrame(big_rows, BIG_SCHEMA), stop)
+    scored = co.score_collocations(
+        co.bigram_counts(big), co.unigram_counts(uni), co.totals(uni))
+    top = co.top_collocations(scored, k=10).collect()
+    assert len(top) == 10
+    # all LLRs identical by symmetry → pure lexicographic tiebreak
+    assert [r["bigram"] for r in top] == [
+        f"w{i:03d} w{(i + 1):03d}" for i in range(10)]
+    assert [r["rank"] for r in top] == list(range(1, 11))
+
+
+@pytest.mark.parametrize("name", [
+    "colloc_unigram_counts", "colloc_bigram_counts", "colloc_totals",
+    "colloc_scored", "colloc_topk",
+])
+def test_differential_sf0001(spark, name):
+    assert_query_matches_oracle(spark, name, "/root/testdata/sf0.001")
