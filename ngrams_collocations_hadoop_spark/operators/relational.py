@@ -1,0 +1,464 @@
+"""Relational operator coverage over the star-schema fixtures.
+
+The reference implements exactly one query shape; this module provides
+the general operator library a user of an analytics engine needs —
+each §2 operator class from SURVEY.md exercised on the TPC-H-ish tables,
+plus the categories the reference lacks entirely (§2.8: windows, set
+ops, distinct, rollup/cube, JSON scalar functions) which Spark supplies
+natively.
+
+Every query here is a pure DataFrame plan — Catalyst handles pushdown,
+join strategy (broadcast for the small dims), and partial aggregation.
+Float aggregates are rounded in BOTH engines (money sums to 4 d.p.)
+because cross-engine double accumulation order differs in the last ulp.
+
+Scale notes: dim joins (region/nation/customer/supplier/part) are
+explicitly broadcast — at 100 TB the fact tables shuffle only for
+aggregations, never to co-locate against a dim. Window queries
+partition by high-cardinality keys (custkey, user_id), not constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+
+# DuckDB reads events.ts as TIMESTAMP_NS; cast to µs-precision TIMESTAMP in
+# oracles so both engines emit identical timestamp values.
+EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+# --- A: aggregation shapes (A1-A5 generalized + distinct/avg/min/max) ---
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate groupBy with filter pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain aggregates in one groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_quantity"), 4).alias("min_qty"),
+            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        )
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows,
+       round(min(l_quantity), 4) AS min_qty,
+       round(max(l_quantity), 4) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from the reference, SURVEY.md §2.8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"))
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list → no extra
+    distinct-scan job; renamed to stable lowercase column names)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- J: join shapes (J1-J4 generalized) ---------------------------------
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dim chain: revenue per region/nation.
+
+    customer/nation/region are broadcast (the reference's distributed-
+    cache pattern, J3); lineitem⋈orders is the one real shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_STAR_JOIN = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): orders having a high-value lineitem."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_extendedprice") > 5000).select("l_orderkey")
+    return (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+ORACLE_SEMI_JOIN = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > 5000)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no high-value orders — the
+    stopword anti-join shape (J4 / reference Job1.java:144) on
+    relational data. (Predicate chosen to keep the result non-empty at
+    every sf — every customer has *some* order in the fixtures.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + agg: order count per customer including zero."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4)
+             .alias("total_spent"))
+    )
+
+
+ORACLE_OUTER_JOIN = """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+# --- T: sort / limit / window analytics ---------------------------------
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer — T3 generalized.
+    row_number ≤ k compiles to WindowGroupLimitExec (partial top-k
+    before shuffle, the reference's Job3 combiner for free)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+    FROM orders)
+WHERE rk <= 3
+"""
+
+
+def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT n — global top-N (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(25)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+ORACLE_GLOBAL_TOPN = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates + lag per user over event time."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = f"""
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_value,
+       lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS BIGINT) AS seq
+FROM events
+"""
+
+
+# --- set operations (absent from reference, §2.8) -----------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION on customer key sets."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    with_open = (o.filter(F.col("o_orderstatus") == "O")
+                 .select(F.col("o_custkey").alias("custkey")))
+    with_f = (o.filter(F.col("o_orderstatus") == "F")
+              .select(F.col("o_custkey").alias("custkey")))
+    big_buyers = (
+        o.join(li.filter(F.col("l_quantity") > 45), o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey")))
+    both = with_open.intersect(with_f)          # INTERSECT (distinct)
+    only_open = with_open.distinct().subtract(with_f.distinct())  # EXCEPT
+    return (
+        both.withColumn("tag", F.lit("both"))
+        .unionByName(only_open.withColumn("tag", F.lit("only_open")))
+        .unionByName(big_buyers.distinct().withColumn("tag", F.lit("big_buyer")))
+    )
+
+
+ORACLE_SET_OPS = """
+WITH with_open AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+     with_f    AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+     big_buyers AS (
+        SELECT o_custkey AS custkey FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey WHERE l_quantity > 45)
+SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM with_open INTERSECT SELECT custkey FROM with_f)
+UNION ALL
+SELECT custkey, 'only_open' AS tag FROM (SELECT DISTINCT custkey FROM with_open EXCEPT SELECT DISTINCT custkey FROM with_f)
+UNION ALL
+SELECT DISTINCT custkey, 'big_buyer' AS tag FROM big_buyers
+"""
+
+
+# --- JSON scalar ops on events.props (§2.8) -----------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 6).alias("avg_k"),
+             F.max("k").alias("max_k"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_JSON_EXTRACT = f"""
+SELECT event_type,
+       round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS n
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM {EVENTS_US} events)
+GROUP BY event_type
+"""
+
+
+# --- time windows + sessionization (batch oracles for streaming ops) ----
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (batch form of the
+    Structured Streaming operator — same F.window call)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"),
+                "event_type", "n", "sum_value")
+    )
+
+
+ORACLE_TUMBLING_WINDOW = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM {EVENTS_US} events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour windows every 30 minutes."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("window.start").alias("win_start"), "n", "avg_value")
+    )
+
+
+ORACLE_SLIDING_WINDOW = f"""
+WITH slid AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, ts, value FROM {EVENTS_US} events),
+wins AS (
+    SELECT b AS win_start, ts, value FROM slid
+    UNION ALL
+    SELECT b - INTERVAL '30 minutes' AS win_start, ts, value FROM slid)
+SELECT win_start, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM wins GROUP BY win_start
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap, in batch:
+    lag + cumulative sum of gap-breaks (the batch-equivalence oracle for
+    the streaming session_window operator)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts").cast("long")
+             - F.lag(F.col("ts").cast("long"), 1).over(w)) > 1800, 1
+        ).otherwise(0).cast("long"),
+    )
+    sess = gapped.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH gapped AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM {EVENTS_US} events),
+sess AS (
+    SELECT user_id, ts, value,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+    FROM gapped)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""

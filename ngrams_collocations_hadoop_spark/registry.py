@@ -13,7 +13,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracle
+from .operators import asof
 from .operators import collocations as co
+from .operators import relational as rel
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -24,6 +26,25 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_totals": co.q_totals,                   # A4
     "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
     "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
+    # --- relational operator coverage (§2 generalized + §2.8 gaps) ---
+    "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
+    "rel_distinct_agg": rel.q_distinct_agg,
+    "rel_rollup": rel.q_rollup,
+    "rel_cube": rel.q_cube,
+    "rel_pivot": rel.q_pivot,
+    "rel_star_join": rel.q_star_join,               # J1/J2 + broadcast J3
+    "rel_semi_join": rel.q_semi_join,
+    "rel_anti_join": rel.q_anti_join,               # J4 shape
+    "rel_outer_join": rel.q_outer_join,
+    "rel_topk_per_group": rel.q_topk_per_group,     # T1-T3 shape
+    "rel_global_topn": rel.q_global_topn,
+    "rel_window_running": rel.q_window_running,
+    "rel_set_ops": rel.q_set_ops,
+    "rel_json_extract": rel.q_json_extract,
+    "rel_tumbling_window": rel.q_tumbling_window,
+    "rel_sliding_window": rel.q_sliding_window,
+    "rel_sessionize": rel.q_sessionize,
+    "rel_asof_join": asof.q_asof_events_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -32,4 +53,22 @@ ORACLES: dict[str, str] = {
     "colloc_totals": oracle.colloc_totals_sql(),
     "colloc_scored": oracle.colloc_scored_sql(),
     "colloc_topk": oracle.colloc_topk_sql(),
+    "rel_pricing_summary": rel.ORACLE_PRICING_SUMMARY,
+    "rel_distinct_agg": rel.ORACLE_DISTINCT_AGG,
+    "rel_rollup": rel.ORACLE_ROLLUP,
+    "rel_cube": rel.ORACLE_CUBE,
+    "rel_pivot": rel.ORACLE_PIVOT,
+    "rel_star_join": rel.ORACLE_STAR_JOIN,
+    "rel_semi_join": rel.ORACLE_SEMI_JOIN,
+    "rel_anti_join": rel.ORACLE_ANTI_JOIN,
+    "rel_outer_join": rel.ORACLE_OUTER_JOIN,
+    "rel_topk_per_group": rel.ORACLE_TOPK_PER_GROUP,
+    "rel_global_topn": rel.ORACLE_GLOBAL_TOPN,
+    "rel_window_running": rel.ORACLE_WINDOW_RUNNING,
+    "rel_set_ops": rel.ORACLE_SET_OPS,
+    "rel_json_extract": rel.ORACLE_JSON_EXTRACT,
+    "rel_tumbling_window": rel.ORACLE_TUMBLING_WINDOW,
+    "rel_sliding_window": rel.ORACLE_SLIDING_WINDOW,
+    "rel_sessionize": rel.ORACLE_SESSIONIZE,
+    "rel_asof_join": asof.ORACLE_ASOF_EVENTS_ORDERS,
 }

@@ -20,7 +20,17 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos via
+        # spark.sql.legacy.parquet.nanosAsLong. Convert with integer
+        # division (ns → µs): a double division would lose precision at
+        # 1.7e18 ns. The fixture has no sub-µs components (verified), and
+        # DuckDB's ns→µs cast truncates identically.
+        from pyspark.sql import functions as F
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

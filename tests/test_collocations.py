@@ -10,7 +10,6 @@ from ngrams_collocations_hadoop_spark.functions.llr import llr_py
 from ngrams_collocations_hadoop_spark.operators import collocations as co
 from ngrams_collocations_hadoop_spark.sources.tables import stopwords_df
 
-from .util_diff import assert_query_matches_oracle
 
 UNI_SCHEMA = T.StructType([
     T.StructField("lang", T.StringType()),
@@ -139,9 +138,4 @@ def test_topk_cutoff_and_tiebreak(spark):
     assert [r["rank"] for r in top] == list(range(1, 11))
 
 
-@pytest.mark.parametrize("name", [
-    "colloc_unigram_counts", "colloc_bigram_counts", "colloc_totals",
-    "colloc_scored", "colloc_topk",
-])
-def test_differential_sf0001(spark, name):
-    assert_query_matches_oracle(spark, name, "/root/testdata/sf0.001")
+# (registry-wide DuckDB differential coverage lives in test_registry.py)
