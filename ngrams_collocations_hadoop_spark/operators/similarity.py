@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- ``q_cosine_topk`` — brute-force top-k neighbors for a query set:
+  broadcast the (small) query side against every candidate, score with
+  a codegen'd cosine expression, bounded per-query top-k via
+  row_number (WindowGroupLimitExec prunes before the shuffle). Exact;
+  cost is |Q|·|N| — the right plan when |Q| is small, at any |N|.
+- ``q_cosine_topk_lsh`` — random-hyperplane LSH: candidates share a
+  signed-projection bucket with the query, then exact re-rank inside
+  the bucket. Sub-linear candidate sets at scale; approximate recall →
+  no SQL oracle (rows-only check), pinned by unit tests on crafted
+  duplicate vectors.
+
+Hyperplanes are deterministic pseudo-random (xxhash64-derived
+coefficients), so results are stable across runs and executors with no
+fit/model state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import cosine_expr
+
+TOPK_NEIGHBORS = 10
+N_QUERY_VECS = 10   # fixture query set: vec_id < 10
+LSH_BITS = 8
+EMB_DIM = 64
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id <
+    N_QUERY_VECS), excluding self; deterministic tiebreak on vec_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cand = e.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_emb", "c_emb"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY_VECS}),
+ranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+def hyperplane_bucket(emb_col: str, bits: int = LSH_BITS) -> F.Column:
+    """Signed-random-projection bucket id: bit j = sign(v · h_j), with
+    h_j[d] = (xxhash64(j·1024 + d) % 1001) / 500 - 1 ∈ [-1, 1] —
+    deterministic, no stored model."""
+    return F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}), j -> CASE WHEN "
+        f"aggregate(zip_with({emb_col}, "
+        f"  transform(sequence(0, {EMB_DIM - 1}), "
+        f"    d -> CAST(xxhash64(j * 1024 + d) % 1001 AS DOUBLE) / 500.0 - 1.0), "
+        f"  (x, h) -> CAST(x AS DOUBLE) * h), "
+        f"0D, (acc, v) -> acc + v) > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        f"0L, (a, x) -> a + x)"
+    )
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: equi-join query and candidate
+    buckets, exact cosine re-rank inside the bucket. The candidate join
+    is a plain shuffle join on the bucket key — sub-linear work at
+    scale, tunable recall via bits/probes."""
+    e = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("bucket", hyperplane_bucket("embedding"))
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "bucket"))
+    cand = e.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("c_emb"), "bucket")
+    scored = (
+        cand.join(F.broadcast(q), on="bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_emb", "c_emb"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))

@@ -1,0 +1,169 @@
+"""Text-analysis operators for a training-data pipeline: token
+counting, quality scoring, heuristic language ID, and document
+fingerprinting. All pure column expressions with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import LANGS, STOPWORDS, _LANG_EXTRA
+from ..sources.tables import load_table
+
+# Language-marker words (one distinctive word per language, from the
+# shared constants) drive the heuristic language-ID score.
+_MARKERS: dict[str, str] = {lang: _LANG_EXTRA[lang][0] for lang in LANGS}
+
+_CORE_STOP_LIST = sorted(set(STOPWORDS["en"]) & set(STOPWORDS["de"]))
+
+
+def _sql_str_array(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens (a BPE-ish
+    letter-run segmentation), distinct tokens, char count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[\\p{L}]+', 0)"))
+        .cast("long").alias("n_word_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[\p{L}]+', 0)) AS BIGINT)
+           AS n_word_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score heuristics: mean token length, stopword ratio,
+    type-token ratio, and a blended score. The score formula is the
+    operator under test; its weights are illustrative."""
+    stop_arr = F.array(*[F.lit(w) for w in _CORE_STOP_LIST])
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("tokens", F.split("text", " "))
+    n_tok = F.size("tokens")
+    mean_len = F.expr(
+        "aggregate(tokens, 0L, (a, t) -> a + length(t))").cast("double") / n_tok
+    stop_ratio = (F.size(F.filter("tokens",
+                                  lambda t: F.array_contains(stop_arr, t)))
+                  .cast("double") / n_tok)
+    ttr = F.size(F.array_distinct("tokens")).cast("double") / n_tok
+    score = (F.least(mean_len / 10, F.lit(1.0)) * 0.3
+             + (1 - stop_ratio) * 0.3 + ttr * 0.4)
+    return docs.select(
+        "doc_id", "lang",
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens
+           FROM documents),
+m AS (
+    SELECT doc_id, lang,
+           list_sum(list_transform(tokens, t -> length(t)))::DOUBLE
+             / len(tokens) AS mean_len,
+           len(list_filter(tokens,
+               t -> list_contains({_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
+             / len(tokens) AS stop_ratio,
+           len(list_distinct(tokens))::DOUBLE / len(tokens) AS ttr
+    FROM d)
+SELECT doc_id, lang,
+       round(mean_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(ttr, 6) AS type_token_ratio,
+       round(least(mean_len / 10, 1.0) * 0.3
+             + (1 - stop_ratio) * 0.3 + ttr * 0.4, 6) AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score each language by occurrences of its
+    marker words; predict the argmax (deterministic tiebreak: lang asc);
+    'und' when no marker occurs. The marker table is broadcast — the
+    per-language profile join pattern scales to real n-gram profiles."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("tokens", F.split("text", " "))
+    def marker_count(marker: str):
+        # factory closure: a two-arg lambda would be read by F.filter as
+        # the (element, index) variant
+        return F.size(F.filter("tokens", lambda t: t == F.lit(marker)))
+
+    scores = [
+        marker_count(marker).cast("long").alias(f"score_{lang}")
+        for lang, marker in _MARKERS.items()
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("true_lang"), *scores)
+    # argmax via greatest + chained when (deterministic: first lang wins ties)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANGS])
+    pred = F.lit("und")
+    for lang in sorted(LANGS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best),
+                      F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id", "true_lang", pred.alias("pred_lang"),
+        best.alias("best_score"))
+
+
+def _oracle_lang_id() -> str:
+    score_cols = ",\n           ".join(
+        f"CAST(len(list_filter(tokens, t -> t = '{m}')) AS BIGINT) AS score_{lang}"
+        for lang, m in _MARKERS.items())
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in LANGS) + ")"
+    pred = "'und'"
+    for lang in sorted(LANGS, reverse=True):
+        pred = (f"CASE WHEN {best} > 0 AND score_{lang} = {best} "
+                f"THEN '{lang}' ELSE {pred} END")
+    return f"""
+WITH d AS (SELECT doc_id, lang AS true_lang, string_split(text, ' ') AS tokens
+           FROM documents),
+s AS (
+    SELECT doc_id, true_lang,
+           {score_cols}
+    FROM d)
+SELECT doc_id, true_lang, {pred} AS pred_lang, {best} AS best_score
+FROM s
+"""
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set plus
+    a coarse length bucket — the join key for fingerprint-based dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+        F.expr("length(text) div 100").alias("len_bucket"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split(text, ' '))), ' ')) AS fingerprint,
+       length(text) // 100 AS len_bucket
+FROM documents
+"""

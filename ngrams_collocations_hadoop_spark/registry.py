@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracle
-from .operators import asof
+from .operators import asof, dedup, multimodal, similarity, textstats
 from .operators import collocations as co
 from .operators import relational as rel
 
@@ -45,6 +45,20 @@ QUERIES: dict[str, QueryFn] = {
     "rel_sliding_window": rel.q_sliding_window,
     "rel_sessionize": rel.q_sessionize,
     "rel_asof_join": asof.q_asof_events_orders,
+    # --- training-data-pipeline extensions (BASELINE.json north star) ---
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_fingerprint": dedup.q_dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,       # no oracle (LSH)
+    "dedup_simhash": dedup.q_dedup_simhash,               # no oracle (hash)
+    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
+    "sim_cosine_topk": similarity.q_cosine_topk,
+    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
+    "text_token_count": textstats.q_token_count,
+    "text_quality": textstats.q_text_quality,
+    "text_lang_id": textstats.q_lang_id,
+    "text_fingerprint": textstats.q_fingerprint,
+    "mm_binary_stats": multimodal.q_mm_binary_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -71,4 +85,14 @@ ORACLES: dict[str, str] = {
     "rel_sliding_window": rel.ORACLE_SLIDING_WINDOW,
     "rel_sessionize": rel.ORACLE_SESSIONIZE,
     "rel_asof_join": asof.ORACLE_ASOF_EVENTS_ORDERS,
+    "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
+    "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
+    "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_embedding_cosine": dedup.ORACLE_DEDUP_EMBEDDING_COSINE,
+    "sim_cosine_topk": similarity.ORACLE_COSINE_TOPK,
+    "text_token_count": textstats.ORACLE_TOKEN_COUNT,
+    "text_quality": textstats.ORACLE_TEXT_QUALITY,
+    "text_lang_id": textstats.ORACLE_LANG_ID,
+    "text_fingerprint": textstats.ORACLE_FINGERPRINT,
+    "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
 }

@@ -1,0 +1,116 @@
+"""Sketch-based dedup + similarity: unit tests on crafted data with
+KNOWN near-duplicates (these operators are approximate, so the driver
+only rows-checks them — the correctness pinning happens here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ngrams_collocations_hadoop_spark.operators.dedup import (
+    HAMMING_THRESHOLD, lsh_candidate_pairs, minhash_signatures, simhash_col,
+)
+from ngrams_collocations_hadoop_spark.operators.multimodal import (
+    decode_stub, extract_metadata, with_payload,
+)
+from ngrams_collocations_hadoop_spark.operators.similarity import (
+    hyperplane_bucket,
+)
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _docs(spark, rows):
+    return (spark.createDataFrame(rows, DOC_SCHEMA)
+            .withColumn("toks", F.array_distinct(F.split("text", " "))))
+
+
+BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango")
+
+
+def test_minhash_lsh_finds_known_near_dups(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE + " uniform"),               # near-dup of 0 (j ≈ 0.95)
+        (2, BASE),                            # exact dup of 0 (j = 1)
+        (3, "completely different words here now then maybe never again"),
+        (4, "zulu yankee xray whiskey victor uniform tango sierra"),
+    ]
+    docs = _docs(spark, rows)
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (0, 2) in pairs          # identical token sets always collide
+    assert (0, 1) in pairs          # j≈0.95 → recall ≈ 1-(1-0.95⁴)¹⁶ ≈ 1
+    assert (1, 2) in pairs
+    # unrelated docs should not pair with the base cluster
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_identical_sets_have_identical_signatures(spark):
+    docs = _docs(spark, [(0, "a b c"), (1, "c b a a")])  # same token set
+    sigs = [r["sig"] for r in minhash_signatures(docs).collect()]
+    assert sigs[0] == sigs[1]
+
+
+def test_simhash_identical_and_disjoint(spark):
+    docs = _docs(spark, [
+        (0, BASE), (1, BASE),
+        (2, "unrelated vocabulary entirely separate cluster of terms"),
+    ]).withColumn("simhash", simhash_col())
+    h = {r["doc_id"]: r["simhash"] for r in docs.collect()}
+    assert h[0] == h[1]
+    xor_pop = bin((h[0] ^ h[2]) & (2**64 - 1)).count("1")
+    assert xor_pop > HAMMING_THRESHOLD  # disjoint docs far apart
+
+
+def test_hyperplane_bucket_deterministic_and_discriminative(spark):
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    v = [float(i % 7 - 3) for i in range(64)]
+    w = [-x for x in v]
+    df = spark.createDataFrame(
+        [(0, v), (1, list(v)), (2, w)], emb_schema
+    ).withColumn("bucket", hyperplane_bucket("embedding"))
+    b = {r["vec_id"]: r["bucket"] for r in df.collect()}
+    assert b[0] == b[1]             # identical vectors → same bucket
+    assert b[0] == (~b[2]) & 0xFF   # negated vector flips every sign bit
+
+
+def test_multimodal_metadata_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello", "s1"), (2, "", "s1"), (3, "héllo", "s2")],
+        ["doc_id", "text", "source"])
+    out = extract_metadata(with_payload(docs)).collect()
+    got = {r["doc_id"]: (r["n_bytes"], r["header_byte"]) for r in out}
+    assert got[1] == (5, ord("h"))
+    assert got[2] == (0, -1)            # empty payload handled
+    assert got[3] == (6, ord("h"))      # é is 2 bytes in utf-8
+    assert all(r["mime"] == "application/octet-stream" for r in out)
+
+
+def test_decode_stub_raises(spark):
+    docs = with_payload(
+        spark.createDataFrame([(1, "x", "s")], ["doc_id", "text", "source"]))
+    out = extract_metadata(docs, decoder=lambda p: decode_stub(p))
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        out.collect()
+
+
+def test_fake_decoder_injection(spark):
+    docs = with_payload(
+        spark.createDataFrame([(1, "abcd", "s")], ["doc_id", "text", "source"]))
+
+    def fake_image_decoder(payload: bytes) -> dict:
+        return {"n_bytes": len(payload),
+                "header_byte": len(payload) % 256,   # fake "width"
+                "mime": "image/fake"}
+
+    r = extract_metadata(docs, decoder=fake_image_decoder).collect()[0]
+    assert (r["n_bytes"], r["header_byte"], r["mime"]) == (4, 4, "image/fake")
