@@ -16,6 +16,7 @@ from . import oracle
 from .operators import asof, dedup, multimodal, similarity, textstats
 from .operators import collocations as co
 from .operators import relational as rel
+from .streaming import windows as sw
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -59,6 +60,10 @@ QUERIES: dict[str, QueryFn] = {
     "text_lang_id": textstats.q_lang_id,
     "text_fingerprint": textstats.q_fingerprint,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
+    # --- Structured Streaming (run to completion via AvailableNow) ---
+    "stream_tumbling": sw.q_stream_tumbling,
+    "stream_session": sw.q_stream_session,
+    "stream_stateful_totals": sw.q_stream_stateful_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -95,4 +100,7 @@ ORACLES: dict[str, str] = {
     "text_lang_id": textstats.ORACLE_LANG_ID,
     "text_fingerprint": textstats.ORACLE_FINGERPRINT,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
+    "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,
+    "stream_session": sw.ORACLE_STREAM_SESSION,
+    "stream_stateful_totals": sw.ORACLE_STREAM_STATEFUL,
 }

@@ -1,0 +1,188 @@
+"""Streaming operators over the events table (SURVEY.md §7.3: the
+reference has no streaming surface at all — §2.8 — so this entire
+module is engine capability beyond reference parity).
+
+Each operator is expressed once as a streaming transformation
+(readStream → transform → writeStream). For the driver contract the
+query runs to completion with ``Trigger.AvailableNow`` into a memory
+sink and returns the result DataFrame, which makes every streaming
+operator batch-equivalence-testable against a DuckDB oracle — the
+"batch oracle" strategy from SURVEY.md §7.4.
+
+Scale notes: in production these run continuously against a log store
+(Kafka/files); watermarks bound state, and session windows use Spark's
+native state store. The memory sink is only the test harness.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP_SECONDS = 1800
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file streaming source requires a *directory*; the fixture is
+    a single parquet file. Build (once) a /tmp directory containing a
+    symlink to it — a test-harness shim only; a production stream reads
+    a log directory or Kafka."""
+    import os
+
+    d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events"
+    link = f"{d}/events.parquet"
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema from a batch peek;
+    ns→µs conversion identical to the batch loader)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_completion(result: DataFrame, name: str,
+                       output_mode: str) -> DataFrame:
+    """Drive the streaming query over all available input and return the
+    materialized result table."""
+    spark = result.sparkSession
+    q = (result.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_agg(stream: DataFrame) -> DataFrame:
+    """1-hour tumbling event-time windows with a 10-minute watermark."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"),
+                "event_type", "n", "sum_value")
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts, run to completion. Complete
+    output mode → the full result, batch-equivalent to the DuckDB
+    time_bucket oracle."""
+    return _run_to_completion(
+        tumbling_agg(_event_stream(spark, sf_dir)),
+        "stream_tumbling_out", "complete")
+
+
+# Same semantics as rel_tumbling_window — the streaming plan must agree
+# with the batch oracle.
+ORACLE_STREAM_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+GROUP BY 1, 2
+"""
+
+
+def session_agg(stream: DataFrame,
+                gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Native session windows: merge events per user while consecutive
+    gaps stay under ``gap_seconds`` (Spark's session_window state-store
+    operator — the streaming counterpart of the batch lag+cumsum
+    sessionize in relational.py)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", f"{gap_seconds} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events", "sum_value")
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_completion(
+        session_agg(_event_stream(spark, sf_dir)),
+        "stream_session_out", "complete")
+
+
+# Batch-equivalent sessionization at FULL microsecond precision with the
+# session_window boundary rule (new session when gap >= threshold;
+# Spark merges windows that strictly overlap).
+ORACLE_STREAM_SESSION = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+gapped AS (
+    SELECT user_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+                >= {SESSION_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ev),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM gapped)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --- custom stateful operator (applyInPandasWithState) ------------------
+
+STATEFUL_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATEFUL_STATE_SCHEMA = "n long, total double"
+
+
+def _count_fn(key, pdf_iter, state):
+    """Running per-user totals in explicit state — the minimal custom
+    stateful operator shape (arbitrary state, not a built-in agg)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value": [round(total, 4)]})
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_fn,
+            outputStructType=STATEFUL_OUT_SCHEMA,
+            stateStructType=STATEFUL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-state streaming aggregation driven to completion; the
+    final per-user totals equal a plain batch groupBy — giving the
+    stateful path a real SQL oracle. (Update mode: take the last emit
+    per user.)"""
+    out = _run_to_completion(
+        stateful_user_totals(_event_stream(spark, sf_dir)),
+        "stream_stateful_out", "update")
+    # AvailableNow may emit a user several times across micro-batches;
+    # the final state is the emit with the highest (monotone) n_events.
+    final = F.max(F.struct("n_events", "total_value")).alias("s")
+    return (out.groupBy("user_id").agg(final)
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.round("s.total_value", 4).alias("total_value")))
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""

@@ -1,0 +1,78 @@
+"""Structured Streaming semantics: watermark late-data drop in append
+mode with a multi-batch file source. (Oracle equivalence for the
+streaming queries is covered by test_registry.py.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_events(path: str, rows: list[tuple[int, str, float]]) -> None:
+    """rows: (event_id, iso_ts, value)"""
+    pdf = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        # µs precision: ns-unit timestamps would hit the nanosAsLong path
+        "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+        "user_id": [1] * len(rows),
+        "value": [r[2] for r in rows],
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Three micro-batches: batch 0 advances event time, batch 1 lets
+    the watermark close the first window (append-mode emit + state
+    eviction), batch 2 delivers a late row for the closed window — it
+    must be dropped, and the emitted count must exclude it.
+
+    (Spark's late filter takes effect for rows arriving in batches
+    *after* the one where the watermark passed the window end — hence
+    the intermediate batch.)"""
+    d = tempfile.mkdtemp(prefix="wm_test_")
+    f1, f2, f3 = (f"{d}/b1.parquet", f"{d}/b2.parquet", f"{d}/b3.parquet")
+    _write_events(f1, [
+        (1, "2024-01-01T10:05:00", 1.0),
+        (2, "2024-01-01T10:20:00", 1.0),
+        (3, "2024-01-01T12:30:00", 1.0),  # → watermark 12:20 next batch
+    ])
+    _write_events(f2, [
+        (5, "2024-01-01T12:40:00", 1.0),  # watermark 12:20 closes [10:00]
+    ])
+    _write_events(f3, [
+        (4, "2024-01-01T10:40:00", 1.0),  # LATE for closed window [10:00]
+        (6, "2024-01-01T14:00:00", 1.0),  # → watermark 13:50 closes [12:00]
+    ])
+    # force deterministic file order (file source orders by mod time)
+    now = dt.datetime.now().timestamp()
+    for i, f in enumerate([f1, f2, f3]):
+        os.utime(f, (now - 100 + i, now - 100 + i))
+
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d)
+              # pyarrow writes TIMESTAMP_NTZ; watermarks need TIMESTAMP
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("window.start").alias("win_start"), "n"))
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("wm_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    dropped = sum(so.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress for so in p["stateOperators"])
+    got = {r["win_start"].isoformat(): r["n"]
+           for r in spark.table("wm_out").collect()}
+    assert dropped == 1                               # the late row
+    assert got.get("2024-01-01T10:00:00") == 2        # late row excluded
+    assert got.get("2024-01-01T12:00:00") == 2        # events 3 and 5
+    assert "2024-01-01T14:00:00" not in got           # never finalized
