@@ -22,9 +22,16 @@ from ngrams_collocations_hadoop_spark.session import get_spark  # noqa: E402
 # Headline queries benched per round. Keep to the expensive/representative
 # ones — the full registry runs in the correctness gate, not here.
 BENCH_QUERIES = [
-    "colloc_topk",
+    "colloc_topk",           # flagship: full reference pipeline
     "colloc_scored",
     "colloc_unigram_counts",
+    "rel_star_join",         # fact⋈fact + broadcast dims
+    "rel_topk_per_group",    # window group limit
+    "rel_sessionize",        # window analytics over events
+    "dedup_minhash_lsh",     # sketch + band join + verify
+    "sim_cosine_topk",       # vector scoring
+    "text_quality",          # array-lambda text ops
+    "stream_tumbling",       # structured streaming end-to-end
 ]
 
 

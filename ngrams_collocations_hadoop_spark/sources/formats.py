@@ -1,0 +1,116 @@
+"""Reference-parity sources and sinks beyond parquet.
+
+Reference mapping (SURVEY.md §2.1):
+  S1 SequenceFile scan   → ``read_ngram_sequencefile`` (sc.sequenceFile)
+  S4 TSV text scan       → ``read_ngram_tsv`` / ``read_tsv`` with
+                           try_cast semantics (malformed rows silently
+                           dropped, like the reference's parse guards
+                           Job1.java:126-137)
+  S6 multi-sink          → ``write_multi_sink`` (N outputs off one
+                           cached subplan — MultipleOutputs equivalent)
+  S7 TSV text sink       → ``write_tsv``
+
+The Google N-Grams record format is ``ngram \\t year \\t occurrences
+[\\t pages \\t books]`` (reference Job1.java:126-137 for unigrams,
+:166-181 for bigrams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NGRAM_TSV_SCHEMA = T.StructType([
+    T.StructField("ngram", T.StringType()),
+    T.StructField("year", T.StringType()),        # try_cast later
+    T.StructField("occurrences", T.StringType()),
+])
+
+
+def _parse_ngram_lines(lines: DataFrame, value_col: str) -> DataFrame:
+    """TSV line → (ngram, year, occurrences) with the reference's
+    silent-drop semantics: short rows, unparseable numbers, and
+    occ <= 0 are filtered, not errors."""
+    # get() (not [i]): ANSI mode errors on out-of-bounds subscripts, but
+    # short rows must silently drop, per the reference's parse guards.
+    return (
+        lines
+        .select(
+            F.expr(f"get(split({value_col}, '\t'), 0)").alias("ngram"),
+            F.expr(f"try_cast(get(split({value_col}, '\t'), 1) AS INT)")
+            .alias("year"),
+            F.expr(f"try_cast(get(split({value_col}, '\t'), 2) AS BIGINT)")
+            .alias("occurrences"),
+        )
+        .filter(F.col("ngram").isNotNull() & (F.col("ngram") != "")
+                & F.col("year").isNotNull()
+                & F.col("occurrences").isNotNull()
+                & (F.col("occurrences") > 0))
+    )
+
+
+def read_ngram_tsv(spark: SparkSession, path: str, lang: str) -> DataFrame:
+    """S4: text scan of `ngram\\tyear\\toccurrences` lines, tagged with a
+    language column (replacing the reference's path-based inference,
+    NGramUtils.java:51-79 — per-source lit() is the Spark-first form)."""
+    lines = spark.read.text(path)
+    return (_parse_ngram_lines(lines, "value")
+            .withColumn("lang", F.lit(lang))
+            .select("lang", "ngram", "year", "occurrences"))
+
+
+def read_ngram_sequencefile(spark: SparkSession, path: str,
+                            lang: str) -> DataFrame:
+    """S1: Hadoop SequenceFile of (LongWritable, Text) records — the
+    reference's actual input format (CollocationExtraction3Jobs.java:
+    68-71). The RDD hop is confined to deserialization; everything
+    after is a DataFrame."""
+    rdd = spark.sparkContext.sequenceFile(
+        path, "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text")
+    lines = spark.createDataFrame(
+        rdd.map(lambda kv: (kv[1],)),
+        T.StructType([T.StructField("value", T.StringType())]))
+    return (_parse_ngram_lines(lines, "value")
+            .withColumn("lang", F.lit(lang))
+            .select("lang", "ngram", "year", "occurrences"))
+
+
+def multi_source_union(sources: list[DataFrame]) -> DataFrame:
+    """S2: MultipleInputs equivalent — per-source DataFrames (each
+    already tagged with its language) unioned by name."""
+    out = sources[0]
+    for s in sources[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """S7: TSV text sink."""
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).option("sep", "\t").csv(path)
+
+
+def write_multi_sink(df: DataFrame, sinks: dict[str, tuple]) -> None:
+    """S6: MultipleOutputs equivalent — fan a single (cached) subplan
+    into several sinks. ``sinks`` maps path → (transform_fn, format).
+    The cache guarantees the shared subtree computes once, mirroring
+    the reference's single reducer emitting DATA + N
+    (Job1.java:262,291,299,310)."""
+    df = df.persist()
+    try:
+        df.count()  # materialize once
+        for path, (transform, fmt) in sinks.items():
+            out = transform(df)
+            if fmt == "tsv":
+                write_tsv(out, path)
+            elif fmt == "parquet":
+                out.write.mode("overwrite").parquet(path)
+            else:
+                raise ValueError(f"unknown sink format {fmt}")
+    finally:
+        df.unpersist()

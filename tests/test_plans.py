@@ -1,0 +1,87 @@
+"""Physical-plan guards (SURVEY.md §5 'scale/plan tests'): the §4
+manual-optimization → Catalyst mappings must actually appear in plans.
+"""
+
+from __future__ import annotations
+
+from ngrams_collocations_hadoop_spark.operators import collocations as co
+from ngrams_collocations_hadoop_spark.operators import relational as rel
+from ngrams_collocations_hadoop_spark.plans.checks import (
+    assert_in_plan, count_in_plan, final_adaptive_plan, physical_plan,
+)
+from ngrams_collocations_hadoop_spark.registry import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def test_topk_uses_window_group_limit(spark):
+    """T2: the reference's hand-written Top-K combiner (Job3.java:83-93)
+    must appear as WindowGroupLimit — partial top-k before the shuffle."""
+    df = co.q_topk(spark, SF_SMALL)
+    assert_in_plan(df, "WindowGroupLimit")
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    assert_in_plan(rel.q_topk_per_group(spark, SF_SMALL),
+                   "WindowGroupLimit")
+
+
+def test_global_topn_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must not global-sort: TakeOrderedAndProject."""
+    assert_in_plan(rel.q_global_topn(spark, SF_SMALL),
+                   "TakeOrderedAndProject")
+
+
+def test_n_join_is_broadcast(spark):
+    """J3: the totals join (the reference's distributed-cache N map,
+    Job2.java:168-190) must be a broadcast hash join, not a shuffle."""
+    df = co.q_scored(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    """Dim tables (customer/nation/region) must broadcast — at 100 TB
+    the fact side must never shuffle to meet a dim."""
+    df = rel.q_star_join(spark, SF_SMALL)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 3
+
+
+def test_pricing_filter_pushed_to_scan(spark):
+    """P4-style predicate must reach the parquet scan (PushedFilters),
+    and the scan must prune to the referenced columns only."""
+    df = rel.q_pricing_summary(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split(
+        "PushedFilters:")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema  # no such col, sanity
+    assert "l_orderkey" not in read_schema  # unused column pruned
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """A1: the reference's combiner == partial HashAggregate below the
+    exchange; exactly 2 HashAggregates (partial+final) per grouping."""
+    df = co.q_unigram_counts(spark, SF_SMALL)
+    plan = physical_plan(df)
+    agg_idx = plan.find("HashAggregate")
+    assert agg_idx >= 0
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_scored_reuses_unigram_subtree(spark):
+    """The c1 subtree feeds three consumers; AQE must reuse exchanges
+    rather than recompute (ReusedExchange in the final plan)."""
+    df = co.q_scored(spark, SF_SMALL)
+    plan = final_adaptive_plan(df)
+    assert "ReusedExchange" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """The LLR expression and token cleaning must stay inside
+    whole-stage codegen (no Python evaluation nodes in the plan)."""
+    for name in ["colloc_scored", "rel_pricing_summary", "text_quality"]:
+        plan = physical_plan(QUERIES[name](spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -1,0 +1,90 @@
+"""Reference-parity sources/sinks (SURVEY.md §2.1): SequenceFile scan,
+TSV ngram scan with silent-drop semantics, multi-source union,
+multi-sink fan-out, TSV round-trip."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ngrams_collocations_hadoop_spark.sources.formats import (
+    multi_source_union, read_ngram_sequencefile, read_ngram_tsv, read_tsv,
+    write_multi_sink, write_tsv,
+)
+
+LINES = [
+    "high school\t1995\t42",
+    "bad row",                       # short → dropped
+    "word\tnot_a_year\t7",           # unparseable year → dropped
+    "word\t1990\t0",                 # occ <= 0 → dropped
+    "word\t1990\t-3",                # occ < 0 → dropped
+    "שלום עולם\t2001\t5",            # unicode ok
+    "tab\t2003\t9\textra\tfields",   # extra fields tolerated (pages/books)
+]
+EXPECTED = {("high school", 1995, 42), ("שלום עולם", 2001, 5),
+            ("tab", 2003, 9)}
+
+
+def test_read_ngram_tsv_silent_drop(spark):
+    d = tempfile.mkdtemp(prefix="tsv_src_")
+    with open(f"{d}/part-00000", "w") as f:
+        f.write("\n".join(LINES))
+    df = read_ngram_tsv(spark, d, lang="en")
+    got = {(r["ngram"], r["year"], r["occurrences"]) for r in df.collect()}
+    assert got == EXPECTED
+    assert df.columns == ["lang", "ngram", "year", "occurrences"]
+
+
+def test_read_ngram_sequencefile_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="seq_src_") + "/seq"
+    rdd = spark.sparkContext.parallelize(
+        [(i, line) for i, line in enumerate(LINES)], 1)
+    rdd.saveAsSequenceFile(d)
+    df = read_ngram_sequencefile(spark, d, lang="he")
+    got = {(r["ngram"], r["year"], r["occurrences"]) for r in df.collect()}
+    assert got == EXPECTED
+    assert df.first()["lang"] == "he"
+
+
+def test_multi_source_union(spark):
+    d = tempfile.mkdtemp(prefix="multi_src_")
+    with open(f"{d}/en.tsv", "w") as f:
+        f.write("hello\t2000\t3")
+    with open(f"{d}/he.tsv", "w") as f:
+        f.write("שלום\t2000\t4")
+    en = read_ngram_tsv(spark, f"{d}/en.tsv", lang="en")
+    he = read_ngram_tsv(spark, f"{d}/he.tsv", lang="he")
+    u = multi_source_union([en, he])
+    got = {(r["lang"], r["ngram"]) for r in u.collect()}
+    assert got == {("en", "hello"), ("he", "שלום")}
+
+
+def test_tsv_roundtrip_and_multi_sink(spark):
+    d = tempfile.mkdtemp(prefix="sink_")
+    df = spark.createDataFrame(
+        [("en", 2000, "apple", 15), ("en", 2000, "pie", 8)],
+        ["lang", "decade", "word", "c1"])
+    # S6: DATA + aggregated N from one cached subplan
+    write_multi_sink(df, {
+        f"{d}/data": (lambda x: x, "tsv"),
+        f"{d}/n": (lambda x: x.groupBy("lang", "decade")
+                   .agg(F.sum("c1").alias("n_total")), "parquet"),
+    })
+    schema = T.StructType([
+        T.StructField("lang", T.StringType()),
+        T.StructField("decade", T.IntegerType()),
+        T.StructField("word", T.StringType()),
+        T.StructField("c1", T.LongType()),
+    ])
+    back = read_tsv(spark, f"{d}/data", schema)
+    assert {(r["word"], r["c1"]) for r in back.collect()} == {
+        ("apple", 15), ("pie", 8)}
+    n = spark.read.parquet(f"{d}/n").collect()
+    assert len(n) == 1 and n[0]["n_total"] == 23
+
+    # S7 standalone round-trip
+    write_tsv(back, f"{d}/rt")
+    again = read_tsv(spark, f"{d}/rt", schema)
+    assert again.count() == 2
