@@ -1,0 +1,97 @@
+"""Generalized n-gram operators (SURVEY.md §7.3): the reference
+hard-codes n=2 (Job1.java:170-171 splits a bigram into exactly two
+tokens); here n is a parameter, and association scoring is pluggable
+(LLR / PMI / t-score / χ² from functions.assoc).
+
+Also implements P2 properly for record-shaped input: the real Google
+N-Grams 2-gram records carry the pair as ONE whitespace-separated
+string field; ``split_bigram_field`` tokenizes it and drops records
+that don't split into exactly two tokens (reference Job1.java:170-171,
+184-185).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import LLR_ROUND
+from ..functions import assoc
+from ..functions.llr import llr
+from ..sources.ngram_source import _docs_with_tokens
+from . import collocations as co
+
+
+def split_bigram_field(records: DataFrame,
+                       ngram_col: str = "ngram") -> DataFrame:
+    """P2: `"w1 w2"` → (token1, token2); rows with ≠2 tokens dropped
+    (the reference's `parts.length < 2 → return`)."""
+    toks = F.split(F.trim(F.col(ngram_col)), r"\s+")
+    return (records.withColumn("_toks", toks)
+            .filter(F.size("_toks") == 2)
+            .withColumn("token1", F.col("_toks").getItem(0))
+            .withColumn("token2", F.col("_toks").getItem(1))
+            .drop("_toks", ngram_col))
+
+
+def ngram_records(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(lang, year, occurrences, grams: array<string>[n]) — sliding
+    n-windows over document tokens, entirely inside codegen."""
+    window = F.expr(
+        f"transform(slice(ts, 1, greatest(size(ts) - {n - 1}, 0)), "
+        f"(x, i) -> slice(ts, i + 1, {n}))"
+    )
+    return (
+        _docs_with_tokens(spark, sf_dir)
+        .select("lang", "year", "occurrences",
+                F.explode(window).alias("grams"))
+    )
+
+
+def q_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram counts per (lang, decade) — n=3 instance of the
+    generalized operator, with cleaning applied per position."""
+    from ..functions.text import clean_token, decade
+
+    recs = ngram_records(spark, sf_dir, 3)
+    cleaned = recs.select(
+        "lang",
+        decade(F.col("year")).alias("decade"),
+        clean_token(F.col("grams").getItem(0)).alias("w1"),
+        clean_token(F.col("grams").getItem(1)).alias("w2"),
+        clean_token(F.col("grams").getItem(2)).alias("w3"),
+        F.col("occurrences").alias("occ"),
+    ).filter((F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != ""))
+    return (cleaned.groupBy("lang", "decade", "w1", "w2", "w3")
+            .agg(F.sum("occ").alias("c")))
+
+
+ORACLE_TRIGRAM_COUNTS = None  # assembled in oracle.py (needs clean CTEs)
+
+
+def q_assoc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every association measure side by side over the bigram
+    contingency counts: llr, pmi, t_score, chi_square."""
+    scored = co.q_scored(spark, sf_dir)
+    c1c, c2c = F.col("c1"), F.col("c2")
+    c12c, nc = F.col("c12"), F.col("n_total")
+    return scored.select(
+        "lang", "decade", "w1", "w2", "c1", "c2", "c12", "n_total", "llr",
+        F.round(assoc.pmi(c1c, c2c, c12c, nc), LLR_ROUND).alias("pmi"),
+        F.round(assoc.t_score(c1c, c2c, c12c, nc), LLR_ROUND).alias("t_score"),
+        F.round(assoc.chi_square(c1c, c2c, c12c, nc), LLR_ROUND).alias("chi2"),
+    )
+
+
+def q_pmi_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Top-K by PMI — the flagship pipeline with a swapped scoring
+    expression (pipeline shape unchanged; only C1 differs)."""
+    # scored's guard filter (c1,c2,c12,N > 0) already implies pmi NOT NULL
+    scored = q_assoc_scores(spark, sf_dir)
+    w = (Window.partitionBy("lang", "decade")
+         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("lang", "decade",
+                    F.concat_ws(" ", "w1", "w2").alias("bigram"),
+                    "pmi", "rank"))

@@ -312,6 +312,29 @@ FROM events
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the reference has no
+    statistical aggregates at all; approximate variants are covered by
+    error-bound unit tests since approx algorithms differ per engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+             F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+             F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6)
+             .alias("p99_price"))
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- set operations (absent from reference, §2.8) -----------------------
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,7 @@ embeddings) and hash-compares against the Spark results.
 from __future__ import annotations
 
 from .constants import LLR_ROUND, TOP_K, stopword_values_sql
+from .functions.assoc import chi_square_sql, pmi_sql, t_score_sql
 from .functions.llr import llr_sql
 from .functions.text import clean_token_sql, decade_sql
 from .sources.ngram_source import BIGRAM_RECORDS_SQL, UNIGRAM_RECORDS_SQL
@@ -99,6 +100,62 @@ def colloc_scored_sql() -> str:
     return (f"WITH {ngram_ctes()} "
             f"SELECT lang, decade, w1, w2, c1, c2, c12, n_total, llr "
             f"FROM scored")
+
+
+def colloc_assoc_sql() -> str:
+    args = ("c1", "c2", "c12", "n_total")
+    return f"""
+WITH {ngram_ctes()}
+SELECT lang, decade, w1, w2, c1, c2, c12, n_total, llr,
+       round({pmi_sql(*args)}, {LLR_ROUND}) AS pmi,
+       round({t_score_sql(*args)}, {LLR_ROUND}) AS t_score,
+       round({chi_square_sql(*args)}, {LLR_ROUND}) AS chi2
+FROM scored
+"""
+
+
+def colloc_pmi_topk_sql(k: int = 100) -> str:
+    args = ("c1", "c2", "c12", "n_total")
+    return f"""
+WITH {ngram_ctes()},
+pmi_scored AS (
+    SELECT lang, decade, w1, w2,
+           round({pmi_sql(*args)}, {LLR_ROUND}) AS pmi
+    FROM scored),
+ranked AS (
+    SELECT lang, decade, w1 || ' ' || w2 AS bigram, pmi,
+           CAST(row_number() OVER (
+               PARTITION BY lang, decade
+               ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+    FROM pmi_scored)
+SELECT lang, decade, bigram, pmi, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def trigram_counts_sql() -> str:
+    c1 = clean_token_sql("t1")
+    c2 = clean_token_sql("t2")
+    c3 = clean_token_sql("t3")
+    return f"""
+WITH tri_raw AS (
+    SELECT lang, year, occurrences, ts[i] AS t1, ts[i+1] AS t2, ts[i+2] AS t3
+    FROM (
+        SELECT lang,
+               CAST(2000 + doc_id % 30 AS BIGINT) AS year,
+               CAST(1 + doc_id % 5 AS BIGINT) AS occurrences,
+               string_split(text, ' ') AS ts
+        FROM documents
+    ) t, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+tri AS (
+    SELECT lang, {decade_sql('year')} AS decade,
+           {c1} AS w1, {c2} AS w2, {c3} AS w3,
+           CAST(occurrences AS BIGINT) AS occ
+    FROM tri_raw)
+SELECT lang, decade, w1, w2, w3, CAST(sum(occ) AS BIGINT) AS c
+FROM tri
+WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
+GROUP BY lang, decade, w1, w2, w3
+"""
 
 
 def colloc_topk_sql(k: int = TOP_K) -> str:

@@ -16,6 +16,7 @@ from . import oracle
 from .operators import asof, dedup, multimodal, similarity, textstats
 from .operators import collocations as co
 from .operators import relational as rel
+from .operators import ngrams as ng
 from .streaming import windows as sw
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -27,8 +28,12 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_totals": co.q_totals,                   # A4
     "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
     "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
+    "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
+    "colloc_pmi_topk": ng.q_pmi_topk,
+    "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     # --- relational operator coverage (§2 generalized + §2.8 gaps) ---
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
+    "rel_percentiles": rel.q_percentiles,
     "rel_distinct_agg": rel.q_distinct_agg,
     "rel_rollup": rel.q_rollup,
     "rel_cube": rel.q_cube,
@@ -72,6 +77,10 @@ ORACLES: dict[str, str] = {
     "colloc_totals": oracle.colloc_totals_sql(),
     "colloc_scored": oracle.colloc_scored_sql(),
     "colloc_topk": oracle.colloc_topk_sql(),
+    "colloc_assoc": oracle.colloc_assoc_sql(),
+    "colloc_pmi_topk": oracle.colloc_pmi_topk_sql(),
+    "ngram_trigram_counts": oracle.trigram_counts_sql(),
+    "rel_percentiles": rel.ORACLE_PERCENTILES,
     "rel_pricing_summary": rel.ORACLE_PRICING_SUMMARY,
     "rel_distinct_agg": rel.ORACLE_DISTINCT_AGG,
     "rel_rollup": rel.ORACLE_ROLLUP,
