@@ -1,0 +1,36 @@
+"""Storage layout operators: partitioned parquet sinks (partition
+pruning) and bucketed tables (shuffle-free co-located joins).
+
+At 100 TB these are the difference between scanning everything and
+scanning one partition, and between re-shuffling two fact tables per
+join and joining pre-bucketed data with zero exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: list[str]) -> None:
+    """Hive-style partitioned parquet: directory per partition value;
+    reads with a partition predicate prune at the file-listing level
+    (PartitionFilters, no data I/O for pruned partitions)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int) -> None:
+    """Bucketed + sorted catalog table: rows hash-distributed into
+    ``n_buckets`` files by ``bucket_cols``. Two tables bucketed the same
+    way join with NO exchange on either side — the co-partitioning the
+    reference hand-built with its custom partitioners (Job1.java:85-94),
+    persisted into the storage layout."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*bucket_cols)
+     .saveAsTable(table))
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
