@@ -26,6 +26,16 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     way join with NO exchange on either side — the co-partitioning the
     reference hand-built with its custom partitioners (Job1.java:85-94),
     persisted into the storage layout."""
+    spark = df.sparkSession
+    # Idempotence across sessions: the in-memory catalog forgets managed
+    # tables on restart but their warehouse directory persists, and
+    # saveAsTable refuses to reuse the location. Drop both.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith(("file:", "/")):
+        import shutil
+        local = warehouse.removeprefix("file:")
+        shutil.rmtree(f"{local}/{table.lower()}", ignore_errors=True)
     (df.write.mode("overwrite")
      .bucketBy(n_buckets, *bucket_cols)
      .sortBy(*bucket_cols)
