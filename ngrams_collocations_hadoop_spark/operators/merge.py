@@ -1,0 +1,84 @@
+"""MERGE / upsert emulation (no Delta/Iceberg jars in this image —
+the pattern is anti-join + union, per the classic pre-ACID recipe; on
+a lakehouse table format the same logic is one MERGE INTO statement).
+
+``merge_upsert``: rows from ``updates`` replace matching ``target``
+rows (by key) and new keys are appended — the UPDATE+INSERT halves of
+MERGE. Scale: one shuffle join on the key (broadcast when updates are
+small), one union; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """UPDATE matched + INSERT unmatched. Schemas must align."""
+    kept = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a derived change set into orders: open orders get a 10%
+    price bump (updates), and one synthetic new order per customer is
+    inserted (inserts)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    updates = (o.filter(F.col("o_orderstatus") == "O")
+               .withColumn("o_totalprice",
+                           F.round(F.col("o_totalprice") * 1.1, 4)))
+    max_key = 10_000_000
+    inserts = (load_table(spark, sf_dir, "customer")
+               .select((F.col("c_custkey") + max_key).alias("o_orderkey"),
+                       F.col("c_custkey").alias("o_custkey"),
+                       F.lit("N").alias("o_orderstatus"),
+                       F.lit(0.0).alias("o_totalprice")))
+    merged = merge_upsert(o, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
+ORACLE_MERGE_UPSERT = """
+WITH updates AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice * 1.1, 4) AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT c_custkey + 10000000, c_custkey, 'N', 0.0 FROM customer)
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 4) FROM updates
+"""
+
+
+def scd2_apply(current: DataFrame, changes: DataFrame, key: str,
+               tracked: list[str], change_ts: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out current rows whose
+    tracked attributes changed (set valid_to = change ts) and append the
+    new versions as open rows (valid_to NULL). ``current`` must carry
+    valid_from/valid_to columns; ``changes`` carries ``change_ts``."""
+    cur_open = current.filter(F.col("valid_to").isNull())
+    joined = cur_open.alias("c").join(
+        changes.alias("n"), on=key, how="inner")
+    changed_keys = joined.filter(
+        F.concat_ws("\x00", *[F.col(f"c.{t}") for t in tracked])
+        != F.concat_ws("\x00", *[F.col(f"n.{t}") for t in tracked])
+    ).select(F.col(key), F.col(f"n.{change_ts}").alias("_new_ts"))
+
+    closed = (current.join(changed_keys, on=key, how="left")
+              .withColumn(
+                  "valid_to",
+                  F.when(F.col("valid_to").isNull()
+                         & F.col("_new_ts").isNotNull(),
+                         F.col("_new_ts")).otherwise(F.col("valid_to")))
+              .drop("_new_ts"))
+    new_rows = (changes.join(changed_keys.select(key), on=key)
+                .withColumn("valid_from", F.col(change_ts))
+                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+                .drop(change_ts))
+    return closed.unionByName(new_rows, allowMissingColumns=False)

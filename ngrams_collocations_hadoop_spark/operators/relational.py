@@ -335,6 +335,77 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time + math scalar functions (absent from the reference —
+    §2.8): extract parts, day arithmetic, rounding/power functions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("oyear"),
+        F.month("o_orderdate").cast("long").alias("omonth"),
+        F.dayofmonth("o_orderdate").cast("long").alias("oday"),
+        F.quarter("o_orderdate").cast("long").alias("oquarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).cast("long")
+        .alias("days_to_2002"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(F.col("o_totalprice"), F.lit(0.25)), 6).alias("price_4rt"),
+        F.ceil("o_totalprice").cast("long").alias("ceil_price"),
+        F.floor("o_totalprice").cast("long").alias("floor_price"),
+        F.abs(F.col("o_totalprice") - 100000).cast("double").alias("abs_diff"),
+    )
+
+
+ORACLE_DATE_MATH = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS oyear,
+       CAST(month(o_orderdate) AS BIGINT) AS omonth,
+       CAST(day(o_orderdate) AS BIGINT) AS oday,
+       CAST(quarter(o_orderdate) AS BIGINT) AS oquarter,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS BIGINT) AS days_to_2002,
+       round(sqrt(o_totalprice), 6) AS sqrt_price,
+       round(pow(o_totalprice, 0.25), 6) AS price_4rt,
+       CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+       CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+       CAST(abs(o_totalprice - 100000) AS DOUBLE) AS abs_diff
+FROM orders
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: case, slicing, padding, translation,
+    edit distance."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.levenshtein("c_name", F.lit("Customer#000000001")).cast("long")
+        .alias("lev_to_first"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT)
+           AS lev_to_first,
+       concat_ws('|', c_name, c_mktsegment) AS joined
+FROM customer
+"""
+
+
 # --- set operations (absent from reference, §2.8) -----------------------
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,7 @@ from . import oracle
 from .operators import asof, dedup, multimodal, similarity, textstats
 from .operators import collocations as co
 from .operators import relational as rel
+from .operators import merge as mg
 from .operators import ngrams as ng
 from .streaming import windows as sw
 
@@ -51,6 +52,9 @@ QUERIES: dict[str, QueryFn] = {
     "rel_sliding_window": rel.q_sliding_window,
     "rel_sessionize": rel.q_sessionize,
     "rel_asof_join": asof.q_asof_events_orders,
+    "rel_date_math": rel.q_date_math,
+    "rel_string_funcs": rel.q_string_funcs,
+    "rel_merge_upsert": mg.q_merge_upsert,
     # --- training-data-pipeline extensions (BASELINE.json north star) ---
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_fingerprint": dedup.q_dedup_fingerprint,
@@ -99,6 +103,9 @@ ORACLES: dict[str, str] = {
     "rel_sliding_window": rel.ORACLE_SLIDING_WINDOW,
     "rel_sessionize": rel.ORACLE_SESSIONIZE,
     "rel_asof_join": asof.ORACLE_ASOF_EVENTS_ORDERS,
+    "rel_date_math": rel.ORACLE_DATE_MATH,
+    "rel_string_funcs": rel.ORACLE_STRING_FUNCS,
+    "rel_merge_upsert": mg.ORACLE_MERGE_UPSERT,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
