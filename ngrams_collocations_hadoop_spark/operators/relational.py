@@ -335,6 +335,32 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    20% of their part's average quantity. Catalyst decorrelates into an
+    aggregate + join — no per-row subquery execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                    .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (
+        li.join(avg_per_part, li.l_partkey == avg_per_part.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_small"),
+             F.round(F.sum("l_extendedprice"), 4).alias("small_revenue"))
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT l_partkey, count(*) AS n_small,
+       round(sum(l_extendedprice), 4) AS small_revenue
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
 def q_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time + math scalar functions (absent from the reference —
     §2.8): extract parts, day arithmetic, rounding/power functions."""

@@ -148,6 +148,24 @@ FROM s
 ORACLE_LANG_ID = _oracle_lang_id()
 
 
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization (P1 with ordinality): one row per
+    (doc, position, token) — the exploded long format downstream NLP
+    pipelines key on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long")))
+
+
+ORACLE_TOKEN_POSITIONS = """
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+     UNNEST(range(1, len(ts) + 1)) AS u(i)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set plus
     a coarse length bucket — the join key for fingerprint-based dedup."""

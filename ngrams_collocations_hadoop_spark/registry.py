@@ -55,6 +55,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_date_math": rel.q_date_math,
     "rel_string_funcs": rel.q_string_funcs,
     "rel_merge_upsert": mg.q_merge_upsert,
+    "rel_scalar_subquery": rel.q_scalar_subquery,
+    "text_token_positions": textstats.q_token_positions,
     # --- training-data-pipeline extensions (BASELINE.json north star) ---
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_fingerprint": dedup.q_dedup_fingerprint,
@@ -106,6 +108,8 @@ ORACLES: dict[str, str] = {
     "rel_date_math": rel.ORACLE_DATE_MATH,
     "rel_string_funcs": rel.ORACLE_STRING_FUNCS,
     "rel_merge_upsert": mg.ORACLE_MERGE_UPSERT,
+    "rel_scalar_subquery": rel.ORACLE_SCALAR_SUBQUERY,
+    "text_token_positions": textstats.ORACLE_TOKEN_POSITIONS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
