@@ -19,7 +19,19 @@ TABLE_NAMES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries may run under a caller-built SparkSession (the driver's
+    harness) without our session.py defaults. These two are required
+    for CORRECTNESS, not speed, and are dynamic SQL confs — set them
+    defensively: nanos timestamps would otherwise fail to read, and a
+    non-UTC session timezone would shift timestamp values relative to
+    the (UTC-naive) DuckDB oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos via
