@@ -1,0 +1,46 @@
+"""Regression test for the driver-harness contract: queries must be
+correct under a SparkSession the harness built itself — no session.py
+defaults, hostile non-UTC timezone. Runs in a subprocess because the
+in-process session (conftest) already carries our configs."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]").appName("bare-harness")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import duckdb, pandas as pd
+import __spark_entry__ as E
+con = duckdb.connect()
+for t in ["events", "orders", "customer", "documents"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM "
+        f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+qs, os_ = E.queries(), E.oracle_sql()
+for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math"]:
+    a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
+    b = con.execute(os_[name]).df()
+    a = a.reindex(sorted(a.columns), axis=1)
+    b = b.reindex(sorted(b.columns), axis=1)
+    for c in a.columns:
+        if a[c].dtype.kind == "f": a[c] = a[c].round(6)
+        if b[c].dtype.kind == "f": b[c] = b[c].round(6)
+    a = a.sort_values(list(a.columns), ignore_index=True)
+    b = b.sort_values(list(b.columns), ignore_index=True)
+    assert len(a) == len(b), (name, len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=0, atol=1e-6)
+print("BARE-SESSION-OK")
+"""
+
+
+def test_queries_correct_under_bare_session():
+    out = subprocess.run([sys.executable, "-c", SCRIPT],
+                         capture_output=True, text=True, timeout=600)
+    assert "BARE-SESSION-OK" in out.stdout, out.stderr[-2000:]
