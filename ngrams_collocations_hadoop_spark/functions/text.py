@@ -44,9 +44,13 @@ def clean_token(col: Column) -> Column:
 
 
 def clean_token_sql(expr: str) -> str:
-    """Same cleaning as DuckDB SQL over an arbitrary string expression."""
+    """Same cleaning as SQL over an arbitrary string expression —
+    dialect-portable: position(IN)/split_part/regexp_replace behave
+    identically in DuckDB (the oracle) and Spark SQL (the SQL-API
+    functions in sql_api.py)."""
     t = f"trim({expr})"
-    t = f"(CASE WHEN strpos({t}, '_') > 1 THEN split_part({t}, '_', 1) ELSE {t} END)"
+    t = (f"(CASE WHEN position('_' IN {t}) > 1 "
+         f"THEN split_part({t}, '_', 1) ELSE {t} END)")
     t = f"regexp_replace({t}, '{_LEAD}', '')"
     t = f"regexp_replace({t}, '{_TRAIL}', '')"
     return f"lower(trim({t}))"

@@ -19,6 +19,7 @@ from .operators import relational as rel
 from .operators import merge as mg
 from .operators import ngrams as ng
 from .streaming import windows as sw
+from . import sql_api
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -29,6 +30,7 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_totals": co.q_totals,                   # A4
     "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
     "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
+    "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
     "colloc_pmi_topk": ng.q_pmi_topk,
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
@@ -83,6 +85,7 @@ ORACLES: dict[str, str] = {
     "colloc_totals": oracle.colloc_totals_sql(),
     "colloc_scored": oracle.colloc_scored_sql(),
     "colloc_topk": oracle.colloc_topk_sql(),
+    "colloc_topk_sql": oracle.colloc_topk_sql(),    # same oracle as colloc_topk
     "colloc_assoc": oracle.colloc_assoc_sql(),
     "colloc_pmi_topk": oracle.colloc_pmi_topk_sql(),
     "ngram_trigram_counts": oracle.trigram_counts_sql(),
