@@ -166,6 +166,36 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
 """
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash split (a training-data staple): the
+    assignment depends only on the document text (stable across runs,
+    cluster layouts, and engines — md5 is identical everywhere), not on
+    row order or RNG state. ~80/20 by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
+              .cast("long") % 10)
+    return docs.select(
+        "doc_id", "lang",
+        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("test"))
+        .alias("split"))
+
+
+ORACLE_TRAIN_TEST_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sample_stratified(docs: DataFrame, fractions: dict[str, float],
+                      seed: int = 42) -> DataFrame:
+    """Per-language stratified sample (df.sampleBy) — deterministic for
+    a fixed seed and input; no SQL oracle (Bernoulli sampling RNG is
+    engine-specific), pinned by unit tests instead."""
+    return docs.sampleBy("lang", fractions, seed=seed)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set plus
     a coarse length bucket — the join key for fingerprint-based dedup."""

@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": textstats.q_text_quality,
     "text_lang_id": textstats.q_lang_id,
     "text_fingerprint": textstats.q_fingerprint,
+    "text_train_test_split": textstats.q_train_test_split,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
     # --- Structured Streaming (run to completion via AvailableNow) ---
     "stream_tumbling": sw.q_stream_tumbling,
@@ -122,6 +123,7 @@ ORACLES: dict[str, str] = {
     "text_quality": textstats.ORACLE_TEXT_QUALITY,
     "text_lang_id": textstats.ORACLE_LANG_ID,
     "text_fingerprint": textstats.ORACLE_FINGERPRINT,
+    "text_train_test_split": textstats.ORACLE_TRAIN_TEST_SPLIT,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
     "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,
     "stream_session": sw.ORACLE_STREAM_SESSION,
