@@ -518,11 +518,16 @@ FROM {EVENTS_US} events GROUP BY 1, 2
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 1-hour windows every 30 minutes."""
     e = _t(spark, sf_dir, "events")
+    # sum+count, not avg: uniform event rates give power-of-two window
+    # counts, putting true averages of 2-decimal values EXACTLY on
+    # round()'s half-way boundary, where cross-engine ulp noise flips
+    # the rounded digit. Sums of 2-decimal values stay ≥0.0049 away
+    # from any 4-decimal boundary — comparison-safe at every scale.
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("value"), 6).alias("avg_value"))
-        .select(F.col("window.start").alias("win_start"), "n", "avg_value")
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"), "n", "sum_value")
     )
 
 
@@ -533,7 +538,7 @@ wins AS (
     SELECT b AS win_start, ts, value FROM slid
     UNION ALL
     SELECT b - INTERVAL '30 minutes' AS win_start, ts, value FROM slid)
-SELECT win_start, count(*) AS n, round(avg(value), 6) AS avg_value
+SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM wins GROUP BY win_start
 """
 
