@@ -22,22 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Ensure the downstream explode/regex map stage uses every core.
-
-    A small parquet input (one file, one row group) scans as a single
-    partition, which would serialize the CPU-heavy tokenize+clean stage.
-    On a real cluster the input has thousands of splits and this is a
-    no-op; locally it round-robins the (cheap, compressed) document rows
-    once before the expensive map work.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ..sources.tables import fan_out as _fan_out, load_table
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

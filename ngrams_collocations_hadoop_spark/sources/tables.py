@@ -30,6 +30,21 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy downstream map stage uses every core.
+
+    A small parquet input (one file, one row group) scans as a single
+    partition, which would serialize expensive per-row work (regex,
+    explode, 64-way hashing). On a real cluster the input has thousands
+    of splits and this is a no-op; locally it round-robins the (cheap,
+    compressed) rows once before the expensive map work.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
