@@ -110,3 +110,98 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", "cand_id",
                     F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+# Coarse quantizer: every vector whose vec_id is a multiple of
+# CENTROID_STRIDE is a centroid, so the centroid count scales with the
+# corpus (10 at sf0.01, 100 at sf0.1) with no fit/model state and full
+# cross-engine reproducibility.
+CENTROID_STRIDE = 50
+NPROBE = 2
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid cell (argmax cosine, tiebreak min centroid id), probe the
+    NPROBE nearest cells per query, exact re-rank within the probed
+    cells only.
+
+    Scale shape: assignment is a broadcast of the (small) centroid set
+    against the full corpus — one map-side pass; the search is an
+    equi-join on cell id, so per-query work is the probed cells' size
+    (~NPROBE/n_cells of the corpus), not the corpus. Deterministic
+    end-to-end → full SQL oracle, unlike the LSH path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_emb")))
+    scored_cells = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine_expr("embedding", "cent_emb"))
+        .select("vec_id", "embedding", "cent_id", "ccos"))
+    w_cell = (Window.partitionBy("vec_id")
+              .orderBy(F.desc("ccos"), F.asc("cent_id")))
+    ranked_cells = scored_cells.withColumn(
+        "cell_rank", F.row_number().over(w_cell))
+    index = (ranked_cells.filter(F.col("cell_rank") == 1)
+             .select(F.col("vec_id").alias("cand_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("cent_id").alias("cell")))
+    probes = (ranked_cells.filter((F.col("vec_id") < N_QUERY_VECS)
+                                  & (F.col("cell_rank") <= NPROBE))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.col("cent_id").alias("cell")))
+    scored = (
+        index.join(F.broadcast(probes), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_emb", "c_emb")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+ORACLE_COSINE_TOPK_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT vec_id AS cent_id, v AS cv FROM e
+    WHERE vec_id % {CENTROID_STRIDE} = 0),
+cell_scored AS (
+    SELECT e.vec_id, e.v, c.cent_id,
+           list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+    FROM e CROSS JOIN cents c),
+ranked_cells AS (
+    SELECT vec_id, v, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cent_id ASC) AS cell_rank
+    FROM cell_scored),
+idx AS (
+    SELECT vec_id AS cand_id, v AS cv, cent_id AS cell
+    FROM ranked_cells WHERE cell_rank = 1),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, cent_id AS cell
+    FROM ranked_cells
+    WHERE vec_id < {N_QUERY_VECS} AND cell_rank <= {NPROBE}),
+scored AS (
+    SELECT p.query_id, i.cand_id,
+           list_dot_product(p.qv, i.cv)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(i.cv, i.cv))) AS cosine
+    FROM idx i JOIN probes p USING (cell)
+    WHERE i.cand_id <> p.query_id),
+ranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""

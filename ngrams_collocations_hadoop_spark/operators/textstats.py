@@ -215,3 +215,76 @@ SELECT doc_id,
        length(text) // 100 AS len_bucket
 FROM documents
 """
+
+
+# --- BM25 relevance scoring ----------------------------------------------
+
+# Fixed query-term set for the registry query (common fixture-vocabulary
+# terms with high document frequency, so every sf produces a dense,
+# discriminating score distribution).
+BM25_QUERY_TERMS = ("join", "filter", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(docs: DataFrame, query_terms=BM25_QUERY_TERMS,
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Okapi BM25 document scores for a fixed query-term set.
+
+    Scale shape: the term filter is applied BEFORE the tf aggregation
+    (only query-term postings ever shuffle); corpus stats (N, avgdl)
+    and per-term document frequencies are tiny aggregates broadcast
+    back onto the postings — no driver-side collect. idf uses the
+    BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)), always positive.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (toks.filter(F.col("term").isin(*query_terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(dl, on="doc_id")
+              .join(F.broadcast(df_t), on="term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    term_score = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return (scored.withColumn("term_score", term_score)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), 6).alias("bm25"),
+                 F.count(F.lit(1)).alias("n_terms_matched")))
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents),
+dl AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE term IN {tuple(BM25_QUERY_TERMS)}
+    GROUP BY doc_id, term),
+df_t AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({BM25_K1} + 1)) /
+                 (tf + {BM25_K1} * (1 - {BM25_B}
+                                    + {BM25_B} * dl / avgdl))), 6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM tf JOIN dl USING (doc_id) JOIN df_t USING (term) CROSS JOIN stats
+GROUP BY doc_id
+"""

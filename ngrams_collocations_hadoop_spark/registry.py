@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracle
-from .operators import asof, dedup, multimodal, similarity, textstats
+from .operators import asof, dedup, interval, multimodal, similarity, textstats
 from .operators import collocations as co
 from .operators import relational as rel
 from .operators import merge as mg
@@ -54,6 +54,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_sliding_window": rel.q_sliding_window,
     "rel_sessionize": rel.q_sessionize,
     "rel_asof_join": asof.q_asof_events_orders,
+    "rel_range_join": interval.q_range_join,
+    "rel_hypertable_rollup": interval.q_hypertable_rollup,
     "rel_date_math": rel.q_date_math,
     "rel_string_funcs": rel.q_string_funcs,
     "rel_merge_upsert": mg.q_merge_upsert,
@@ -66,8 +68,11 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,       # no oracle (LSH)
     "dedup_simhash": dedup.q_dedup_simhash,               # no oracle (hash)
     "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
+    "dedup_components": dedup.q_dedup_components,
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
+    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
+    "text_bm25": textstats.q_bm25,
     "text_token_count": textstats.q_token_count,
     "text_quality": textstats.q_text_quality,
     "text_lang_id": textstats.q_lang_id,
@@ -109,6 +114,8 @@ ORACLES: dict[str, str] = {
     "rel_sliding_window": rel.ORACLE_SLIDING_WINDOW,
     "rel_sessionize": rel.ORACLE_SESSIONIZE,
     "rel_asof_join": asof.ORACLE_ASOF_EVENTS_ORDERS,
+    "rel_range_join": interval.ORACLE_RANGE_JOIN,
+    "rel_hypertable_rollup": interval.ORACLE_HYPERTABLE_ROLLUP,
     "rel_date_math": rel.ORACLE_DATE_MATH,
     "rel_string_funcs": rel.ORACLE_STRING_FUNCS,
     "rel_merge_upsert": mg.ORACLE_MERGE_UPSERT,
@@ -118,7 +125,10 @@ ORACLES: dict[str, str] = {
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": dedup.ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_components": dedup.ORACLE_DEDUP_COMPONENTS,
     "sim_cosine_topk": similarity.ORACLE_COSINE_TOPK,
+    "sim_cosine_topk_ivf": similarity.ORACLE_COSINE_TOPK_IVF,
+    "text_bm25": textstats.ORACLE_BM25,
     "text_token_count": textstats.ORACLE_TOKEN_COUNT,
     "text_quality": textstats.ORACLE_TEXT_QUALITY,
     "text_lang_id": textstats.ORACLE_LANG_ID,

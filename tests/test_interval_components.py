@@ -1,0 +1,113 @@
+"""Crafted-input semantics for the interval/rollup operators, the
+connected-components clustering, and BM25 scoring (the sf0.001
+differential sweep in test_registry.py covers oracle parity; these pin
+boundary behavior oracle hashes can't localize)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ngrams_collocations_hadoop_spark.operators.dedup import (
+    connected_components,
+)
+from ngrams_collocations_hadoop_spark.operators.interval import (
+    hypertable_rollup, range_join_follow_counts,
+)
+from ngrams_collocations_hadoop_spark.operators.textstats import bm25_scores
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"])
+
+
+def test_range_join_window_boundaries(spark):
+    t0 = _ts("2024-01-01T12:00:00")
+    events = _events(spark, [
+        (1, 7, "click", t0, 1.0),
+        # strictly-after lower bound: same-instant purchase NOT counted
+        (2, 7, "purchase", t0, 1.0),
+        # inside the window
+        (3, 7, "purchase", t0 + dt.timedelta(seconds=1), 1.0),
+        # inclusive upper bound: exactly ts+600s IS counted
+        (4, 7, "purchase", t0 + dt.timedelta(seconds=600), 1.0),
+        # just outside
+        (5, 7, "purchase", t0 + dt.timedelta(seconds=601), 1.0),
+        # other user inside window: not counted
+        (6, 8, "purchase", t0 + dt.timedelta(seconds=2), 1.0),
+        # zero-match lead must still appear
+        (7, 9, "click", t0, 1.0),
+    ])
+    got = {r["event_id"]: r["n_follow"]
+           for r in range_join_follow_counts(events).collect()}
+    assert got == {1: 2, 7: 0}
+
+
+def test_range_join_matches_naive_form(spark, sf_small="/root/testdata/sf0.001"):
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    events = load_table(spark, sf_small, "events")
+    bucketed = range_join_follow_counts(events)
+    a = (events.filter(F.col("event_type") == "click")
+         .select("event_id", "user_id", F.col("ts").alias("ts_a")))
+    b = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("user_b"), F.col("ts").alias("ts_b")))
+    naive = (a.join(b, on=(F.col("user_id") == F.col("user_b"))
+                    & (F.col("ts_b") > F.col("ts_a"))
+                    & (F.col("ts_b") <= F.col("ts_a")
+                       + F.expr("INTERVAL 600 SECOND")), how="left")
+             .groupBy("event_id", "user_id")
+             .agg(F.count("ts_b").alias("n_follow")))
+    assert sorted(map(tuple, bucketed.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+
+def test_hypertable_rollup_strata_are_consistent(spark):
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = hypertable_rollup(events).toPandas()
+    total = out[out.resolution == "all"]
+    per_day = (out[out.resolution == "day"]
+               .groupby("event_type").n_events.sum())
+    per_hour = (out[out.resolution == "hour"]
+                .groupby("event_type").n_events.sum())
+    for _, row in total.iterrows():
+        assert per_day[row.event_type] == row.n_events
+        assert per_hour[row.event_type] == row.n_events
+    assert (total.bucket_ts == "").all()
+
+
+def test_connected_components_crafted_graph(spark):
+    # chain 1-2-3, pair 10-11, and 2-3 duplicated edge direction
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2), (10, 11)], ["src", "dst"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst-case diameter for label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["src", "dst"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_bm25_prefers_matching_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "join join join filter pad pad pad pad"),
+         (2, "join pad pad pad pad pad pad pad"),
+         (3, "pad pad pad pad pad pad pad pad")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["bm25"], r["n_terms_matched"])
+           for r in bm25_scores(docs).collect()}
+    assert 3 not in out                      # no query term -> no row
+    assert out[1][1] == 2 and out[2][1] == 1
+    assert out[1][0] > out[2][0] > 0

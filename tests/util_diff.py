@@ -33,6 +33,11 @@ def canon(df: pd.DataFrame, float_round: int = 6) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(float_round)
+        elif df[c].dtype.kind == "M":
+            # Spark's toPandas gives datetime64[ns], DuckDB's df() gives
+            # datetime64[us]; assert_frame_equal treats the resolutions
+            # as different values when NaT is present.
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
