@@ -85,3 +85,52 @@ def test_whole_stage_codegen_everywhere(spark):
         plan = physical_plan(QUERIES[name](spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_ivf_centroid_join_is_broadcast(spark):
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        q_cosine_topk_ivf,
+    )
+    df = q_cosine_topk_ivf(spark, "/root/testdata/sf0.001")
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucket expansion must turn the range predicate into an
+    equi-join: a BroadcastNestedLoopJoin/CartesianProduct in this plan
+    means the technique regressed to quadratic."""
+    from ngrams_collocations_hadoop_spark.operators.interval import (
+        q_range_join,
+    )
+    df = q_range_join(spark, "/root/testdata/sf0.001")
+    from ngrams_collocations_hadoop_spark.plans.checks import (
+        assert_not_in_plan,
+    )
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_hypertable_rollup_is_single_expand_pass(spark):
+    """One Expand node = all three resolutions from one scan+shuffle
+    (the grouping-sets plan), not a union of per-resolution jobs."""
+    from ngrams_collocations_hadoop_spark.operators.interval import (
+        q_hypertable_rollup,
+    )
+    from ngrams_collocations_hadoop_spark.plans.checks import count_in_plan
+    df = q_hypertable_rollup(spark, "/root/testdata/sf0.001")
+    assert count_in_plan(df, "Expand") == 1
+    assert count_in_plan(df, "FileScan parquet") == 1
+
+
+def test_bm25_term_filter_before_aggregation(spark):
+    """The query-term filter must sit below the tf aggregation, so only
+    query-term postings shuffle."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import q_bm25
+    from ngrams_collocations_hadoop_spark.plans.checks import physical_plan
+    df = q_bm25(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    filter_pos = plan.find("IN (join,filter,scan)")
+    agg_pos = plan.find("tf#")
+    assert filter_pos != -1, plan[:500]
+    assert agg_pos != -1 and agg_pos < filter_pos, (
+        "term filter should appear below (after, in plan text) the tf "
+        "aggregation")
