@@ -587,3 +587,27 @@ SELECT user_id, session_seq, count(*) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM sess GROUP BY user_id, session_seq
 """
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates per event_type: HyperLogLog++
+    distinct users (approx_count_distinct, rsd 1%) and t-digest-style
+    value quantiles (approx_percentile, accuracy 10000), alongside their
+    exact counterparts.
+
+    At 100 TB these are the only viable forms — exact count-distinct
+    shuffles every key and exact percentiles sort every value, while
+    both sketches are fixed-size, mergeable map-side state (one narrow
+    partial-agg shuffle, same shape as a sum). Approximate outputs have
+    no cross-engine oracle → rows-only driver check; accuracy is pinned
+    against the exact columns in tests/test_interval_components.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01)
+        .alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
+        .alias("approx_p50_p99"),
+        F.expr("percentile(value, array(0.5, 0.99))").alias("exact_p50_p99"),
+    )

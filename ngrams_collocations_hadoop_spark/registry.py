@@ -60,6 +60,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_string_funcs": rel.q_string_funcs,
     "rel_merge_upsert": mg.q_merge_upsert,
     "rel_scalar_subquery": rel.q_scalar_subquery,
+    "rel_approx_sketches": rel.q_approx_sketches,  # no oracle (sketches)
     "text_token_positions": textstats.q_token_positions,
     # --- training-data-pipeline extensions (BASELINE.json north star) ---
     "dedup_exact": dedup.q_dedup_exact,
@@ -83,6 +84,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_tumbling": sw.q_stream_tumbling,
     "stream_session": sw.q_stream_session,
     "stream_stateful_totals": sw.q_stream_stateful_totals,
+    "stream_dedup": sw.q_stream_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -136,6 +138,7 @@ ORACLES: dict[str, str] = {
     "text_train_test_split": textstats.ORACLE_TRAIN_TEST_SPLIT,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
     "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,
+    "stream_dedup": sw.ORACLE_STREAM_DEDUP,
     "stream_session": sw.ORACLE_STREAM_SESSION,
     "stream_stateful_totals": sw.ORACLE_STREAM_STATEFUL,
 }

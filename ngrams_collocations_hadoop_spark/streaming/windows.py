@@ -186,3 +186,56 @@ ORACLE_STREAM_STATEFUL = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """
+
+
+# --- streaming deduplication --------------------------------------------
+
+def _dup_stream_dir(sf_dir: str) -> str:
+    """A stream directory where every event arrives TWICE (two links to
+    the same fixture file) — the at-least-once-delivery shape streaming
+    dedup exists for."""
+    import os
+
+    d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events_dup"
+    os.makedirs(d, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = f"{d}/{name}"
+        if not os.path.islink(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def dedup_stream(stream: DataFrame) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: drop
+    duplicate event_ids, then count per type (complete mode).
+
+    State note: plain dropDuplicates keeps all seen ids — right for
+    the run-to-completion harness and deterministic at any arrival
+    order. A production continuous pipeline bounds the id state with
+    ``withWatermark(...).dropDuplicatesWithinWatermark('event_id')``,
+    which is exact only when a duplicate can't arrive later than the
+    watermark delay; the fixture's event times span 30 days, so the
+    bounded variant would be arrival-order-dependent here."""
+    return (stream.dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup over a doubled input: every event is delivered
+    twice; the output must equal single-delivery batch counts — a
+    self-checking oracle (any dedup failure doubles n)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(_dup_stream_dir(sf_dir))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    return _run_to_completion(
+        dedup_stream(stream), "stream_dedup_out", "complete")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""

@@ -111,3 +111,34 @@ def test_bm25_prefers_matching_docs(spark):
     assert 3 not in out                      # no query term -> no row
     assert out[1][1] == 2 and out[2][1] == 1
     assert out[1][0] > out[2][0] > 0
+
+
+def test_approx_sketches_accuracy(spark):
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_approx_sketches,
+    )
+    rows = q_approx_sketches(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) \
+            <= max(2, 0.05 * r["exact_users"])
+        for approx, exact in zip(r["approx_p50_p99"], r["exact_p50_p99"]):
+            assert abs(approx - exact) <= 0.05 * max(1.0, abs(exact))
+
+
+def test_stream_dedup_state_spans_micro_batches(spark):
+    """With maxFilesPerTrigger=1 the duplicate copy of every event
+    arrives in a LATER micro-batch; equality with single-delivery batch
+    counts proves the dedup state persists across batches."""
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        q_stream_dedup,
+    )
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r["n"]
+           for r in q_stream_dedup(spark, sf).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load_table(spark, sf, "events")
+             .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert got == exact
