@@ -94,3 +94,83 @@ SELECT source, count(*) AS n_docs,
                 THEN ord(text[1]) ELSE -1 END) AS BIGINT) AS min_header
 FROM documents GROUP BY source
 """
+
+
+# --- frame sampling (1 -> N row explosion through mapInPandas) ----------
+
+FRAME_SIZE = 64     # bytes per "frame" of the opaque payload
+FRAME_STEP = 4      # keep every 4th frame (uniform temporal sampling)
+
+FRAME_SCHEMA = ("doc_id long, frame_idx long, offset long, "
+                "frame_bytes long, first_byte long, last_byte long")
+
+
+def sample_frames(df: DataFrame,
+                  frame_size: int = FRAME_SIZE,
+                  step: int = FRAME_STEP) -> DataFrame:
+    """Frame-sample an opaque media payload: treat the binary column as
+    a sequence of fixed-size frames, keep every ``step``-th frame, and
+    emit one row per sampled frame with codec-free per-frame features.
+
+    This is the video/audio frame-sampling *plumbing* — the 1→N
+    mapInPandas shape (one input row yields many output rows inside an
+    Arrow batch), the deterministic sampling policy, and the typed
+    per-frame schema. A real decoder replaces the byte-slicing with
+    codec output; everything Spark-side stays identical. No shuffle:
+    the explosion is a narrow map, and frames inherit the input's
+    partitioning."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "offset",
+                                   "frame_bytes", "first_byte",
+                                   "last_byte")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, step):
+                    off = idx * frame_size
+                    frame = data[off:off + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["frame_bytes"].append(len(frame))
+                    out["first_byte"].append(frame[0])
+                    out["last_byte"].append(frame[-1])
+            yield pd.DataFrame(out)
+
+    return (df.select("doc_id", "payload")
+            .mapInPandas(run, schema=FRAME_SCHEMA))
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs)
+
+
+# The fixture payload is the utf-8 text bytes (ASCII), so per-frame
+# byte features equal character codes over text substrings SQL-side.
+ORACLE_MM_FRAME_SAMPLE = f"""
+WITH d AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n
+    FROM documents),
+s AS (
+    SELECT doc_id, text, n,
+           unnest(range(0, ((n + {FRAME_SIZE} - 1) // {FRAME_SIZE}
+                            + {FRAME_STEP} - 1) // {FRAME_STEP}))
+               AS samp
+    FROM d)
+SELECT doc_id,
+       samp * {FRAME_STEP} AS frame_idx,
+       samp * {FRAME_STEP} * {FRAME_SIZE} AS offset,
+       least({FRAME_SIZE}, n - samp * {FRAME_STEP} * {FRAME_SIZE})
+           AS frame_bytes,
+       ord(substr(text, samp * {FRAME_STEP} * {FRAME_SIZE} + 1, 1))
+           AS first_byte,
+       ord(substr(text,
+                  samp * {FRAME_STEP} * {FRAME_SIZE}
+                  + least({FRAME_SIZE},
+                          n - samp * {FRAME_STEP} * {FRAME_SIZE}), 1))
+           AS last_byte
+FROM s
+"""

@@ -80,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_fingerprint": textstats.q_fingerprint,
     "text_train_test_split": textstats.q_train_test_split,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
+    "mm_frame_sample": multimodal.q_mm_frame_sample,
     # --- Structured Streaming (run to completion via AvailableNow) ---
     "stream_tumbling": sw.q_stream_tumbling,
     "stream_session": sw.q_stream_session,
@@ -137,6 +138,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": textstats.ORACLE_FINGERPRINT,
     "text_train_test_split": textstats.ORACLE_TRAIN_TEST_SPLIT,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
+    "mm_frame_sample": multimodal.ORACLE_MM_FRAME_SAMPLE,
     "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,
     "stream_dedup": sw.ORACLE_STREAM_DEDUP,
     "stream_session": sw.ORACLE_STREAM_SESSION,

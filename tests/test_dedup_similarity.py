@@ -114,3 +114,20 @@ def test_fake_decoder_injection(spark):
 
     r = extract_metadata(docs, decoder=fake_image_decoder).collect()[0]
     assert (r["n_bytes"], r["header_byte"], r["mime"]) == (4, 4, "image/fake")
+
+
+def test_frame_sampling_boundaries(spark):
+    """300-byte payload, 64-byte frames: frames 0..4 (last is 44 bytes),
+    every-4th sampling keeps idx 0 and 4."""
+    from pyspark.sql import functions as F
+    from ngrams_collocations_hadoop_spark.operators.multimodal import (
+        sample_frames,
+    )
+    docs = (spark.range(1).select(
+        F.lit(7).alias("doc_id"),
+        F.lit("a" * 299 + "z").alias("text"))
+        .withColumn("payload", F.encode("text", "utf-8")))
+    rows = sorted(map(tuple, sample_frames(docs).collect()))
+    #            doc frame off bytes first last
+    assert rows == [(7, 0, 0, 64, ord("a"), ord("a")),
+                    (7, 4, 256, 44, ord("a"), ord("z"))]
