@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import _ensure_session_confs
+
 SESSION_GAP_SECONDS = 1800
 
 
@@ -40,7 +42,11 @@ def _stream_dir(sf_dir: str) -> str:
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema from a batch peek;
-    ns→µs conversion identical to the batch loader)."""
+    ns→µs conversion identical to the batch loader). Session confs are
+    set defensively — the driver harness runs these under its own bare
+    SparkSession, where the nanos-timestamp parquet would otherwise
+    fail to read."""
+    _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -226,6 +232,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup over a doubled input: every event is delivered
     twice; the output must equal single-delivery batch counts — a
     self-checking oracle (any dedup failure doubles n)."""
+    _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1")
