@@ -285,6 +285,30 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
 """
 
 
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order sort WITHOUT a limit — the "write sorted
+    output" path (range-partitioned shuffle + per-partition sort, NOT a
+    single-reducer sort). Catalyst samples the sort key to build range
+    bounds, so each of the N output partitions holds a contiguous,
+    internally-sorted key range: at 100 TB this is the only sort shape
+    that works, and it doubles as the writer path for sorted/clustered
+    output files (min-max pruning on the sort key for downstream scans).
+    Plan-asserted: Exchange rangepartitioning, no TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_quantity") >= 45)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice")
+            .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"),
+                     F.asc("l_linenumber")))
+
+
+ORACLE_GLOBAL_SORT = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity >= 45
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+"""
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregates + lag per user over event time."""
     e = _t(spark, sf_dir, "events")

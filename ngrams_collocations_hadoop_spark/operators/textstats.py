@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import LANGS, STOPWORDS, _LANG_EXTRA
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 # Language-marker words (one distinctive word per language, from the
 # shared constants) drive the heuristic language-ID score.
@@ -214,6 +214,138 @@ SELECT doc_id,
            string_split(text, ' '))), ' ')) AS fingerprint,
        length(text) // 100 AS len_bucket
 FROM documents
+"""
+
+
+# --- PII redaction --------------------------------------------------------
+
+# Regexes restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): char classes, bounded repetition, \b \d.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (training-data compliance staple).
+
+    The synthetic corpus contains no PII, so the query deterministically
+    plants an email and a phone number derived from ``doc_id`` before
+    scanning — both engines see the same input, and the redaction
+    regexes are exercised on real matches rather than vacuously.
+    Pure ``regexp_replace``/``regexp_extract_all`` column expressions:
+    map-side only, no shuffle, whole-stage codegen at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    red = F.regexp_replace(
+        F.regexp_replace(synth, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PII_PHONE_RE), F.lit("<PHONE>"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(PII_PHONE_RE), F.lit(0)))
+        .alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+ORACLE_PII_REDACT = rf"""
+WITH s AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+    FROM documents),
+r AS (
+    SELECT doc_id, synth,
+           regexp_replace(regexp_replace(synth,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g') AS red
+    FROM s)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(synth, '{PII_EMAIL_RE}')) AS INT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(synth, '{PII_PHONE_RE}')) AS INT)
+           AS n_phones,
+       md5(red) AS redacted_md5,
+       CAST(length(red) AS BIGINT) AS redacted_len
+FROM r
+"""
+
+
+# --- repetition-based quality filtering (Gopher-style) ---------------------
+
+# Thresholds sit inside the fixture corpus's observed ranges
+# (top-token fraction 0.05-0.25, top-bigram fraction 0.01-0.14) so the
+# flag genuinely partitions the data at every sf.
+REP_TOP_TOKEN_MAX = 0.12
+REP_TOP_BIGRAM_MAX = 0.05
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter in the style of the Gopher rules
+    (Rae et al. 2021, "Scaling Language Models", Table A1): flag
+    documents dominated by their most frequent token or bigram.
+
+    Scale shape: token/bigram generation is map-side array work; the
+    two count aggregations carry partially-aggregated (doc_id, gram)
+    pairs — bounded per document by its vocabulary, not its length.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents")) \
+        .withColumn("ts", F.split("text", " "))
+    toks = docs.select("doc_id", F.explode("ts").alias("tok"))
+    tok_stat = (toks.groupBy("doc_id", "tok")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("doc_id")
+                .agg(F.max("c").alias("max_tok_c"),
+                     F.sum("c").alias("n_tok")))
+    # sequence() guard: sequence(0, -1) yields a DESCENDING ramp, not
+    # an empty array — single-token docs must short-circuit to [].
+    bigrams = F.when(
+        F.size("ts") >= 2,
+        F.expr("transform(sequence(0, size(ts) - 2),"
+               " i -> concat(ts[i], ' ', ts[i + 1]))")
+    ).otherwise(F.array().cast("array<string>"))
+    big_stat = (docs.select("doc_id", F.explode(bigrams).alias("big"))
+                .groupBy("doc_id", "big")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("doc_id")
+                .agg(F.max("c").alias("max_big_c"),
+                     F.sum("c").alias("n_big")))
+    ttf = F.round(F.col("max_tok_c").cast("double") / F.col("n_tok"), 6)
+    tbf = F.round(F.col("max_big_c").cast("double") / F.col("n_big"), 6)
+    return (tok_stat.join(big_stat, "doc_id")
+            .select("doc_id",
+                    ttf.alias("top_token_frac"),
+                    tbf.alias("top_bigram_frac"),
+                    ((ttf > REP_TOP_TOKEN_MAX)
+                     | (tbf > REP_TOP_BIGRAM_MAX))
+                    .cast("int").alias("repetitive")))
+
+
+ORACLE_REPETITION = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+tstat AS (SELECT doc_id, max(c) AS max_tok_c, CAST(sum(c) AS BIGINT) AS n_tok
+          FROM tc GROUP BY 1),
+big AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS big
+        FROM d, UNNEST(range(1, len(ts))) AS u(i)),
+bc AS (SELECT doc_id, big, count(*) AS c FROM big GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(c) AS max_big_c, CAST(sum(c) AS BIGINT) AS n_big
+          FROM bc GROUP BY 1)
+SELECT doc_id,
+       round(max_tok_c::DOUBLE / n_tok, 6) AS top_token_frac,
+       round(max_big_c::DOUBLE / n_big, 6) AS top_bigram_frac,
+       CAST(round(max_tok_c::DOUBLE / n_tok, 6) > {REP_TOP_TOKEN_MAX}
+            OR round(max_big_c::DOUBLE / n_big, 6) > {REP_TOP_BIGRAM_MAX}
+            AS INT) AS repetitive
+FROM tstat JOIN bstat USING (doc_id)
 """
 
 

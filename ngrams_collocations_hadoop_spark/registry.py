@@ -60,6 +60,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_string_funcs": rel.q_string_funcs,
     "rel_merge_upsert": mg.q_merge_upsert,
     "rel_scalar_subquery": rel.q_scalar_subquery,
+    "rel_global_sort": rel.q_global_sort,
     "rel_approx_sketches": rel.q_approx_sketches,  # no oracle (sketches)
     "text_token_positions": textstats.q_token_positions,
     # --- training-data-pipeline extensions (BASELINE.json north star) ---
@@ -79,6 +80,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_lang_id": textstats.q_lang_id,
     "text_fingerprint": textstats.q_fingerprint,
     "text_train_test_split": textstats.q_train_test_split,
+    "text_pii_redact": textstats.q_pii_redact,
+    "text_repetition": textstats.q_repetition,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
     "mm_frame_sample": multimodal.q_mm_frame_sample,
     # --- Structured Streaming (run to completion via AvailableNow) ---
@@ -123,6 +126,7 @@ ORACLES: dict[str, str] = {
     "rel_string_funcs": rel.ORACLE_STRING_FUNCS,
     "rel_merge_upsert": mg.ORACLE_MERGE_UPSERT,
     "rel_scalar_subquery": rel.ORACLE_SCALAR_SUBQUERY,
+    "rel_global_sort": rel.ORACLE_GLOBAL_SORT,
     "text_token_positions": textstats.ORACLE_TOKEN_POSITIONS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
@@ -137,6 +141,8 @@ ORACLES: dict[str, str] = {
     "text_lang_id": textstats.ORACLE_LANG_ID,
     "text_fingerprint": textstats.ORACLE_FINGERPRINT,
     "text_train_test_split": textstats.ORACLE_TRAIN_TEST_SPLIT,
+    "text_pii_redact": textstats.ORACLE_PII_REDACT,
+    "text_repetition": textstats.ORACLE_REPETITION,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
     "mm_frame_sample": multimodal.ORACLE_MM_FRAME_SAMPLE,
     "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,

@@ -95,6 +95,31 @@ def read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).option("sep", "\t").csv(path)
 
 
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink — the interchange format most web-scale text corpora
+    (Common Crawl derivatives, chat logs) arrive in."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType = DOCUMENTS_SCHEMA) -> DataFrame:
+    """JSONL source with an EXPLICIT schema — schema inference would
+    scan the corpus twice, which at 100 TB doubles the most expensive
+    stage. Malformed lines drop silently (PERMISSIVE + corrupt-record
+    filter disabled by dropping the column), matching the engine's TSV
+    silent-drop semantics."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_multi_sink(df: DataFrame, sinks: dict[str, tuple]) -> None:
     """S6: MultipleOutputs equivalent — fan a single (cached) subplan
     into several sinks. ``sinks`` maps path → (transform_fn, format).

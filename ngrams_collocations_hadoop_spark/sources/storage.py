@@ -44,3 +44,26 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_files(spark: SparkSession, in_path: str, out_path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Streaming sinks and fine-grained
+    partitioned writes accumulate thousands of tiny files; at 100 TB
+    the resulting task-per-file scheduling and footer-read overhead
+    dominate scan time. Sizing from actual on-disk bytes (via the
+    Hadoop FileSystem API, so it works on any supported scheme, not
+    just file:) keeps output files near the row-group sweet spot.
+    Returns the number of output files written."""
+    df = spark.read.parquet(in_path)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, -(-int(total) // target_file_bytes))
+    # coalesce, not repartition: pure file-merge needs no shuffle (and
+    # must not destroy any existing clustering within the data).
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

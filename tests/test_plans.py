@@ -134,3 +134,16 @@ def test_bm25_term_filter_before_aggregation(spark):
     assert agg_pos != -1 and agg_pos < filter_pos, (
         "term filter should appear below (after, in plan text) the tf "
         "aggregation")
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """Unbounded ORDER BY must plan as a range-partitioned parallel
+    sort (each partition a contiguous key range), NEVER a bounded
+    TakeOrdered or a single-partition sort, and the quantity filter
+    must reach the parquet scan."""
+    df = rel.q_global_sort(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "PushedFilters: [IsNotNull(l_quantity), " \
+           "GreaterThanOrEqual(l_quantity,45.0)]" in plan

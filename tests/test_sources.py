@@ -88,3 +88,43 @@ def test_tsv_roundtrip_and_multi_sink(spark):
     write_tsv(back, f"{d}/rt")
     again = read_tsv(spark, f"{d}/rt", schema)
     assert again.count() == 2
+
+
+def test_jsonl_roundtrip_and_silent_drop(spark):
+    from ngrams_collocations_hadoop_spark.sources.formats import (
+        read_jsonl, write_jsonl)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="jsonl_")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    write_jsonl(docs, f"{d}/docs")
+    back = read_jsonl(spark, f"{d}/docs")
+    assert back.schema == docs.schema
+    assert (sorted(r["doc_id"] for r in back.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in docs.select("doc_id").collect()))
+
+    # malformed line → silently dropped (all-null row filtered by Spark's
+    # PERMISSIVE mode only when the whole line is unparseable JSON)
+    with open(f"{d}/docs/zz_corrupt.json", "w") as f:
+        f.write('{"doc_id": 999999, "text": "ok extra"}\n')
+        f.write("not json at all\n")
+    back2 = read_jsonl(spark, f"{d}/docs")
+    good = back2.filter(F.col("doc_id").isNotNull())
+    assert good.count() == docs.count() + 1
+
+
+def test_compact_files(spark):
+    import glob
+
+    from ngrams_collocations_hadoop_spark.sources.storage import compact_files
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="compact_")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.repartition(40).write.parquet(f"{d}/shredded")
+    assert len(glob.glob(f"{d}/shredded/part-*.parquet")) == 40
+
+    n_out = compact_files(spark, f"{d}/shredded", f"{d}/compacted")
+    assert n_out == 1  # tiny corpus fits one target-size file
+    assert len(glob.glob(f"{d}/compacted/part-*.parquet")) == 1
+    assert (spark.read.parquet(f"{d}/compacted").count() == docs.count())

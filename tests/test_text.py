@@ -71,3 +71,28 @@ def test_decade(spark):
     df = spark.createDataFrame([(y,) for y in [1999, 2000, 2001, 2009, 2010, 2029, 1900]], ["y"])
     got = [r["d"] for r in df.select(decade(F.col("y")).alias("d")).orderBy("y").collect()]
     assert got == [1900, 1990, 2000, 2000, 2000, 2010, 2020]
+
+
+def test_repetition_single_token_doc_guard(spark):
+    """sequence(0, -1) yields a DESCENDING ramp, not [] — single-token
+    docs must short-circuit to zero bigrams (and hence drop from the
+    inner-join output), not error or fabricate bigrams."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_repetition)
+
+    # doc 3 needs > 20 DISTINCT tokens: with u unique tokens the trivial
+    # floors are top_token_frac = 1/u and top_bigram_frac = 1/(u-1), and
+    # both must fall under the flag thresholds (0.12 / 0.05).
+    long_uniq = " ".join(f"tok{i}" for i in range(21))
+    rows = [(1, "solo", "en", "s", 4), (2, "a b a b a b", "en", "s", 11),
+            (3, long_uniq, "en", "s", len(long_uniq))]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    import tempfile
+    d = tempfile.mkdtemp(prefix="rep_")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r.asDict() for r in q_repetition(spark, d).collect()}
+    assert 1 not in out            # no bigrams → inner join drops it
+    assert out[2]["repetitive"] == 1   # 'a b' dominates
+    assert out[2]["top_token_frac"] == 0.5
+    assert out[3]["repetitive"] == 0   # all grams unique
