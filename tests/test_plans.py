@@ -78,13 +78,26 @@ def test_scored_reuses_unigram_subtree(spark):
     assert "ReusedExchange" in plan
 
 
+# Queries allowed to contain Python evaluation nodes: the multimodal
+# ops are mapInPandas BY DESIGN (binary decode has no JVM expression
+# form). Streaming queries are excluded from the sweep because building
+# them executes the stream; their plans are pinned in test_streaming.py.
+_PYTHON_ALLOWED = {"mm_binary_stats", "mm_frame_sample"}
+
+
 def test_whole_stage_codegen_everywhere(spark):
-    """The LLR expression and token cleaning must stay inside
-    whole-stage codegen (no Python evaluation nodes in the plan)."""
-    for name in ["colloc_scored", "rel_pricing_summary", "text_quality"]:
-        plan = physical_plan(QUERIES[name](spark, SF_SMALL))
+    """Registry-wide guard: every batch query must stay JVM-side — no
+    row-at-a-time or Arrow Python evaluation nodes anywhere in any
+    plan. One Python node in a hot path is a 10-100x regression at
+    scale that results-only tests cannot see."""
+    for name, fn in sorted(QUERIES.items()):
+        if name in _PYTHON_ALLOWED or name.startswith("stream_"):
+            continue
+        plan = physical_plan(fn(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "MapInPandas" not in plan, name
 
 
 def test_ivf_centroid_join_is_broadcast(spark):
