@@ -205,3 +205,43 @@ ranked AS (
 SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding, then aggregate per-label centroids
+    of the unit vectors — the shared kernel of k-means iterations,
+    class prototypes, and embedding-drift monitoring.
+
+    Scale shape: normalization is a map-side array transform; the
+    centroid aggregation explodes to (label, pos, x) and partially
+    aggregates before the shuffle, so shuffle volume is bounded by
+    labels x dim, not by the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 F.col("embedding").cast("array<double>").alias("v"))
+    norm = F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+    unit = (v.withColumn("nrm", norm)
+            .select("label",
+                    F.expr("transform(v, x -> x / nrm)").alias("u")))
+    return (unit.select("label", F.posexplode("u").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.round(F.avg("x"), 6).alias("centroid"))
+            .withColumn("pos", F.col("pos").cast("long")))
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (
+    SELECT label,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+    FROM e),
+comp AS (
+    SELECT label, CAST(i - 1 AS BIGINT) AS pos, uv[i] AS x
+    FROM u, UNNEST(range(1, len(uv) + 1)) AS r(i))
+SELECT label, pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(x), 6) AS centroid
+FROM comp GROUP BY label, pos
+"""

@@ -420,3 +420,29 @@ SELECT doc_id,
 FROM tf JOIN dl USING (doc_id) JOIN df_t USING (term) CROSS JOIN stats
 GROUP BY doc_id
 """
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling report per (lang, source): the first query any
+    training-data pipeline runs against a new crawl — document counts,
+    token and char volumes, and length extremes. Pure partial-agg
+    groupBy: shuffle rows bounded by the (lang, source) cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return (docs.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(n_tok).alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+ORACLE_CORPUS_STATS = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""

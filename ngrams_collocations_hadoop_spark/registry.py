@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
+    "sim_label_centroids": similarity.q_label_centroids,
     "text_bm25": textstats.q_bm25,
     "text_token_count": textstats.q_token_count,
     "text_quality": textstats.q_text_quality,
@@ -82,6 +83,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_train_test_split": textstats.q_train_test_split,
     "text_pii_redact": textstats.q_pii_redact,
     "text_repetition": textstats.q_repetition,
+    "text_corpus_stats": textstats.q_corpus_stats,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
     "mm_frame_sample": multimodal.q_mm_frame_sample,
     # --- Structured Streaming (run to completion via AvailableNow) ---
@@ -135,6 +137,7 @@ ORACLES: dict[str, str] = {
     "dedup_components": dedup.ORACLE_DEDUP_COMPONENTS,
     "sim_cosine_topk": similarity.ORACLE_COSINE_TOPK,
     "sim_cosine_topk_ivf": similarity.ORACLE_COSINE_TOPK_IVF,
+    "sim_label_centroids": similarity.ORACLE_LABEL_CENTROIDS,
     "text_bm25": textstats.ORACLE_BM25,
     "text_token_count": textstats.ORACLE_TOKEN_COUNT,
     "text_quality": textstats.ORACLE_TEXT_QUALITY,
@@ -143,6 +146,7 @@ ORACLES: dict[str, str] = {
     "text_train_test_split": textstats.ORACLE_TRAIN_TEST_SPLIT,
     "text_pii_redact": textstats.ORACLE_PII_REDACT,
     "text_repetition": textstats.ORACLE_REPETITION,
+    "text_corpus_stats": textstats.ORACLE_CORPUS_STATS,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
     "mm_frame_sample": multimodal.ORACLE_MM_FRAME_SAMPLE,
     "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,
