@@ -65,8 +65,34 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "runs_per_query": 2,  # each timing is best-of-2 after warm-up
     }
+    prev = _latest_recorded_bench()
+    if prev:
+        out["prev_total"] = prev["value"]
+        out["delta_vs_prev"] = {
+            n: round(t - prev["queries"][n], 3)
+            for n, t in timings.items() if n in prev.get("queries", {})
+        }
     print(json.dumps(out))
+
+
+def _latest_recorded_bench() -> dict | None:
+    """Parsed result of the newest BENCH_r{N}.json the driver recorded,
+    so per-query regressions are attributable round-over-round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = glob.glob(f"{here}/BENCH_r*.json")
+    if not files:
+        return None
+    files.sort(key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    try:
+        with open(files[-1]) as f:
+            return json.load(f).get("parsed")
+    except (OSError, ValueError):
+        return None
 
 
 if __name__ == "__main__":

@@ -40,7 +40,10 @@ def clean_token(col: Column) -> Column:
     t = F.regexp_replace(t, _LEAD, "")
     t = F.regexp_replace(t, _TRAIL, "")
     full = F.lower(F.trim(t))
-    return F.when(col.rlike("^[a-z0-9]+$"), col).otherwise(full)
+    # NULL in → '' out, matching reference cleanToken (and the Python
+    # mirror clean_token_ref): the reference never returns null.
+    return F.coalesce(
+        F.when(col.rlike("^[a-z0-9]+$"), col).otherwise(full), F.lit(""))
 
 
 def clean_token_sql(expr: str) -> str:
@@ -53,7 +56,7 @@ def clean_token_sql(expr: str) -> str:
          f"THEN split_part({t}, '_', 1) ELSE {t} END)")
     t = f"regexp_replace({t}, '{_LEAD}', '')"
     t = f"regexp_replace({t}, '{_TRAIL}', '')"
-    return f"lower(trim({t}))"
+    return f"coalesce(lower(trim({t})), '')"
 
 
 def _is_alnum(ch: str) -> bool:

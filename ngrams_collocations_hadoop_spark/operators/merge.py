@@ -10,7 +10,7 @@ small), one union; no driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -61,14 +61,30 @@ def scd2_apply(current: DataFrame, changes: DataFrame, key: str,
     """Slowly-changing-dimension type 2: close out current rows whose
     tracked attributes changed (set valid_to = change ts) and append the
     new versions as open rows (valid_to NULL). ``current`` must carry
-    valid_from/valid_to columns; ``changes`` carries ``change_ts``."""
+    valid_from/valid_to columns; ``changes`` carries ``change_ts``.
+
+    Change detection is a per-column null-safe equality conjunction
+    (``eqNullSafe``), not a concatenated-string compare: concat_ws
+    skips NULLs, so a tracked attribute flipping between NULL and ''
+    (or a value shifting across a NULL column boundary) would compare
+    equal and the change would be silently dropped.
+
+    The contract is ONE change row per key per application; a feed with
+    multiple versions per key is collapsed to the latest ``change_ts``
+    (deterministic given unique (key, change_ts)) — otherwise each
+    change row would fan out the closed rows.
+    """
+    w_latest = Window.partitionBy(key).orderBy(F.col(change_ts).desc())
+    changes = (changes.withColumn("_rn", F.row_number().over(w_latest))
+               .filter(F.col("_rn") == 1).drop("_rn"))
     cur_open = current.filter(F.col("valid_to").isNull())
     joined = cur_open.alias("c").join(
         changes.alias("n"), on=key, how="inner")
-    changed_keys = joined.filter(
-        F.concat_ws("\x00", *[F.col(f"c.{t}") for t in tracked])
-        != F.concat_ws("\x00", *[F.col(f"n.{t}") for t in tracked])
-    ).select(F.col(key), F.col(f"n.{change_ts}").alias("_new_ts"))
+    same = F.lit(True)
+    for t in tracked:
+        same = same & F.col(f"c.{t}").eqNullSafe(F.col(f"n.{t}"))
+    changed_keys = joined.filter(~same).select(
+        F.col(key), F.col(f"n.{change_ts}").alias("_new_ts"))
 
     closed = (current.join(changed_keys, on=key, how="left")
               .withColumn(

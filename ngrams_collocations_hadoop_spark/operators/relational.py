@@ -625,13 +625,23 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle, same shape as a sum). Approximate outputs have
     no cross-engine oracle → rows-only driver check; accuracy is pinned
     against the exact columns in tests/test_interval_components.py.
+
+    Quantiles are projected as scalar columns (not array<double>):
+    driver/BI result canonicalizers hash row values, and nested arrays
+    are unhashable downstream.
     """
     e = load_table(spark, sf_dir, "events")
+    quants = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
+    exacts = F.expr("percentile(value, array(0.5, 0.99))")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01)
         .alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
-        .alias("approx_p50_p99"),
-        F.expr("percentile(value, array(0.5, 0.99))").alias("exact_p50_p99"),
+        quants.alias("_aq"), exacts.alias("_eq"),
+    ).select(
+        "event_type", "approx_users", "exact_users",
+        F.round(F.col("_aq")[0], 4).alias("approx_p50"),
+        F.round(F.col("_aq")[1], 4).alias("approx_p99"),
+        F.round(F.col("_eq")[0], 4).alias("exact_p50"),
+        F.round(F.col("_eq")[1], 4).alias("exact_p99"),
     )

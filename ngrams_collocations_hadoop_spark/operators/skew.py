@@ -11,7 +11,7 @@ small-side rows, bounding the largest shuffle partition at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -33,3 +33,37 @@ def salted_join(large: DataFrame, small: DataFrame, keys: list[str],
         .withColumn("_salt", F.col("_salt").cast("int")))
     out = large_salted.join(small_salted, on=keys + ["_salt"], how=how)
     return out.drop("_salt")
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry demonstration of the salted join under the canonical
+    hot-key shape: attach per-event_type statistics to every event row.
+    event_type has single-digit cardinality, so a plain shuffle join
+    would funnel each type's entire row set through one reducer — the
+    exact skew the reference's partitioner tuning worked around; salting
+    bounds the largest partition at |hot key| / n_salt. The result is
+    provably equal to the plain join (that equality IS the DuckDB
+    oracle), and `_salt` never escapes into the output schema."""
+    from ..sources.tables import load_table
+    e = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "value")
+    stats = (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("type_n"),
+                  F.round(F.sum("value"), 4).alias("type_sum")))
+    # force the shuffle-join path: broadcasting the tiny stats side
+    # would (correctly) make salting a no-op, which is not what this
+    # query exists to demonstrate.
+    out = salted_join(e, stats.hint("shuffle_hash"), ["event_type"],
+                      n_salt=16)
+    return out.select("event_id", "event_type", "value",
+                      "type_n", "type_sum")
+
+
+ORACLE_SALTED_JOIN = """
+WITH stats AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
+           round(sum(value), 4) AS type_sum
+    FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value, type_n, type_sum
+FROM events e JOIN stats USING (event_type)
+"""

@@ -18,6 +18,8 @@ from .operators import collocations as co
 from .operators import relational as rel
 from .operators import merge as mg
 from .operators import ngrams as ng
+from .operators import skew
+from .sources import storage
 from .streaming import windows as sw
 from . import sql_api
 
@@ -62,6 +64,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_scalar_subquery": rel.q_scalar_subquery,
     "rel_global_sort": rel.q_global_sort,
     "rel_approx_sketches": rel.q_approx_sketches,  # no oracle (sketches)
+    "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
+    "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
     "text_token_positions": textstats.q_token_positions,
     # --- training-data-pipeline extensions (BASELINE.json north star) ---
     "dedup_exact": dedup.q_dedup_exact,
@@ -71,6 +75,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup.q_dedup_simhash,               # no oracle (hash)
     "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
     "dedup_components": dedup.q_dedup_components,
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,  # no oracle (LSH edges)
+    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
+    "dedup_simhash_check": dedup.q_dedup_simhash_check,
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
@@ -135,6 +142,10 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": dedup.ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_components": dedup.ORACLE_DEDUP_COMPONENTS,
+    "dedup_lsh_recall": dedup.ORACLE_DEDUP_LSH_RECALL,
+    "dedup_simhash_check": dedup.ORACLE_DEDUP_SIMHASH_CHECK,
+    "rel_salted_join": skew.ORACLE_SALTED_JOIN,
+    "rel_bucketed_join": storage.ORACLE_BUCKETED_JOIN,
     "sim_cosine_topk": similarity.ORACLE_COSINE_TOPK,
     "sim_cosine_topk_ivf": similarity.ORACLE_COSINE_TOPK_IVF,
     "sim_label_centroids": similarity.ORACLE_LABEL_CENTROIDS,

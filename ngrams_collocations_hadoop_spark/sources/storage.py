@@ -46,6 +46,44 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry demonstration of the zero-exchange co-located join:
+    orders and customer are persisted bucketed+sorted on the customer
+    key, then merge-joined straight off the bucket files — no Exchange
+    and no Sort on either join side (plan-asserted in
+    tests/test_plans.py). This is the reference's hand-built
+    co-partitioning (Job1.java:85-94) moved into the storage layout,
+    which is how a 100 TB fact⋈fact join avoids re-shuffling both
+    sides on every run. The merge hint keeps the demo honest — without
+    it the tiny local customer side would be broadcast and the bucket
+    layout would never be exercised."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+    write_bucketed(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "ncs_b_orders", ["o_custkey"], 8)
+    write_bucketed(
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+        "ncs_b_customer", ["c_custkey"], 8)
+    j = read_table(spark, "ncs_b_orders").hint("merge").join(
+        read_table(spark, "ncs_b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("sum_price")))
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def compact_files(spark: SparkSession, in_path: str, out_path: str,
                   target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Small-file compaction: rewrite a parquet directory into

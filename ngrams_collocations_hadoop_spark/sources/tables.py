@@ -38,9 +38,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     explode, 64-way hashing). On a real cluster the input has thousands
     of splits and this is a no-op; locally it round-robins the (cheap,
     compressed) rows once before the expensive map work.
+
+    The split-count probe uses ``df.inputFiles()`` — pure catalog/file
+    metadata, no plan-to-RDD conversion (``df.rdd.getNumPartitions()``
+    would build and translate the whole physical plan just to read a
+    number). Scan partitions ≥ input files (large files split further),
+    so "many files" is a sufficient no-op condition; a non-file-backed
+    DataFrame (no inputFiles) conservatively fans out.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs < target:
         return df.repartition(target)
     return df
 

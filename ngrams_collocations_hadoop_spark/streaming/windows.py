@@ -32,11 +32,20 @@ def _stream_dir(sf_dir: str) -> str:
     a log directory or Kafka."""
     import os
 
+    # abspath first: a relative sf_dir would otherwise be resolved
+    # relative to the /tmp link dir (dangling symlink), and the dir
+    # name would alias distinct working-directory spellings.
+    sf_dir = os.path.abspath(sf_dir)
     d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events"
     link = f"{d}/events.parquet"
+    target = f"{sf_dir}/events.parquet"
+    os.makedirs(d, exist_ok=True)
+    # recreate a stale/dangling link (fixture moved or replaced)
+    if os.path.islink(link) and os.path.realpath(link) != \
+            os.path.realpath(target):
+        os.remove(link)
     if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(target, link)
     return d
 
 

@@ -131,3 +131,41 @@ def test_frame_sampling_boundaries(spark):
     #            doc frame off bytes first last
     assert rows == [(7, 0, 0, 64, ord("a"), ord("a")),
                     (7, 4, 256, 44, ord("a"), ord("z"))]
+
+
+def test_connected_components_chain_rounds_and_cap(spark):
+    """Min-label propagation needs `diameter` rounds (+1 to observe the
+    fixpoint) on a chain graph; the cap turns a non-converging loop
+    into a loud failure instead of an unbounded driver loop."""
+    import pytest
+
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        connected_components,
+    )
+    chain = spark.sql(
+        "SELECT col1 AS src, col2 AS dst FROM VALUES "
+        "(1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)")
+    out = connected_components(chain)
+    assert {r["component"] for r in out.collect()} == {1}
+    assert 4 <= connected_components.last_rounds <= 5
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_rounds=2)
+
+
+def test_components_lsh_consistent_with_edges(spark):
+    """Every LSH-verified pair must land in one cluster, and each
+    cluster id is the min doc_id of its members."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        q_dedup_components_lsh, q_dedup_minhash_lsh,
+    )
+    from .conftest import SF_SMALL
+    comp = {r["doc_id"]: r["component_id"]
+            for r in q_dedup_components_lsh(spark, SF_SMALL).collect()}
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in q_dedup_minhash_lsh(spark, SF_SMALL).collect()]
+    assert pairs and comp
+    assert all(comp[a] == comp[b] for a, b in pairs)
+    members = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    assert all(c == min(m) for c, m in members.items())

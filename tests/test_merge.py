@@ -59,3 +59,58 @@ def test_scd2_apply(spark):
     # unchanged k=2 stays open, history row untouched
     assert rows[(2, "blue")][1] is None
     assert rows[(1, "green")][1] == _ts("2024-01-01T00:00:00")
+
+
+def test_scd2_null_flip_detected(spark):
+    """A tracked attribute flipping NULL <-> '' must register as a
+    change: concat_ws-style comparison skips NULLs and would silently
+    drop it (the eqNullSafe conjunction does not)."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("attr", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+    ])
+    current = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01T00:00:00"), None),
+         (2, "", _ts("2024-01-01T00:00:00"), None)], schema)
+    changes = spark.createDataFrame(
+        [(1, "", _ts("2024-06-01T00:00:00")),      # NULL -> ''
+         (2, None, _ts("2024-06-01T00:00:00"))],   # ''   -> NULL
+        schema=T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("changed_at", T.TimestampType()),
+        ]))
+    out = scd2_apply(current, changes, key="k", tracked=["attr"],
+                     change_ts="changed_at")
+    rows = {(r["k"], r["attr"], r["valid_to"] is None)
+            for r in out.collect()}
+    assert len(rows) == 4                      # both closed + both new
+    assert (1, None, False) in rows and (1, "", True) in rows
+    assert (2, "", False) in rows and (2, None, True) in rows
+
+
+def test_scd2_multiple_changes_latest_wins(spark):
+    """Two change rows for one key collapse to the latest change_ts —
+    no fan-out of the closed row."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("attr", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+    ])
+    current = spark.createDataFrame(
+        [(1, "red", _ts("2024-01-01T00:00:00"), None)], schema)
+    changes = spark.createDataFrame(
+        [(1, "green", _ts("2024-03-01T00:00:00")),
+         (1, "purple", _ts("2024-06-01T00:00:00"))],
+        ["k", "attr", "changed_at"])
+    out = scd2_apply(current, changes, key="k", tracked=["attr"],
+                     change_ts="changed_at").collect()
+    assert len(out) == 2
+    rows = {(r["k"], r["attr"]): (r["valid_from"], r["valid_to"])
+            for r in out}
+    assert rows[(1, "red")] == (_ts("2024-01-01T00:00:00"),
+                                _ts("2024-06-01T00:00:00"))
+    assert rows[(1, "purple")] == (_ts("2024-06-01T00:00:00"), None)

@@ -160,3 +160,29 @@ def test_global_sort_is_range_partitioned(spark):
     assert "TakeOrderedAndProject" not in plan
     assert "PushedFilters: [IsNotNull(l_quantity), " \
            "GreaterThanOrEqual(l_quantity,45.0)]" in plan
+
+
+def test_salted_join_shape(spark):
+    """The salt must not escape the output, and the join must take the
+    shuffle path (a broadcast would make the salting demo vacuous)."""
+    from ngrams_collocations_hadoop_spark.operators.skew import (
+        q_salted_join,
+    )
+    df = q_salted_join(spark, SF_SMALL)
+    assert "_salt" not in df.columns
+    plan = physical_plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_bucketed_join_query_single_exchange(spark):
+    """The bucketed fact⋈dim join must read co-located buckets with no
+    exchange on either join side — the only Exchange in the whole plan
+    is the final aggregation's."""
+    from ngrams_collocations_hadoop_spark.sources.storage import (
+        q_bucketed_join,
+    )
+    df = q_bucketed_join(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

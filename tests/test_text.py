@@ -96,3 +96,14 @@ def test_repetition_single_token_doc_guard(spark):
     assert out[2]["repetitive"] == 1   # 'a b' dominates
     assert out[2]["top_token_frac"] == 0.5
     assert out[3]["repetitive"] == 0   # all grams unique
+
+
+def test_clean_token_null_returns_empty(spark):
+    """clean_token(NULL) must be '' (reference cleanToken never returns
+    null), matching the Python mirror clean_token_ref."""
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.functions.text import clean_token
+    row = spark.sql("SELECT CAST(NULL AS STRING) AS t") \
+        .select(clean_token(F.col("t")).alias("c")).collect()[0]
+    assert row["c"] == ""
