@@ -245,3 +245,101 @@ SELECT label, pos,
        round(avg(x), 6) AS centroid
 FROM comp GROUP BY label, pos
 """
+
+
+# --- int8 scalar quantization ANN ----------------------------------------
+
+# Symmetric int8 scalar quantization: q[d] = clamp(round(x*127), ±127).
+# The fixture embeddings satisfy |x| < 1; real corpora fit a per-model
+# scale the same way. All dot products over quantized vectors are exact
+# integer arithmetic (|q·q| ≤ 127²·64 < 2^20, exactly representable in
+# double regardless of accumulation order) — which is what makes this
+# approximate-ANN path FULLY oracle-checkable, unlike hash-based LSH.
+QUANT_SCALE = 127
+
+
+def quantize_expr(emb_col: str) -> F.Column:
+    return F.expr(
+        f"transform({emb_col}, x -> CAST(least({QUANT_SCALE}D, "
+        f"greatest(-{QUANT_SCALE}D, round(CAST(x AS DOUBLE) "
+        f"* {QUANT_SCALE}D))) AS BIGINT))")
+
+
+def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors scored on int8-quantized vectors, with
+    the float cosine of each returned neighbor alongside (the
+    quantization-error audit a production ANN rollout runs).
+
+    Scale story: at 100 TB of embeddings the int8 corpus is 4× smaller
+    than float32 — 4× less scan I/O and shuffle for a brute-force or
+    IVF pass — and integer dot products vectorize better. The plan
+    shape is identical to q_cosine_topk (broadcast query side, codegen
+    scoring, WindowGroupLimit top-k); only the scoring representation
+    changes. Ranking is by quantized cosine, so the oracle checks the
+    *approximation itself*, not just the exact re-rank."""
+    e = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("qv", quantize_expr("embedding"))
+
+    def inorm(col: str) -> F.Column:
+        return F.expr(f"aggregate(zip_with({col}, {col}, "
+                      f"(x, y) -> x * y), 0L, (a, v) -> a + v)")
+
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("qv").alias("q_q"))
+         .withColumn("q_n", inorm("q_q")))
+    cand = (e.select(F.col("vec_id").alias("cand_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("qv").alias("c_q"))
+            .withColumn("c_n", inorm("c_q")))
+    idot = F.expr("aggregate(zip_with(q_q, c_q, (x, y) -> x * y), "
+                  "0L, (a, v) -> a + v)")
+    qcos = (idot.cast("double")
+            / (F.sqrt(F.col("q_n").cast("double"))
+               * F.sqrt(F.col("c_n").cast("double"))))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter((F.col("cand_id") != F.col("query_id"))
+                & (F.col("q_n") > 0) & (F.col("c_n") > 0))
+        .withColumn("q_cosine", qcos)
+        .withColumn("cosine", cosine_expr("q_emb", "c_emb"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("q_cosine"), F.asc("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    F.round("q_cosine", 6).alias("q_cosine"),
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+ORACLE_COSINE_TOPK_QUANTIZED = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_transform(embedding::DOUBLE[],
+               x -> CAST(least({QUANT_SCALE}, greatest(-{QUANT_SCALE},
+                    round(x * {QUANT_SCALE}))) AS BIGINT)) AS q
+    FROM embeddings),
+n AS (
+    SELECT vec_id, v, q,
+           list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS qn
+    FROM e),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
+             / (sqrt(a.qn) * sqrt(b.qn)) AS q_cosine,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {N_QUERY_VECS} AND a.qn > 0 AND b.qn > 0),
+ranked AS (
+    SELECT query_id, cand_id, q_cosine, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY q_cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, cand_id, round(q_cosine, 6) AS q_cosine,
+       round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""

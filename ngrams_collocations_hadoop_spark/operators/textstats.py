@@ -446,3 +446,61 @@ SELECT lang, source,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
 """
+
+
+# --- TF-IDF keyword extraction -------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOPK`` TF-IDF terms per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1 — always positive, no zero-division).
+
+    Scale shape: tf is a partial-agg groupBy on (doc_id, term); the
+    document-frequency table is bounded by the vocabulary and broadcast
+    back onto the postings, the corpus size N is a one-row broadcast,
+    and the per-document top-k cuts via WindowGroupLimit before the
+    rank shuffle. Nothing driver-side, no quadratic term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    scored = (tf.join(F.broadcast(df_t), on="term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf", tfidf))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("tfidf"), F.asc("term")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TFIDF_TOPK)
+            .select("doc_id", "term", "tf",
+                    F.round("tfidf", 6).alias("tfidf"), "rank"))
+
+
+ORACLE_TFIDF = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+df_t AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT doc_id, term, tf,
+           tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+    FROM tf JOIN df_t USING (term) CROSS JOIN n),
+ranked AS (
+    SELECT doc_id, term, tf, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""

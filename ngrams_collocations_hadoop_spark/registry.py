@@ -78,9 +78,11 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_components_lsh": dedup.q_dedup_components_lsh,  # no oracle (LSH edges)
     "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
     "dedup_simhash_check": dedup.q_dedup_simhash_check,
+    "dedup_keep_one": dedup.q_dedup_keep_one,
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
+    "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
     "sim_label_centroids": similarity.q_label_centroids,
     "text_bm25": textstats.q_bm25,
     "text_token_count": textstats.q_token_count,
@@ -91,6 +93,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_pii_redact": textstats.q_pii_redact,
     "text_repetition": textstats.q_repetition,
     "text_corpus_stats": textstats.q_corpus_stats,
+    "text_tfidf": textstats.q_tfidf,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
     "mm_frame_sample": multimodal.q_mm_frame_sample,
     # --- Structured Streaming (run to completion via AvailableNow) ---
@@ -98,6 +101,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session": sw.q_stream_session,
     "stream_stateful_totals": sw.q_stream_stateful_totals,
     "stream_dedup": sw.q_stream_dedup,
+    "stream_sliding": sw.q_stream_sliding,
+    "stream_enrich": sw.q_stream_enrich,
 }
 
 ORACLES: dict[str, str] = {
@@ -144,6 +149,11 @@ ORACLES: dict[str, str] = {
     "dedup_components": dedup.ORACLE_DEDUP_COMPONENTS,
     "dedup_lsh_recall": dedup.ORACLE_DEDUP_LSH_RECALL,
     "dedup_simhash_check": dedup.ORACLE_DEDUP_SIMHASH_CHECK,
+    "dedup_keep_one": dedup.ORACLE_DEDUP_KEEP_ONE,
+    "sim_cosine_topk_quantized": similarity.ORACLE_COSINE_TOPK_QUANTIZED,
+    "text_tfidf": textstats.ORACLE_TFIDF,
+    "stream_sliding": sw.ORACLE_STREAM_SLIDING,
+    "stream_enrich": sw.ORACLE_STREAM_ENRICH,
     "rel_salted_join": skew.ORACLE_SALTED_JOIN,
     "rel_bucketed_join": storage.ORACLE_BUCKETED_JOIN,
     "sim_cosine_topk": similarity.ORACLE_COSINE_TOPK,

@@ -255,3 +255,78 @@ ORACLE_STREAM_DEDUP = """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type
 """
+
+
+# --- sliding windows + stream-static enrichment --------------------------
+
+def sliding_agg(stream: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in two
+    windows) with a 10-minute watermark. Sum+count output, not avg:
+    averages of uniform-rate fixtures land exactly on round()'s halfway
+    boundary (see rel_sliding_window)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_completion(
+        sliding_agg(_event_stream(spark, sf_dir)),
+        "stream_sliding_out", "complete")
+
+
+# Same trick as the batch ORACLE_SLIDING_WINDOW: a 1h/30min sliding
+# window is the union of each event's 30-minute bucket and that bucket
+# shifted back 30 minutes.
+ORACLE_STREAM_SLIDING = """
+WITH slid AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+wins AS (
+    SELECT b AS win_start, value FROM slid
+    UNION ALL
+    SELECT b - INTERVAL '30 minutes' AS win_start, value FROM slid)
+SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM wins GROUP BY win_start
+"""
+
+
+def enrich_agg(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a
+    static dimension (broadcast — the static side is planned per
+    micro-batch exactly like a batch broadcast join), then a
+    watermarked tumbling aggregation per enriched key. This is the
+    streaming face of the reference's distributed-cache side input
+    (Stopwords.java): small static table against unbounded input."""
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"])
+    return (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"),
+                "c_mktsegment", "n", "sum_value")
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    dim = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    return _run_to_completion(
+        enrich_agg(_event_stream(spark, sf_dir), dim),
+        "stream_enrich_out", "complete")
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, c_mktsegment,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
