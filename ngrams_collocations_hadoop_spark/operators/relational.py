@@ -645,3 +645,35 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_eq")[0], 4).alias("exact_p50"),
         F.round(F.col("_eq")[1], 4).alias("exact_p99"),
     )
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family over one window (ntile,
+    percent_rank, cume_dist, lag, lead) — one Window node, one
+    exchange on the partition key; the o_orderkey tiebreak makes every
+    rank deterministic (ties on price alone would make percent_rank /
+    cume_dist nondeterministic across engines)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"))
+
+
+ORACLE_WINDOW_RANKS = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+"""

@@ -196,6 +196,54 @@ def sample_stratified(docs: DataFrame, fractions: dict[str, float],
     return docs.sampleBy("lang", fractions, seed=seed)
 
 
+# Per-stratum keep rates for the registry query, in 1/256ths of the
+# hash space (md5 first byte < threshold): en 50%, others 25%.
+STRAT_RATES = {"en": 128, "es": 64, "zh": 64, "fr": 64, "de": 64}
+STRAT_DEFAULT_RATE = 32
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash stratified sampling: keep a document when its md5
+    first byte falls below the stratum's threshold — per-language rates
+    with no RNG, so the sample is identical across runs, engines,
+    partitionings, and (critically for training pipelines) across
+    incremental re-runs over a growing corpus. Map-side filter + one
+    bounded groupBy; at 100 TB this is a single scan.
+
+    The hex-string comparison IS the threshold test (fixed-width hex
+    compares lexicographically like the underlying integer) — engine-
+    portable with no integer conversion."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for lang, rate in STRAT_RATES.items():
+        cond = (F.col("lang") == lang)
+        expr = F.when(cond, F.lit(f"{rate:02x}")) if expr is None \
+            else expr.when(cond, F.lit(f"{rate:02x}"))
+    thresh = expr.otherwise(F.lit(f"{STRAT_DEFAULT_RATE:02x}"))
+    kept = docs.filter(F.substring(F.md5("text"), 1, 2) < thresh)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
+def _oracle_stratified() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{rate:02x}'"
+        for lang, rate in STRAT_RATES.items())
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents
+WHERE substring(md5(text), 1, 2) <
+      (CASE lang {cases} ELSE '{STRAT_DEFAULT_RATE:02x}' END)
+GROUP BY lang
+"""
+
+
+ORACLE_STRATIFIED_SAMPLE = _oracle_stratified()
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set plus
     a coarse length bucket — the join key for fingerprint-based dedup."""

@@ -50,6 +50,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_topk_per_group": rel.q_topk_per_group,     # T1-T3 shape
     "rel_global_topn": rel.q_global_topn,
     "rel_window_running": rel.q_window_running,
+    "rel_window_ranks": rel.q_window_ranks,
     "rel_set_ops": rel.q_set_ops,
     "rel_json_extract": rel.q_json_extract,
     "rel_tumbling_window": rel.q_tumbling_window,
@@ -79,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
     "dedup_simhash_check": dedup.q_dedup_simhash_check,
     "dedup_keep_one": dedup.q_dedup_keep_one,
+    "dedup_pagerank": dedup.q_dedup_pagerank,
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
@@ -94,6 +96,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_repetition": textstats.q_repetition,
     "text_corpus_stats": textstats.q_corpus_stats,
     "text_tfidf": textstats.q_tfidf,
+    "text_stratified_sample": textstats.q_stratified_sample,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
     "mm_frame_sample": multimodal.q_mm_frame_sample,
     # --- Structured Streaming (run to completion via AvailableNow) ---
@@ -103,6 +106,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup": sw.q_stream_dedup,
     "stream_sliding": sw.q_stream_sliding,
     "stream_enrich": sw.q_stream_enrich,
+    "stream_pair_join": sw.q_stream_pair_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -128,6 +132,7 @@ ORACLES: dict[str, str] = {
     "rel_topk_per_group": rel.ORACLE_TOPK_PER_GROUP,
     "rel_global_topn": rel.ORACLE_GLOBAL_TOPN,
     "rel_window_running": rel.ORACLE_WINDOW_RUNNING,
+    "rel_window_ranks": rel.ORACLE_WINDOW_RANKS,
     "rel_set_ops": rel.ORACLE_SET_OPS,
     "rel_json_extract": rel.ORACLE_JSON_EXTRACT,
     "rel_tumbling_window": rel.ORACLE_TUMBLING_WINDOW,
@@ -150,10 +155,13 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_recall": dedup.ORACLE_DEDUP_LSH_RECALL,
     "dedup_simhash_check": dedup.ORACLE_DEDUP_SIMHASH_CHECK,
     "dedup_keep_one": dedup.ORACLE_DEDUP_KEEP_ONE,
+    "dedup_pagerank": dedup.ORACLE_DEDUP_PAGERANK,
     "sim_cosine_topk_quantized": similarity.ORACLE_COSINE_TOPK_QUANTIZED,
     "text_tfidf": textstats.ORACLE_TFIDF,
+    "text_stratified_sample": textstats.ORACLE_STRATIFIED_SAMPLE,
     "stream_sliding": sw.ORACLE_STREAM_SLIDING,
     "stream_enrich": sw.ORACLE_STREAM_ENRICH,
+    "stream_pair_join": sw.ORACLE_STREAM_PAIR_JOIN,
     "rel_salted_join": skew.ORACLE_SALTED_JOIN,
     "rel_bucketed_join": storage.ORACLE_BUCKETED_JOIN,
     "sim_cosine_topk": similarity.ORACLE_COSINE_TOPK,

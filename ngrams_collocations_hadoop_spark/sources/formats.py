@@ -139,3 +139,14 @@ def write_multi_sink(df: DataFrame, sinks: dict[str, tuple]) -> None:
                 raise ValueError(f"unknown sink format {fmt}")
     finally:
         df.unpersist()
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (columnar alternative to parquet; zlib by default —
+    Spark's native ORC reader/writer, no extra packages). Same
+    predicate-pushdown and column-pruning behavior as parquet scans."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -330,3 +330,53 @@ FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
+
+
+# --- stream-stream interval join -----------------------------------------
+
+FOLLOW_SECONDS = 600
+
+
+def stream_pair_join(left: DataFrame, right: DataFrame,
+                     follow_seconds: int = FOLLOW_SECONDS) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each event with the
+    same user's events in the following ``follow_seconds``. The
+    time-range predicate + both-side watermarks bound the join state
+    (each side retains only rows inside the watermark horizon — without
+    the range condition Spark would have to buffer both streams
+    forever). The hardest streaming operator: state on BOTH sides,
+    eviction driven by event time."""
+    l = left.select(F.col("user_id").alias("l_user"),
+                    F.col("event_id").alias("l_id"),
+                    F.col("ts").alias("l_ts")).withWatermark("l_ts", "10 minutes")
+    r = right.select(F.col("user_id").alias("r_user"),
+                     F.col("event_id").alias("r_id"),
+                     F.col("ts").alias("r_ts")).withWatermark("r_ts", "10 minutes")
+    return (l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts")
+           + F.expr(f"INTERVAL {follow_seconds} SECONDS")))
+        .select(F.col("l_user").alias("user_id"), "l_id", "r_id",
+                (F.col("r_ts").cast("long") - F.col("l_ts").cast("long"))
+                .cast("long").alias("gap_sec")))
+
+
+def q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _event_stream(spark, sf_dir)
+    s2 = _event_stream(spark, sf_dir)
+    return _run_to_completion(
+        stream_pair_join(s1, s2), "stream_pair_join_out", "append")
+
+
+ORACLE_STREAM_PAIR_JOIN = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+       CAST(floor(epoch(r.ts)) AS BIGINT)
+         - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
+FROM ev l JOIN ev r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL {FOLLOW_SECONDS} SECONDS
+"""

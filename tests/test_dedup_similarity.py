@@ -169,3 +169,18 @@ def test_components_lsh_consistent_with_edges(spark):
     for doc, c in comp.items():
         members.setdefault(c, []).append(doc)
     assert all(c == min(m) for c, m in members.items())
+
+
+def test_pagerank_fixed_point_and_asymmetry(spark):
+    """Triangle (regular graph): all ranks stay at the 1.0 fixed point.
+    Path graph: the middle node outranks the endpoints."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import pagerank
+    tri = spark.sql("SELECT col1 AS src, col2 AS dst FROM VALUES "
+                    "(1L, 2L), (2L, 3L), (1L, 3L)")
+    out = {r["n"]: r["rank"] for r in pagerank(tri).collect()}
+    assert out == {1: 1.0, 2: 1.0, 3: 1.0}
+    path = spark.sql("SELECT col1 AS src, col2 AS dst FROM VALUES "
+                     "(1L, 2L), (2L, 3L)")
+    ranks = {r["n"]: r["rank"] for r in pagerank(path).collect()}
+    assert ranks[2] > ranks[1] and ranks[2] > ranks[3]
+    assert abs(ranks[1] - ranks[3]) < 1e-9

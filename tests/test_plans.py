@@ -186,3 +186,13 @@ def test_bucketed_join_query_single_exchange(spark):
     plan = physical_plan(df)
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quantized_ann_broadcast_and_group_limit(spark):
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        q_cosine_topk_quantized,
+    )
+    df = q_cosine_topk_quantized(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

@@ -14,6 +14,8 @@ from ngrams_collocations_hadoop_spark.sources.formats import (
     write_multi_sink, write_tsv,
 )
 
+from .conftest import SF_SMALL
+
 LINES = [
     "high school\t1995\t42",
     "bad row",                       # short → dropped
@@ -128,3 +130,24 @@ def test_compact_files(spark):
     assert n_out == 1  # tiny corpus fits one target-size file
     assert len(glob.glob(f"{d}/compacted/part-*.parquet")) == 1
     assert (spark.read.parquet(f"{d}/compacted").count() == docs.count())
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip; the filter must reach the ORC scan
+    as a pushed-down predicate, same as parquet."""
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.plans.checks import physical_plan
+    from ngrams_collocations_hadoop_spark.sources.formats import (
+        read_orc, write_orc,
+    )
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs.select("doc_id", "lang", "n_chars"), path)
+    back = read_orc(spark, path).filter(F.col("lang") == "en")
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+    plan = physical_plan(back)
+    assert "PushedFilters: [" in plan and "lang" in plan.split(
+        "PushedFilters:")[1].split("]")[0]
