@@ -95,3 +95,29 @@ def q_pmi_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
             .select("lang", "decade",
                     F.concat_ws(" ", "w1", "w2").alias("bigram"),
                     "pmi", "rank"))
+
+
+# Add-k smoothing constant for the conditional-probability LM scorer.
+# Written as the literal 0.5 in BOTH engines (a computed value could
+# differ in the last ulp between Python and DuckDB decimal arithmetic).
+CONDPROB_K = 0.5
+
+
+def q_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model conditional probability with add-k
+    smoothing: P(w2|w1) = (c12 + k) / (c1 + k·V), V = per-(lang,
+    decade) vocabulary size. The building block of n-gram LM scoring
+    and perplexity filters over a training corpus.
+
+    Scale shape: reuses the scored contingency table (no extra pass
+    over raw ngrams); the vocabulary table is one tiny broadcast
+    (|langs|×|decades| rows)."""
+    scored = co.q_scored(spark, sf_dir)
+    vocab = (co.q_unigram_counts(spark, sf_dir)
+             .groupBy("lang", "decade")
+             .agg(F.count(F.lit(1)).alias("v")))
+    cp = ((F.col("c12") + F.lit(CONDPROB_K))
+          / (F.col("c1") + F.lit(CONDPROB_K) * F.col("v")))
+    return (scored.join(F.broadcast(vocab), on=["lang", "decade"])
+            .select("lang", "decade", "w1", "w2", "c1", "c12", "v",
+                    F.round(cp, 6).alias("p_w2_given_w1")))

@@ -677,3 +677,34 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey)
 """
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bivariate/statistical aggregate family in one groupBy:
+    corr, covar_pop/samp, stddev_pop/samp, var_pop/samp. All are
+    single-pass mergeable moment sketches — map-side partials, one
+    bounded shuffle (same scale shape as sum/count; the engines differ
+    only in accumulation order, handled by rounding)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("value", "user_id"), 6).alias("corr_vu"),
+        F.round(F.covar_pop("value", "user_id"), 6).alias("covar_pop_vu"),
+        F.round(F.covar_samp("value", "user_id"), 6).alias("covar_samp_vu"),
+        F.round(F.stddev_pop("value"), 6).alias("stddev_pop_v"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_samp_v"),
+        F.round(F.var_pop("value"), 6).alias("var_pop_v"),
+        F.round(F.var_samp("value"), 6).alias("var_samp_v")))
+
+
+ORACLE_CORR_STATS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(corr(value, user_id), 6) AS corr_vu,
+       round(covar_pop(value, user_id), 6) AS covar_pop_vu,
+       round(covar_samp(value, user_id), 6) AS covar_samp_vu,
+       round(stddev_pop(value), 6) AS stddev_pop_v,
+       round(stddev_samp(value), 6) AS stddev_samp_v,
+       round(var_pop(value), 6) AS var_pop_v,
+       round(var_samp(value), 6) AS var_samp_v
+FROM events GROUP BY event_type
+"""

@@ -170,3 +170,17 @@ ranked AS (
 )
 SELECT lang, decade, bigram, llr, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def colloc_condprob_sql() -> str:
+    from .operators.ngrams import CONDPROB_K
+    k = CONDPROB_K
+    return f"""
+WITH {ngram_ctes()},
+vocab AS (
+    SELECT lang, decade, CAST(count(*) AS BIGINT) AS v
+    FROM c1 GROUP BY lang, decade)
+SELECT lang, decade, w1, w2, c1, c12, v,
+       round((c12 + {k}) / (c1 + {k} * v), 6) AS p_w2_given_w1
+FROM scored JOIN vocab USING (lang, decade)
+"""

@@ -35,6 +35,7 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
     "colloc_pmi_topk": ng.q_pmi_topk,
+    "colloc_condprob": ng.q_condprob,               # bigram LM P(w2|w1)
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     # --- relational operator coverage (§2 generalized + §2.8 gaps) ---
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
@@ -51,6 +52,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_global_topn": rel.q_global_topn,
     "rel_window_running": rel.q_window_running,
     "rel_window_ranks": rel.q_window_ranks,
+    "rel_corr_stats": rel.q_corr_stats,
     "rel_set_ops": rel.q_set_ops,
     "rel_json_extract": rel.q_json_extract,
     "rel_tumbling_window": rel.q_tumbling_window,
@@ -118,6 +120,7 @@ ORACLES: dict[str, str] = {
     "colloc_topk_sql": oracle.colloc_topk_sql(),    # same oracle as colloc_topk
     "colloc_assoc": oracle.colloc_assoc_sql(),
     "colloc_pmi_topk": oracle.colloc_pmi_topk_sql(),
+    "colloc_condprob": oracle.colloc_condprob_sql(),
     "ngram_trigram_counts": oracle.trigram_counts_sql(),
     "rel_percentiles": rel.ORACLE_PERCENTILES,
     "rel_pricing_summary": rel.ORACLE_PRICING_SUMMARY,
@@ -133,6 +136,7 @@ ORACLES: dict[str, str] = {
     "rel_global_topn": rel.ORACLE_GLOBAL_TOPN,
     "rel_window_running": rel.ORACLE_WINDOW_RUNNING,
     "rel_window_ranks": rel.ORACLE_WINDOW_RANKS,
+    "rel_corr_stats": rel.ORACLE_CORR_STATS,
     "rel_set_ops": rel.ORACLE_SET_OPS,
     "rel_json_extract": rel.ORACLE_JSON_EXTRACT,
     "rel_tumbling_window": rel.ORACLE_TUMBLING_WINDOW,
