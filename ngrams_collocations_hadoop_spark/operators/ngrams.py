@@ -121,3 +121,41 @@ def q_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.join(F.broadcast(vocab), on=["lang", "decade"])
             .select("lang", "decade", "w1", "w2", "c1", "c12", "v",
                     F.round(cp, 6).alias("p_w2_given_w1")))
+
+
+def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under the corpus LM — the
+    n-gram-LM quality filter (documents whose bigrams are improbable
+    under the corpus model are noise/outliers; 'perplexity filtering'
+    in training-data pipelines).
+
+    Each document's cleaned bigrams are scored with the add-k LM from
+    ``q_condprob`` (the 6-dp-rounded probabilities — quantized on both
+    engines, so ln/sum stay cross-engine stable at 6 dp); bigrams the
+    LM does not cover (stopword-filtered or validity-filtered upstream)
+    are excluded and reported via n_scored. Scale shape: doc-bigram
+    stream is a pure map; one shuffle join against the bounded LM
+    table; per-doc aggregation is a partial-agg groupBy."""
+    from ..functions.text import clean_token, decade
+    from ..sources.ngram_source import _docs_with_tokens
+
+    lm = q_condprob(spark, sf_dir).select(
+        "lang", "decade", "w1", "w2",
+        F.col("p_w2_given_w1").alias("p"))
+    d = _docs_with_tokens(spark, sf_dir)
+    pairs = F.expr(
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
+        "(x, i) -> struct(x AS t1, ts[i + 1] AS t2))")
+    db = (d.select("doc_id", "lang", decade(F.col("year")).alias("decade"),
+                   F.explode(pairs).alias("bg"))
+          .select("doc_id", "lang", "decade",
+                  clean_token(F.col("bg.t1")).alias("w1"),
+                  clean_token(F.col("bg.t2")).alias("w2"))
+          .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    joined = db.join(lm, on=["lang", "decade", "w1", "w2"], how="left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.count("p").alias("n_scored"),
+                 F.round(F.sum(-F.log("p")) / F.count("p"), 6)
+                 .alias("cross_entropy"))
+            .filter(F.col("n_scored") > 0))

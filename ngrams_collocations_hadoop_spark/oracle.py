@@ -184,3 +184,35 @@ SELECT lang, decade, w1, w2, c1, c12, v,
        round((c12 + {k}) / (c1 + {k} * v), 6) AS p_w2_given_w1
 FROM scored JOIN vocab USING (lang, decade)
 """
+
+
+def colloc_doc_cross_entropy_sql() -> str:
+    from .functions.text import clean_token_sql, decade_sql
+    from .operators.ngrams import CONDPROB_K
+    k = CONDPROB_K
+    w1 = clean_token_sql("ts[i]")
+    w2 = clean_token_sql("ts[i + 1]")
+    return f"""
+WITH {ngram_ctes()},
+vocab AS (
+    SELECT lang, decade, CAST(count(*) AS BIGINT) AS v
+    FROM c1 GROUP BY lang, decade),
+lm AS (
+    SELECT lang, decade, w1, w2,
+           round((c12 + {k}) / (c1 + {k} * v), 6) AS p
+    FROM scored JOIN vocab USING (lang, decade)),
+docbg AS (
+    SELECT doc_id, lang, {decade_sql('year')} AS decade,
+           {w1} AS w1, {w2} AS w2
+    FROM (SELECT doc_id, lang,
+                 CAST(2000 + doc_id % 30 AS BIGINT) AS year,
+                 string_split(text, ' ') AS ts
+          FROM documents) t,
+         UNNEST(range(1, len(ts))) AS u(i)),
+docbg_f AS (SELECT * FROM docbg WHERE w1 <> '' AND w2 <> '')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(p) AS BIGINT) AS n_scored,
+       round(sum(-ln(p)) / count(p), 6) AS cross_entropy
+FROM docbg_f LEFT JOIN lm USING (lang, decade, w1, w2)
+GROUP BY doc_id HAVING count(p) > 0
+"""

@@ -36,6 +36,7 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
     "colloc_pmi_topk": ng.q_pmi_topk,
     "colloc_condprob": ng.q_condprob,               # bigram LM P(w2|w1)
+    "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,  # LM quality filter
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     # --- relational operator coverage (§2 generalized + §2.8 gaps) ---
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
@@ -121,6 +122,7 @@ ORACLES: dict[str, str] = {
     "colloc_assoc": oracle.colloc_assoc_sql(),
     "colloc_pmi_topk": oracle.colloc_pmi_topk_sql(),
     "colloc_condprob": oracle.colloc_condprob_sql(),
+    "colloc_doc_cross_entropy": oracle.colloc_doc_cross_entropy_sql(),
     "ngram_trigram_counts": oracle.trigram_counts_sql(),
     "rel_percentiles": rel.ORACLE_PERCENTILES,
     "rel_pricing_summary": rel.ORACLE_PRICING_SUMMARY,
