@@ -76,3 +76,46 @@ def test_watermark_drops_late_rows(spark):
     assert got.get("2024-01-01T10:00:00") == 2        # late row excluded
     assert got.get("2024-01-01T12:00:00") == 2        # events 3 and 5
     assert "2024-01-01T14:00:00" not in got           # never finalized
+
+
+def test_stream_pair_join_state_spans_batches_and_evicts(spark):
+    """Stream-stream interval join: the match arrives in a LATER
+    micro-batch than its partner (state must persist across batches),
+    and after the watermark advances past the join horizon the buffered
+    rows are evicted — a very late row finds no partners."""
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        stream_pair_join,
+    )
+    d = tempfile.mkdtemp(prefix="ssj_test_")
+    files = [f"{d}/b{i}.parquet" for i in range(5)]
+    _write_events(files[0], [(1, "2024-01-01T10:00:00", 1.0)])
+    _write_events(files[1], [(2, "2024-01-01T10:05:00", 1.0)])  # pairs w/ 1
+    _write_events(files[2], [(3, "2024-01-01T13:00:00", 1.0)])  # wm -> 12:50
+    # state cleanup is lazy (end-of-batch): one more batch under the
+    # advanced watermark so eviction of 1/2 completes BEFORE the late
+    # row arrives
+    _write_events(files[3], [(5, "2024-01-01T13:10:00", 1.0)])  # pairs w/ 3
+    _write_events(files[4], [(4, "2024-01-01T10:08:00", 1.0)])  # evicted era
+    now = dt.datetime.now().timestamp()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 100 + i, now - 100 + i))
+
+    schema = spark.read.parquet(d).schema
+
+    def src():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(d)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    joined = stream_pair_join(src(), src())
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ssj_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    pairs = {(r["l_id"], r["r_id"]): r["gap_sec"]
+             for r in spark.table("ssj_out").collect()}
+    # events 2 and 5 paired with buffered partners (cross-batch state);
+    # event 4 found nothing: events 1/2 were evicted when the watermark
+    # passed their join horizon (absence of (1,4)/(2,4), which WOULD
+    # match on the time bounds alone)
+    assert pairs == {(1, 2): 300, (3, 5): 600}
