@@ -211,12 +211,19 @@ def _dup_stream_dir(sf_dir: str) -> str:
     dedup exists for."""
     import os
 
+    # same abspath + stale-link guard as _stream_dir: a relative sf_dir
+    # would resolve the link target against /tmp (dangling symlink).
+    sf_dir = os.path.abspath(sf_dir)
     d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events_dup"
+    target = f"{sf_dir}/events.parquet"
     os.makedirs(d, exist_ok=True)
     for name in ("events_a.parquet", "events_b.parquet"):
         link = f"{d}/{name}"
+        if os.path.islink(link) and os.path.realpath(link) != \
+                os.path.realpath(target):
+            os.remove(link)
         if not os.path.islink(link):
-            os.symlink(f"{sf_dir}/events.parquet", link)
+            os.symlink(target, link)
     return d
 
 

@@ -25,7 +25,8 @@ for t in ["events", "orders", "customer", "documents"]:
         f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
 qs, os_ = E.queries(), E.oracle_sql()
 for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
-             "rel_hypertable_rollup", "rel_range_join", "stream_dedup"]:
+             "rel_hypertable_rollup", "rel_range_join", "stream_dedup",
+             "stream_sliding", "stream_enrich", "stream_pair_join"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
