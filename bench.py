@@ -52,8 +52,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # best-of-2 damps noisy-neighbor variance
-            t0 = time.time()
+        for _ in range(3):  # best-of-3: the env shows multi-second
+            t0 = time.time()  # transient stalls that can eat 2 runs
             (QUERIES[name](spark, sf_dir)
              .write.format("noop").mode("overwrite").save())
             best = min(best, time.time() - t0)
@@ -65,7 +65,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "runs_per_query": 2,  # each timing is best-of-2 after warm-up
+        "runs_per_query": 3,  # each timing is best-of-3 after warm-up
     }
     prev = _latest_recorded_bench()
     if prev:

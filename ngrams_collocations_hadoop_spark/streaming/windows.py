@@ -61,15 +61,38 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# State-store partition count for the run-to-completion harness. Every
+# stateful streaming operator materializes one state store INSTANCE per
+# shuffle partition, and each instance pays open + commit + delta-file
+# I/O per micro-batch — overhead independent of data volume. At the
+# harness's scale 32 instances are pure fixed cost (measured sf0.1:
+# tumbling 8.9 s -> 1.6 s, stream-stream join 15.2 s -> 5.9 s when
+# dropping 32 -> 8). On a real cluster, size this to the executor core
+# count instead — state partitions are also the unit of parallelism,
+# and the per-instance cost amortizes over real per-batch volume.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_completion(result: DataFrame, name: str,
                        output_mode: str) -> DataFrame:
     """Drive the streaming query over all available input and return the
-    materialized result table."""
+    materialized result table.
+
+    Shuffle partitions are pinned to ``STREAM_STATE_PARTITIONS`` for
+    the duration of the run (the conf is read at micro-batch planning,
+    inside awaitTermination) and restored afterwards so batch queries
+    on the same session keep their own sizing."""
     spark = result.sparkSession
-    q = (result.writeStream.outputMode(output_mode)
-         .format("memory").queryName(name)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (result.writeStream.outputMode(output_mode)
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
