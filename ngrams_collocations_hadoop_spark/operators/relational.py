@@ -708,3 +708,119 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(var_samp(value), 6) AS var_samp_v
 FROM events GROUP BY event_type
 """
+
+
+# --- time-range window frames -------------------------------------------
+
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving aggregate per user via a RANGE window
+    frame over event-time seconds — the value-based frame, where each
+    row's window is [ts-3600s, ts], unlike the ROWS frames elsewhere
+    (rel_window_running) that count physical rows.
+
+    Ordering is by epoch seconds (timestamp truncated to long) so the
+    frame bound is a plain numeric offset in both engines; RANGE frames
+    include all order-value peers, which makes the result deterministic
+    without a tiebreak column. One exchange on user_id; the frame is
+    bounded by time, not cardinality, so state per row stays O(events
+    per user-hour) at any scale."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = (Window.partitionBy("user_id").orderBy(sec)
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_trailing_1h"),
+    )
+
+
+ORACLE_WINDOW_RANGE = f"""
+SELECT user_id, event_id,
+       count(*) OVER w AS n_trailing_1h,
+       round(sum(value) OVER w, 4) AS sum_trailing_1h
+FROM {EVENTS_US}
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- funnel analysis -----------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel per user: the earliest view,
+    the earliest click strictly after it, and the earliest purchase
+    strictly after that. The staple product-analytics sequence query.
+
+    Shape: three filtered min-aggregations chained by user_id joins —
+    every shuffle is on the same high-cardinality key, so Catalyst
+    reuses one hash partitioning across the cascade; per-stage state is
+    one timestamp per user. (The window-free formulation: an ordered
+    collect_list per user would carry every event through the shuffle,
+    and its worst-case per-user array is unbounded at 100 TB.)"""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .join(views, on="user_id")
+              .filter(F.col("ts") > F.col("t_view"))
+              .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    buys = (e.filter(F.col("event_type") == "purchase")
+            .join(clicks, on="user_id")
+            .filter(F.col("ts") > F.col("t_click"))
+            .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (views
+            .join(clicks, on="user_id", how="left")
+            .join(buys, on="user_id", how="left")
+            .select("user_id", "t_view", "t_click", "t_purchase",
+                    (F.lit(1) + F.col("t_click").isNotNull().cast("int")
+                     + F.col("t_purchase").isNotNull().cast("int"))
+                    .cast("long").alias("stage")))
+
+
+ORACLE_FUNNEL = f"""
+WITH ev AS (SELECT * FROM {EVENTS_US}),
+v AS (SELECT user_id, min(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, min(ts) AS t_click FROM ev
+      JOIN v ON ev.user_id = v.user_id
+      WHERE event_type = 'click' AND ts > t_view GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, min(ts) AS t_purchase FROM ev
+      JOIN c ON ev.user_id = c.user_id
+      WHERE event_type = 'purchase' AND ts > t_click GROUP BY ev.user_id)
+SELECT v.user_id, t_view, t_click, t_purchase,
+       CAST(1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT
+            AS BIGINT) AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# --- per-group anomaly flagging -----------------------------------------
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is an outlier (|z| > 2) within their
+    event_type population — the groupBy-stats + self-join-free outlier
+    scan (stats via an unbounded window over the group, one exchange,
+    no second pass over the raw table). Emits only the flagged rows,
+    so output stays tiny however large the input."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (e.select("event_id", "event_type", "value",
+                     F.round(z, 6).alias("zscore"))
+            .filter(F.abs(F.col("zscore")) > 2))
+
+
+ORACLE_ANOMALY_ZSCORE = """
+SELECT event_id, event_type, value, zscore
+FROM (SELECT event_id, event_type, value,
+             round((value - avg(value) OVER w)
+                   / stddev_samp(value) OVER w, 6) AS zscore
+      FROM events
+      WINDOW w AS (PARTITION BY event_type))
+WHERE abs(zscore) > 2
+"""

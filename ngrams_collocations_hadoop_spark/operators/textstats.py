@@ -552,3 +552,76 @@ ranked AS (
 SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rank
 FROM ranked WHERE rank <= {TFIDF_TOPK}
 """
+
+
+# --- train/test contamination check -------------------------------------
+
+SHINGLE_N = 5
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination: for every test document (content-hash
+    split, same rule as q_train_test_split), the fraction of its
+    distinct 5-token shingles that appear anywhere in the train split —
+    the n-gram-overlap decontamination check run before any evaluation
+    on held-out data.
+
+    Shape: shingles explode map-side; the train side collapses to a
+    DISTINCT shingle set before the join (the only big shuffle, keyed
+    on the shingle); then a left join + per-doc count. At 100 TB the
+    join key would be xxhash64(shingle) — 8 bytes instead of a ~30-char
+    string through the shuffle, with collision odds ~(pairs)/2^64; the
+    string key here keeps the DuckDB oracle exact. Documents shorter
+    than the shingle width contribute nothing (train) / are absent from
+    the output (test), consistently in both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bucket = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
+              .cast("long") % 10)
+    sh = (docs
+          .withColumn("split", F.when(bucket < 8, F.lit("train"))
+                      .otherwise(F.lit("test")))
+          .withColumn("toks", F.split("text", " "))
+          .select("doc_id", "split", F.explode_outer(F.expr(
+              f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 0)), "
+              f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
+              .alias("shingle"))
+          .dropDuplicates(["doc_id", "split", "shingle"]))
+    train = (sh.filter(F.col("split") == "train")
+             .select("shingle").distinct()
+             .withColumn("in_train", F.lit(1)))
+    test = sh.filter((F.col("split") == "test")
+                     & F.col("shingle").isNotNull())
+    return (test.join(train, on="shingle", how="left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.coalesce("in_train", F.lit(0)))
+                 .alias("n_contaminated"))
+            .withColumn("contamination",
+                        F.round(F.col("n_contaminated")
+                                / F.col("n_shingles"), 6)))
+
+
+ORACLE_CONTAMINATION = f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT)
+                     % 10 < 8
+                THEN 'train' ELSE 'test' END AS split,
+           string_split(text, ' ') AS toks
+    FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, split,
+           unnest([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                   for i in range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1))])
+               AS shingle
+    FROM d),
+train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       round(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS contamination
+FROM sh LEFT JOIN train t USING (shingle)
+WHERE sh.split = 'test'
+GROUP BY sh.doc_id
+"""

@@ -68,6 +68,9 @@ QUERIES: dict[str, QueryFn] = {
     "rel_scalar_subquery": rel.q_scalar_subquery,
     "rel_global_sort": rel.q_global_sort,
     "rel_approx_sketches": rel.q_approx_sketches,  # no oracle (sketches)
+    "rel_window_range": rel.q_window_range,         # time-RANGE frame
+    "rel_funnel": rel.q_funnel,                     # staged min-ts cascade
+    "rel_anomaly_zscore": rel.q_anomaly_zscore,
     "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
     "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
     "text_token_positions": textstats.q_token_positions,
@@ -99,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_repetition": textstats.q_repetition,
     "text_corpus_stats": textstats.q_corpus_stats,
     "text_tfidf": textstats.q_tfidf,
+    "text_contamination": textstats.q_contamination,
     "text_stratified_sample": textstats.q_stratified_sample,
     "mm_binary_stats": multimodal.q_mm_binary_stats,
     "mm_frame_sample": multimodal.q_mm_frame_sample,
@@ -110,6 +114,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_sliding": sw.q_stream_sliding,
     "stream_enrich": sw.q_stream_enrich,
     "stream_pair_join": sw.q_stream_pair_join,
+    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
 }
 
 ORACLES: dict[str, str] = {
@@ -152,6 +157,11 @@ ORACLES: dict[str, str] = {
     "rel_merge_upsert": mg.ORACLE_MERGE_UPSERT,
     "rel_scalar_subquery": rel.ORACLE_SCALAR_SUBQUERY,
     "rel_global_sort": rel.ORACLE_GLOBAL_SORT,
+    "rel_window_range": rel.ORACLE_WINDOW_RANGE,
+    "rel_funnel": rel.ORACLE_FUNNEL,
+    "rel_anomaly_zscore": rel.ORACLE_ANOMALY_ZSCORE,
+    "text_contamination": textstats.ORACLE_CONTAMINATION,
+    "stream_dedup_bounded": sw.ORACLE_STREAM_DEDUP_BOUNDED,
     "text_token_positions": textstats.ORACLE_TOKEN_POSITIONS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

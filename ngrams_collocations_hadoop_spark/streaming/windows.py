@@ -410,3 +410,38 @@ FROM ev l JOIN ev r
  AND r.ts > l.ts
  AND r.ts <= l.ts + INTERVAL {FOLLOW_SECONDS} SECONDS
 """
+
+
+def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state exactly-once dedup:
+    ``dropDuplicatesWithinWatermark`` keeps an id only until the
+    watermark passes its event time, so state is O(events per watermark
+    horizon) — the production form of stream_dedup, whose plain
+    dropDuplicates retains every id ever seen.
+
+    The harness delivers the doubled input in ONE micro-batch (no
+    maxFilesPerTrigger): the watermark only advances between batches,
+    so no state is evicted before both deliveries of every event are
+    seen, making the bounded operator's output exactly the unique
+    events — deterministic and oracle-checkable. (Across batches the
+    result would depend on arrival order relative to the 30-day event
+    span: correct only when duplicates arrive within the delay, which
+    is the operator's documented contract.) The memory sink holds the
+    deduped events; the per-type rollup on top is a batch aggregation
+    over that table, keeping the streaming fragment exactly the
+    operator under test."""
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .parquet(_dup_stream_dir(sf_dir))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    deduped = (stream.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    sink = _run_to_completion(
+        deduped, "stream_dedup_bounded_out", "append")
+    return (sink.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+ORACLE_STREAM_DEDUP_BOUNDED = ORACLE_STREAM_DEDUP
