@@ -824,3 +824,121 @@ FROM (SELECT event_id, event_type, value,
       WINDOW w AS (PARTITION BY event_type))
 WHERE abs(zscore) > 2
 """
+
+
+# --- event-transition matrix (Markov chain over user journeys) ----------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    for each (event_type -> next event_type) pair, the transition count
+    and probability. One window pass (lead over user journey) + one
+    small groupBy — the scan shuffles once on user_id and the counts
+    shuffle a |types|² matrix, constant-size output at any scale."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("user_id", "event_type",
+                      F.lead("event_type", 1).over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    counts = pairs.groupBy("event_type", "next_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    w_from = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("prob"))
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+    SELECT event_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS next_type
+    FROM events),
+counts AS (
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type)
+SELECT event_type, next_type, n,
+       round(n / (sum(n) OVER (PARTITION BY event_type))::DOUBLE, 6)
+           AS prob
+FROM counts
+"""
+
+
+# --- key-skew profiler ---------------------------------------------------
+
+SKEW_TOPN = 20
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key distribution profiler: the heaviest join/agg keys
+    with their share of all rows and ratio to the mean key load — the
+    diagnostic you run BEFORE picking a salting factor or enabling AQE
+    skew handling for a key (`skew.py::salted_join` is the cure; this
+    is the thermometer). One groupBy + a broadcast scalar join +
+    global top-N (TakeOrdered — only N rows reach the driver side)."""
+    o = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    counts = o.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("total"),
+        F.avg("n").alias("mean_n"))
+    return (counts.crossJoin(F.broadcast(stats))
+            .select("l_orderkey", "n",
+                    F.round(F.col("n") / F.col("total"), 6).alias("share"),
+                    F.round(F.col("n") / F.col("mean_n"), 6)
+                    .alias("x_mean"))
+            .orderBy(F.desc("n"), F.asc("l_orderkey"))
+            .limit(SKEW_TOPN))
+
+
+ORACLE_KEY_SKEW = f"""
+WITH counts AS (
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey),
+stats AS (SELECT sum(n) AS total, avg(n) AS mean_n FROM counts)
+SELECT l_orderkey, n,
+       round(n / total::DOUBLE, 6) AS share,
+       round(n / mean_n, 6) AS x_mean
+FROM counts CROSS JOIN stats
+ORDER BY n DESC, l_orderkey ASC
+LIMIT {SKEW_TOPN}
+"""
+
+
+# --- blocked fuzzy string matching ---------------------------------------
+
+FUZZY_MAX_DISTANCE = 3
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution style fuzzy matching: distinct part names that
+    agree on a blocking key (their head noun — the last name token)
+    and sit within Levenshtein distance 3. Classic blocked string-join:
+    the equi-join on the block key does the pruning (quadratic only
+    within a block, and block sizes are bounded by the noun
+    vocabulary); the edit-distance filter runs inside codegen on the
+    joined rows. At larger block sizes the block key would extend to
+    (noun, length-band) — same plan shape."""
+    p = (_t(spark, sf_dir, "part")
+         .select(F.col("p_name").alias("name"))
+         .distinct()
+         .withColumn("block", F.element_at(F.split("name", " "), -1)))
+    a = p.select(F.col("name").alias("name_a"), "block")
+    b = p.select(F.col("name").alias("name_b"), "block")
+    return (a.join(b, on="block")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .withColumn("distance",
+                        F.levenshtein("name_a", "name_b").cast("long"))
+            .filter(F.col("distance") <= FUZZY_MAX_DISTANCE)
+            .select("block", "name_a", "name_b", "distance"))
+
+
+ORACLE_FUZZY_MATCH = f"""
+WITH p AS (
+    SELECT DISTINCT p_name AS name,
+           string_split(p_name, ' ')[-1] AS block
+    FROM part)
+SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+FROM p a JOIN p b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DISTANCE}
+"""

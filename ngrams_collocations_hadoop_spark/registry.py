@@ -71,6 +71,9 @@ QUERIES: dict[str, QueryFn] = {
     "rel_window_range": rel.q_window_range,         # time-RANGE frame
     "rel_funnel": rel.q_funnel,                     # staged min-ts cascade
     "rel_anomaly_zscore": rel.q_anomaly_zscore,
+    "rel_event_transitions": rel.q_event_transitions,  # Markov matrix
+    "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
+    "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
     "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
     "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
     "text_token_positions": textstats.q_token_positions,
@@ -87,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_check": dedup.q_dedup_simhash_check,
     "dedup_keep_one": dedup.q_dedup_keep_one,
     "dedup_pagerank": dedup.q_dedup_pagerank,
+    "dedup_triangles": dedup.q_dedup_triangles,
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
@@ -160,6 +164,10 @@ ORACLES: dict[str, str] = {
     "rel_window_range": rel.ORACLE_WINDOW_RANGE,
     "rel_funnel": rel.ORACLE_FUNNEL,
     "rel_anomaly_zscore": rel.ORACLE_ANOMALY_ZSCORE,
+    "rel_event_transitions": rel.ORACLE_EVENT_TRANSITIONS,
+    "rel_key_skew": rel.ORACLE_KEY_SKEW,
+    "rel_fuzzy_match": rel.ORACLE_FUZZY_MATCH,
+    "dedup_triangles": dedup.ORACLE_DEDUP_TRIANGLES,
     "text_contamination": textstats.ORACLE_CONTAMINATION,
     "stream_dedup_bounded": sw.ORACLE_STREAM_DEDUP_BOUNDED,
     "text_token_positions": textstats.ORACLE_TOKEN_POSITIONS,
