@@ -72,44 +72,164 @@ FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
 
-def hyperplane_bucket(emb_col: str, bits: int = LSH_BITS) -> F.Column:
-    """Signed-random-projection bucket id: bit j = sign(v · h_j), with
-    h_j[d] = (xxhash64(j·1024 + d) % 1001) / 500 - 1 ∈ [-1, 1] —
-    deterministic, no stored model."""
-    return F.expr(
-        f"aggregate(transform(sequence(0, {bits - 1}), j -> CASE WHEN "
-        f"aggregate(zip_with({emb_col}, "
-        f"  transform(sequence(0, {EMB_DIM - 1}), "
-        f"    d -> CAST(xxhash64(j * 1024 + d) % 1001 AS DOUBLE) / 500.0 - 1.0), "
-        f"  (x, h) -> CAST(x AS DOUBLE) * h), "
-        f"0D, (acc, v) -> acc + v) > 0 THEN shiftleft(1L, j) ELSE 0L END), "
-        f"0L, (a, x) -> a + x)"
-    )
+# --- hyperplane LSH ------------------------------------------------------
+
+# Hyperplane coefficients are a data-independent constant matrix,
+# generated once in Python from md5 (exact 3-decimal rationals) and
+# inlined as literals into BOTH the Spark expression and the oracle
+# SQL. That makes the entire approximate algorithm — bucketing,
+# candidate join, re-rank — cross-engine reproducible, so the LSH path
+# gets a full hash-checked oracle like the IVF path (the earlier
+# xxhash64-seeded variant was rows-only purely because DuckDB cannot
+# evaluate xxhash64). At scale the matrix would ship as a broadcast /
+# generated column exactly the same way.
+LSH_TABLES = 2
+
+
+def _hyp_coeff(t: int, j: int, d: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"hyp_{t}_{j}_{d}".encode()).hexdigest()[:6]
+    return round(int(h, 16) % 1001 / 500.0 - 1.0, 3)
+
+
+_HYPERPLANES = [[[_hyp_coeff(t, j, d) for d in range(EMB_DIM)]
+                 for j in range(LSH_BITS)] for t in range(LSH_TABLES)]
+
+
+def hyperplane_bucket(emb_col: str, table: int = 0,
+                      bits: int = LSH_BITS) -> F.Column:
+    """Signed-random-projection bucket id for one hash table: bit j =
+    sign(v · h_j). Literal-array hyperplanes → Catalyst constant-folds
+    them; the dot product is a codegen'd left-to-right aggregate."""
+    terms = []
+    for j in range(bits):
+        arr = "array(" + ", ".join(f"{v!r}D" for v in
+                                   _HYPERPLANES[table][j]) + ")"
+        dot = (f"aggregate(zip_with({emb_col}, {arr}, "
+               f"(x, h) -> CAST(x AS DOUBLE) * h), 0D, "
+               f"(acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j}L ELSE 0L END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k: equi-join query and candidate
-    buckets, exact cosine re-rank inside the bucket. The candidate join
-    is a plain shuffle join on the bucket key — sub-linear work at
-    scale, tunable recall via bits/probes."""
-    e = load_table(spark, sf_dir, "embeddings") \
-        .withColumn("bucket", hyperplane_bucket("embedding"))
-    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+    """Multi-table hyperplane-LSH approximate top-k: candidates share a
+    bucket with the query in ANY of the LSH_TABLES independent tables
+    (the OR-construction — per-pair hit probability 1-(1-p^bits)^L for
+    per-hyperplane agreement p), then exact cosine re-rank over the
+    deduplicated candidate set.
+
+    Scale shape: per table one equi-join on (table_id, bucket) — the
+    explode-over-tables + join is exactly the MinHash band-join plan;
+    candidates ≈ L·|corpus|/2^bits per query. The operating regime is
+    near-duplicate retrieval (p → 1 ⇒ recall → 1 with strong pruning);
+    on an ambient-similarity corpus like this fixture (top-k neighbors
+    at cosine 0.24-0.49, p ≈ 0.6) hyperplane LSH provably cannot have
+    both recall and pruning — the checked `sim_lsh_recall` query makes
+    that number visible instead of hiding it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    banded = e.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table_id"),
+                     hyperplane_bucket("embedding", t).alias("bucket"))
+            for t in range(LSH_TABLES)])).alias("tb"),
+    ).select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+    q = (banded.filter(F.col("vec_id") < N_QUERY_VECS)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb"), "bucket"))
-    cand = e.select(F.col("vec_id").alias("cand_id"),
-                    F.col("embedding").alias("c_emb"), "bucket")
-    scored = (
-        cand.join(F.broadcast(q), on="bucket")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr("q_emb", "c_emb"))
-    )
+                 F.col("embedding").alias("q_emb"),
+                 "table_id", "bucket"))
+    cand = banded.select(F.col("vec_id").alias("cand_id"),
+                         F.col("embedding").alias("c_emb"),
+                         "table_id", "bucket")
+    pairs = (cand.join(F.broadcast(q), on=["table_id", "bucket"])
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .dropDuplicates(["query_id", "cand_id"]))
+    scored = pairs.withColumn("cosine", cosine_expr("q_emb", "c_emb"))
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("cand_id")))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", "cand_id",
                     F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def _hyperplanes_values_sql() -> str:
+    """(table_id, bit, h DOUBLE[]) VALUES rows for the oracle CTE —
+    the same literal matrix the Spark expression folds in."""
+    rows = []
+    for t in range(LSH_TABLES):
+        for j in range(LSH_BITS):
+            arr = "[" + ", ".join(repr(v) for v in _HYPERPLANES[t][j]) \
+                + "]::DOUBLE[]"
+            rows.append(f"({t}, {j}, {arr})")
+    return ",\n    ".join(rows)
+
+
+ORACLE_COSINE_TOPK_LSH = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+hyp(table_id, bit, h) AS (VALUES
+    {_hyperplanes_values_sql()}),
+buckets AS (
+    SELECT e.vec_id, hyp.table_id,
+           sum(CASE WHEN list_dot_product(e.v, hyp.h) > 0
+                    THEN 1::BIGINT << bit ELSE 0 END) AS bucket
+    FROM e CROSS JOIN hyp
+    GROUP BY e.vec_id, hyp.table_id),
+pairs AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+    FROM buckets q JOIN buckets c
+      ON q.table_id = c.table_id AND q.bucket = c.bucket
+    WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id),
+scored AS (
+    SELECT p.query_id, p.cand_id,
+           list_dot_product(qe.v, ce.v)
+             / (sqrt(list_dot_product(qe.v, qe.v))
+                * sqrt(list_dot_product(ce.v, ce.v))) AS cosine
+    FROM pairs p
+    JOIN e qe ON qe.vec_id = p.query_id
+    JOIN e ce ON ce.vec_id = p.cand_id),
+ranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked recall@k of the LSH ANN against the exact brute-force
+    top-k: one row (n_exact, n_found, recall). Fully oracle-checkable
+    now that both sides are cross-engine deterministic — a silent
+    recall collapse (or an accidental recall *change* from retuning
+    bits/tables) turns this row red. On this ambient-similarity
+    fixture the number is LOW by the math in q_cosine_topk_lsh's
+    docstring — the point of checking it is that it is the real
+    number."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    found = (q_cosine_topk_lsh(spark, sf_dir)
+             .select("query_id", "cand_id").withColumn("_hit", F.lit(1)))
+    hits = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+    return (exact.join(found, on=["query_id", "cand_id"], how="left")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 hits.alias("n_found"),
+                 F.round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 .alias("recall")))
+
+
+ORACLE_SIM_LSH_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+lsh_side AS ({ORACLE_COSINE_TOPK_LSH})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.cand_id) AS BIGINT) AS n_found,
+       round(count(l.cand_id)::DOUBLE / count(*), 4) AS recall
+FROM exact_side x
+LEFT JOIN lsh_side l
+  ON x.query_id = l.query_id AND x.cand_id = l.cand_id
+"""
 
 
 # --- IVF (inverted-file) ANN ---------------------------------------------

@@ -92,7 +92,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_pagerank": dedup.q_dedup_pagerank,
     "dedup_triangles": dedup.q_dedup_triangles,
     "sim_cosine_topk": similarity.q_cosine_topk,
-    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,  # no oracle (LSH)
+    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
+    "sim_lsh_recall": similarity.q_sim_lsh_recall,
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
     "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
     "sim_label_centroids": similarity.q_label_centroids,
@@ -189,6 +190,8 @@ ORACLES: dict[str, str] = {
     "rel_salted_join": skew.ORACLE_SALTED_JOIN,
     "rel_bucketed_join": storage.ORACLE_BUCKETED_JOIN,
     "sim_cosine_topk": similarity.ORACLE_COSINE_TOPK,
+    "sim_cosine_topk_lsh": similarity.ORACLE_COSINE_TOPK_LSH,
+    "sim_lsh_recall": similarity.ORACLE_SIM_LSH_RECALL,
     "sim_cosine_topk_ivf": similarity.ORACLE_COSINE_TOPK_IVF,
     "sim_label_centroids": similarity.ORACLE_LABEL_CENTROIDS,
     "text_bm25": textstats.ORACLE_BM25,
