@@ -81,11 +81,11 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_fingerprint": dedup.q_dedup_fingerprint,
     "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,       # no oracle (LSH)
-    "dedup_simhash": dedup.q_dedup_simhash,               # no oracle (hash)
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
     "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
     "dedup_components": dedup.q_dedup_components,
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,  # no oracle (LSH edges)
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
     "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
     "dedup_simhash_check": dedup.q_dedup_simhash_check,
     "dedup_keep_one": dedup.q_dedup_keep_one,
@@ -177,6 +177,9 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": dedup.ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_components": dedup.ORACLE_DEDUP_COMPONENTS,
+    "dedup_minhash_lsh": dedup.ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": dedup.ORACLE_DEDUP_SIMHASH,
+    "dedup_components_lsh": dedup.ORACLE_DEDUP_COMPONENTS_LSH,
     "dedup_lsh_recall": dedup.ORACLE_DEDUP_LSH_RECALL,
     "dedup_simhash_check": dedup.ORACLE_DEDUP_SIMHASH_CHECK,
     "dedup_keep_one": dedup.ORACLE_DEDUP_KEEP_ONE,
