@@ -942,3 +942,38 @@ SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
 FROM p a JOIN p b ON a.block = b.block AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DISTANCE}
 """
+
+
+# --- unpivot / melt ------------------------------------------------------
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (melt): the three lineitem measures become
+    (metric, val) rows, then a per-metric summary. Spark's native
+    unpivot plans a single Expand pass — one scan emitting 3 rows per
+    input row, no self-union re-scan (the UNION ALL form in the oracle
+    re-reads the table per measure; fine for DuckDB at oracle scale,
+    wrong at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric", valueColumnName="val")
+    return (long.groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("val"), 4).alias("total"),
+                 F.round(F.avg("val"), 6).alias("mean")))
+
+
+ORACLE_UNPIVOT = """
+WITH long AS (
+    SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+       round(sum(val), 4) AS total, round(avg(val), 6) AS mean
+FROM long GROUP BY metric
+"""

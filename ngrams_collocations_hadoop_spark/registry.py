@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_event_transitions": rel.q_event_transitions,  # Markov matrix
     "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
     "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
+    "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
     "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
     "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
     "text_token_positions": textstats.q_token_positions,
@@ -168,6 +169,7 @@ ORACLES: dict[str, str] = {
     "rel_event_transitions": rel.ORACLE_EVENT_TRANSITIONS,
     "rel_key_skew": rel.ORACLE_KEY_SKEW,
     "rel_fuzzy_match": rel.ORACLE_FUZZY_MATCH,
+    "rel_unpivot": rel.ORACLE_UNPIVOT,
     "dedup_triangles": dedup.ORACLE_DEDUP_TRIANGLES,
     "text_contamination": textstats.ORACLE_CONTAMINATION,
     "stream_dedup_bounded": sw.ORACLE_STREAM_DEDUP_BOUNDED,

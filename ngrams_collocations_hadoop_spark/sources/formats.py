@@ -150,3 +150,31 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Quoted, headered CSV sink (RFC-4180-style quoting — the
+    interchange format the TSV sink's quote-free contract can't carry:
+    embedded delimiters/newlines round-trip via quotes + escaping)."""
+    (df.write.mode("overwrite")
+     .option("header", "true").option("quote", '"').option("escape", '"')
+     .csv(path))
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: T.StructType) -> DataFrame:
+    """Schema'd CSV scan matching write_csv; malformed lines drop
+    silently (mode=DROPMALFORMED), the same silent-drop contract as
+    the TSV/JSONL readers (reference: parse failures skip the
+    record).
+
+    multiLine=true so quoted embedded newlines round-trip — which
+    makes each FILE the split unit (a record may span line breaks, so
+    Spark cannot chunk by byte ranges). At 100 TB that means
+    parallelism = file count: keep CSV files small-ish, or avoid
+    embedded newlines and flip this off to get byte-range splits."""
+    return (spark.read.schema(schema)
+            .option("header", "true").option("quote", '"')
+            .option("escape", '"').option("mode", "DROPMALFORMED")
+            .option("multiLine", "true")
+            .csv(path))

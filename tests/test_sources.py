@@ -151,3 +151,33 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = physical_plan(back)
     assert "PushedFilters: [" in plan and "lang" in plan.split(
         "PushedFilters:")[1].split("]")[0]
+
+
+def test_csv_roundtrip_quoting_and_silent_drop(spark):
+    from ngrams_collocations_hadoop_spark.sources.formats import (
+        read_csv, write_csv)
+
+    d = tempfile.mkdtemp(prefix="csv_")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    rows = [(1, 'plain', 0.5),
+            (2, 'comma, inside', 1.5),
+            (3, 'quote " inside', 2.5),
+            (4, 'newline\ninside', 3.5)]
+    df = spark.createDataFrame(rows, schema)
+    write_csv(df, f"{d}/t")
+    back = read_csv(spark, f"{d}/t", schema)
+    # embedded delimiter/quote/newline all survive the round trip
+    assert sorted((r["id"], r["text"], r["score"])
+                  for r in back.collect()) == sorted(rows)
+
+    # a malformed line (wrong arity, unparseable number) drops silently
+    with open(f"{d}/t/zz_extra.csv", "w") as f:
+        f.write("id,text,score\n")
+        f.write('9,ok,4.5\n')
+        f.write('not-a-number,bad,xx,extra,fields\n')
+    back2 = read_csv(spark, f"{d}/t", schema)
+    assert sorted(r["id"] for r in back2.collect()) == [1, 2, 3, 4, 9]
