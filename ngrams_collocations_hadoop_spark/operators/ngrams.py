@@ -159,3 +159,33 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(-F.log("p")) / F.count("p"), 6)
                  .alias("cross_entropy"))
             .filter(F.col("n_scored") > 0))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, decade) vocabulary size and NEW-vocabulary rate: a
+    word is new in the first decade it ever appears. The diachronic
+    profile a corpus linguist asks of n-gram data (and a drift signal
+    for training-data curation).
+
+    Shape: the distinct (lang, word, decade) set is one partial-agg'd
+    shuffle; first-decade per word is a second groupBy over that
+    already-deduplicated set (vocabulary-bounded, not corpus-bounded);
+    the final per-decade rollup is constant-sized. No windows over raw
+    records, no re-scan."""
+    from ..functions.text import clean_token, decade
+    from ..sources.ngram_source import unigram_records
+
+    recs = unigram_records(spark, sf_dir).select(
+        "lang", decade(F.col("year")).alias("decade"),
+        clean_token(F.col("token")).alias("word"))
+    dis = (recs.filter(F.col("word") != "")
+           .dropDuplicates(["lang", "decade", "word"]))
+    first = dis.groupBy("lang", "word").agg(
+        F.min("decade").alias("first_decade"))
+    return (dis.join(first, on=["lang", "word"])
+            .groupBy("lang", "decade")
+            .agg(F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum((F.col("first_decade") == F.col("decade"))
+                       .cast("long")).alias("n_new"))
+            .withColumn("new_ratio",
+                        F.round(F.col("n_new") / F.col("n_vocab"), 6)))

@@ -977,3 +977,100 @@ SELECT metric, CAST(count(*) AS BIGINT) AS n,
        round(sum(val), 4) AS total, round(avg(val), 6) AS mean
 FROM long GROUP BY metric
 """
+
+
+# --- equi-depth histogram ------------------------------------------------
+
+HIST_BINS = 10
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of order value: ntile(10) bins
+    with per-bin count/min/max/sum — the data-profiling complement of
+    the equi-width bucket (each bin holds ~the same row count, so bin
+    EDGES describe the distribution). The ntile is one global sort
+    exchange; at 100 TB you'd swap it for approx_percentile edges +
+    a broadcast bucket join — same output contract, sketch-accurate
+    edges (the sketch form is exercised by rel_approx_sketches)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_totalprice",
+        F.ntile(HIST_BINS).over(w).cast("long").alias("bin"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 4).alias("lo"),
+                 F.round(F.max("o_totalprice"), 4).alias("hi"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total")))
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = f"""
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi,
+       round(sum(o_totalprice), 4) AS total
+FROM (SELECT o_totalprice,
+             CAST(ntile({HIST_BINS}) OVER
+                  (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+      FROM orders)
+GROUP BY bin
+"""
+
+
+# --- first/last/nth window family ---------------------------------------
+
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition —
+    the window functions rel_window_ranks doesn't cover. The frame is
+    pinned to the WHOLE partition (unbounded both ways): last_value's
+    default frame ends at CURRENT ROW, a classic cross-engine trap —
+    both engines get the explicit frame so the semantics are the
+    anchor row's partition extremes."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"))
+
+
+ORACLE_WINDOW_FIRSTLAST = """
+SELECT o_orderkey, o_orderpriority,
+       first_value(o_totalprice) OVER w AS cheapest,
+       last_value(o_totalprice) OVER w AS priciest,
+       nth_value(o_totalprice, 2) OVER w AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- ordered string aggregation ------------------------------------------
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: the region's nations as one
+    sorted comma-joined string. collect_list order is
+    partition-arrival-dependent, so the sort happens INSIDE the
+    aggregate output (array_sort before join) — the only way ordered
+    listagg is reproducible on a distributed engine."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r),
+                   n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("nations")))
+
+
+ORACLE_STRING_AGG = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""

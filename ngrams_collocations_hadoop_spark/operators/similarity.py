@@ -7,14 +7,16 @@ Two paths:
   row_number (WindowGroupLimitExec prunes before the shuffle). Exact;
   cost is |Q|·|N| — the right plan when |Q| is small, at any |N|.
 - ``q_cosine_topk_lsh`` — random-hyperplane LSH: candidates share a
-  signed-projection bucket with the query, then exact re-rank inside
-  the bucket. Sub-linear candidate sets at scale; approximate recall →
-  no SQL oracle (rows-only check), pinned by unit tests on crafted
-  duplicate vectors.
+  signed-projection bucket with the query in any of L tables, then
+  exact re-rank. Sub-linear candidate sets in its operating regime;
+  recall is approximate but the ALGORITHM is exactly reproducible in
+  SQL (md5-derived literal hyperplanes shared with the oracle), so the
+  query is hash-checked end to end and recall@k is itself a checked
+  scalar (``q_sim_lsh_recall``).
 
-Hyperplanes are deterministic pseudo-random (xxhash64-derived
-coefficients), so results are stable across runs and executors with no
-fit/model state.
+Hyperplanes are deterministic pseudo-random (md5-derived literal
+coefficients), so results are stable across runs, executors, and
+engines with no fit/model state.
 """
 
 from __future__ import annotations
@@ -462,4 +464,41 @@ ranked AS (
 SELECT query_id, cand_id, round(q_cosine, 6) AS q_cosine,
        round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+# --- embedding-dimension covariance matrix -------------------------------
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding dimensions (the
+    input to PCA / whitening / drift monitoring), upper triangle only.
+
+    Shape: double posexplode fans each vector to dim² (i, j, xi·xj)
+    terms map-side, then a partial-agg'd groupBy — shuffle volume is
+    bounded by partitions × dim², NEVER by corpus size; nothing
+    quadratic in rows. (The dim² fan-out is per-vector CPU, the price
+    of one-pass covariance; for dim ≫ 100 you'd block the matrix.)
+    covar_pop is a single-pass moment sketch in both engines."""
+    e = load_table(spark, sf_dir, "embeddings") \
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+    xi = e.select("v", F.posexplode("v").alias("i", "xi"))
+    xij = (xi.select("i", "xi", F.posexplode("v").alias("j", "xj"))
+           .filter(F.col("i") <= F.col("j")))
+    return (xij.groupBy("i", "j")
+            .agg(F.round(F.covar_pop("xi", "xj"), 6).alias("cov"))
+            .select(F.col("i").cast("long"), F.col("j").cast("long"),
+                    "cov"))
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+xi AS (
+    SELECT v, CAST(i - 1 AS BIGINT) AS i, v[i] AS xi
+    FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+xij AS (
+    SELECT i, xi, CAST(j - 1 AS BIGINT) AS j, v[j] AS xj
+    FROM xi, UNNEST(range(1, len(v) + 1)) AS s(j)
+    WHERE i <= j - 1)
+SELECT i, j, round(covar_pop(xi, xj), 6) AS cov
+FROM xij GROUP BY i, j
 """

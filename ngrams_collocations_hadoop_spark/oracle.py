@@ -216,3 +216,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM docbg_f LEFT JOIN lm USING (lang, decade, w1, w2)
 GROUP BY doc_id HAVING count(p) > 0
 """
+
+
+def vocab_growth_sql() -> str:
+    word = clean_token_sql("token")
+    return f"""
+WITH uni_raw AS ({UNIGRAM_RECORDS_SQL}),
+dis AS (
+    SELECT DISTINCT lang, {decade_sql('year')} AS decade,
+           {word} AS word
+    FROM uni_raw),
+dis_f AS (SELECT * FROM dis WHERE word <> ''),
+firsts AS (
+    SELECT lang, word, min(decade) AS first_decade
+    FROM dis_f GROUP BY lang, word)
+SELECT d.lang, d.decade,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(CASE WHEN f.first_decade = d.decade THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       round(sum(CASE WHEN f.first_decade = d.decade THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS new_ratio
+FROM dis_f d JOIN firsts f USING (lang, word)
+GROUP BY d.lang, d.decade
+"""

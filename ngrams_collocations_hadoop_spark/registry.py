@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_pmi_topk": ng.q_pmi_topk,
     "colloc_condprob": ng.q_condprob,               # bigram LM P(w2|w1)
     "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,  # LM quality filter
+    "colloc_vocab_growth": ng.q_vocab_growth,       # diachronic vocabulary
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     # --- relational operator coverage (§2 generalized + §2.8 gaps) ---
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
@@ -75,6 +76,9 @@ QUERIES: dict[str, QueryFn] = {
     "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
     "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
     "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
+    "rel_equidepth_histogram": rel.q_equidepth_histogram,
+    "rel_window_firstlast": rel.q_window_firstlast,
+    "rel_string_agg": rel.q_string_agg,
     "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
     "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
     "text_token_positions": textstats.q_token_positions,
@@ -98,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
     "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
     "sim_label_centroids": similarity.q_label_centroids,
+    "sim_embedding_covariance": similarity.q_embedding_covariance,
     "text_bm25": textstats.q_bm25,
     "text_token_count": textstats.q_token_count,
     "text_quality": textstats.q_text_quality,
@@ -134,6 +139,7 @@ ORACLES: dict[str, str] = {
     "colloc_pmi_topk": oracle.colloc_pmi_topk_sql(),
     "colloc_condprob": oracle.colloc_condprob_sql(),
     "colloc_doc_cross_entropy": oracle.colloc_doc_cross_entropy_sql(),
+    "colloc_vocab_growth": oracle.vocab_growth_sql(),
     "ngram_trigram_counts": oracle.trigram_counts_sql(),
     "rel_percentiles": rel.ORACLE_PERCENTILES,
     "rel_pricing_summary": rel.ORACLE_PRICING_SUMMARY,
@@ -170,6 +176,10 @@ ORACLES: dict[str, str] = {
     "rel_key_skew": rel.ORACLE_KEY_SKEW,
     "rel_fuzzy_match": rel.ORACLE_FUZZY_MATCH,
     "rel_unpivot": rel.ORACLE_UNPIVOT,
+    "rel_equidepth_histogram": rel.ORACLE_EQUIDEPTH_HISTOGRAM,
+    "rel_window_firstlast": rel.ORACLE_WINDOW_FIRSTLAST,
+    "rel_string_agg": rel.ORACLE_STRING_AGG,
+    "sim_embedding_covariance": similarity.ORACLE_EMBEDDING_COVARIANCE,
     "dedup_triangles": dedup.ORACLE_DEDUP_TRIANGLES,
     "text_contamination": textstats.ORACLE_CONTAMINATION,
     "stream_dedup_bounded": sw.ORACLE_STREAM_DEDUP_BOUNDED,
