@@ -1074,3 +1074,50 @@ SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+# --- incremental aggregate maintenance -----------------------------------
+
+def merge_partial_aggs(*partials: DataFrame) -> DataFrame:
+    """Merge per-batch partial aggregates (n, total) into the combined
+    rollup — the algebraic-aggregate contract that makes incremental
+    batch pipelines work: yesterday's aggregate + today's delta without
+    re-scanning history. Works for any commutative monoid state (count,
+    sum, min/max, HLL/quantile sketches); averages derive at read time.
+    """
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return (out.groupBy("event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.round(F.sum("total"), 4).alias("total"))
+            .withColumn("mean", F.round(F.col("total") / F.col("n"), 6)))
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup correctness: aggregate the events table as
+    two disjoint halves (old/new batch, split on event_id parity — a
+    stand-in for date partitions), merge the partial aggregates, and
+    emit the combined per-type stats. The oracle aggregates the whole
+    table directly, so any non-mergeable state or double-count in the
+    merge turns the row red. Scale: each batch aggregates only its own
+    partition pruning window; the merge shuffles |groups| rows, not
+    history."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"))
+
+    old = partial(e.filter(F.col("event_id") % 2 == 0))
+    new = partial(e.filter(F.col("event_id") % 2 == 1))
+    return merge_partial_aggs(old, new)
+
+
+ORACLE_INCREMENTAL_AGG = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total,
+       round(sum(value) / count(*), 6) AS mean
+FROM events GROUP BY event_type
+"""

@@ -79,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_equidepth_histogram": rel.q_equidepth_histogram,
     "rel_window_firstlast": rel.q_window_firstlast,
     "rel_string_agg": rel.q_string_agg,
+    "rel_incremental_agg": rel.q_incremental_agg,  # mergeable-state rollup
     "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
     "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
     "text_token_positions": textstats.q_token_positions,
@@ -179,6 +180,7 @@ ORACLES: dict[str, str] = {
     "rel_equidepth_histogram": rel.ORACLE_EQUIDEPTH_HISTOGRAM,
     "rel_window_firstlast": rel.ORACLE_WINDOW_FIRSTLAST,
     "rel_string_agg": rel.ORACLE_STRING_AGG,
+    "rel_incremental_agg": rel.ORACLE_INCREMENTAL_AGG,
     "sim_embedding_covariance": similarity.ORACLE_EMBEDDING_COVARIANCE,
     "dedup_triangles": dedup.ORACLE_DEDUP_TRIANGLES,
     "text_contamination": textstats.ORACLE_CONTAMINATION,
