@@ -37,8 +37,9 @@ def get_spark(app_name: str = "ngrams_collocations_hadoop_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS), which the Spark reader
-        # rejects; read as int64 nanos and convert in the loader.
+        # Some fixture generations store TIMESTAMP(NANOS), which the
+        # Spark reader rejects; read as int64 nanos and convert in the
+        # loader (no-op for micros-encoded fixtures).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir",

@@ -56,19 +56,43 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize fixture timestamp columns to TimestampType (LTZ, with
+    the session pinned to UTC) regardless of how the parquet writer
+    encoded them. The driver has shipped two encodings across rounds:
+
+    - TIMESTAMP(NANOS), surfaced as int64 nanos via
+      ``spark.sql.legacy.parquet.nanosAsLong`` → convert with integer
+      division (ns → µs): a double division would lose precision at
+      1.7e18 ns, and DuckDB's ns→µs cast truncates identically.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; cast to
+      LTZ (a value-preserving reinterpretation under the UTC session
+      timezone) so every downstream operator — watermarks, windows,
+      unix_timestamp — sees one type either way.
+
+    Only the known fixture timestamp columns are touched; a plain int64
+    column like ``event_id`` must not be reinterpreted.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    ts_cols = {"ts", "o_orderdate", "l_shipdate"}
+    for field in df.schema.fields:
+        if field.name not in ts_cols:
+            continue
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos via
-        # spark.sql.legacy.parquet.nanosAsLong. Convert with integer
-        # division (ns → µs): a double division would lose precision at
-        # 1.7e18 ns. The fixture has no sub-µs components (verified), and
-        # DuckDB's ns→µs cast truncates identically.
-        from pyspark.sql import functions as F
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

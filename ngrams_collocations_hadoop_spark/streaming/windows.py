@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import _ensure_session_confs
+from ..sources.tables import _ensure_session_confs, normalize_timestamps
 
 SESSION_GAP_SECONDS = 1800
 
@@ -58,7 +58,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamps(stream)
 
 
 # State-store partition count for the run-to-completion harness. Every
@@ -273,10 +273,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-checking oracle (any dedup failure doubles n)."""
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1")
-              .parquet(_dup_stream_dir(sf_dir))
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = normalize_timestamps(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_dup_stream_dir(sf_dir)))
     return _run_to_completion(
         dedup_stream(stream), "stream_dedup_out", "complete")
 
@@ -432,9 +432,9 @@ def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator under test."""
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .parquet(_dup_stream_dir(sf_dir))
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = normalize_timestamps(
+        spark.readStream.schema(schema)
+        .parquet(_dup_stream_dir(sf_dir)))
     deduped = (stream.withWatermark("ts", "10 minutes")
                .dropDuplicatesWithinWatermark(["event_id"]))
     sink = _run_to_completion(
