@@ -616,15 +616,28 @@ FROM sess GROUP BY user_id, session_seq
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates per event_type: HyperLogLog++
     distinct users (approx_count_distinct, rsd 1%) and t-digest-style
-    value quantiles (approx_percentile, accuracy 10000), alongside their
-    exact counterparts.
+    value quantiles (approx_percentile, accuracy 10000), checked
+    IN-QUERY against their exact counterparts.
 
-    At 100 TB these are the only viable forms — exact count-distinct
-    shuffles every key and exact percentiles sort every value, while
-    both sketches are fixed-size, mergeable map-side state (one narrow
-    partial-agg shuffle, same shape as a sum). Approximate outputs have
-    no cross-engine oracle → rows-only driver check; accuracy is pinned
-    against the exact columns in tests/test_interval_components.py.
+    At 100 TB the sketches are the only viable forms — exact
+    count-distinct shuffles every key and exact percentiles sort every
+    value, while both sketches are fixed-size, mergeable map-side state
+    (one narrow partial-agg shuffle, same shape as a sum).
+
+    Oracle strategy: sketch values have no cross-engine twin (DuckDB's
+    HLL/t-digest internals differ), so the approximate outputs are
+    projected as WITHIN-BOUND BOOLEANS rather than raw values — the
+    exact columns are oracle-computed for real, and the booleans are
+    oracled as literal TRUE:
+    - ``approx_users_within_rsd``: |HLL − exact| ≤ max(5%·exact, 2) —
+      5× the 1% rsd, so a pass is deterministic for any correctly
+      merged sketch while a broken merge (>5σ) turns it false.
+    - ``approx_pXX_within_eps``: the t-digest value lies between the
+      exact quantiles at q∓0.01 — accuracy 10000 guarantees rank error
+      ≤ 1e-4·N, a 100× margin, and the window bounds are themselves
+      exact (both engines reproduce them bit-for-bit).
+    This is the ``dedup_simhash_check`` pattern: assert the invariant
+    as data, hash-check the assertion.
 
     Quantiles are projected as scalar columns (not array<double>):
     driver/BI result canonicalizers hash row values, and nested arrays
@@ -632,19 +645,36 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     quants = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
-    exacts = F.expr("percentile(value, array(0.5, 0.99))")
+    exacts = F.expr(
+        "percentile(value, array(0.5, 0.99, 0.49, 0.51, 0.985, 0.995))")
+    aq, eq = F.col("_aq"), F.col("_eq")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01)
-        .alias("approx_users"),
+        .alias("_approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         quants.alias("_aq"), exacts.alias("_eq"),
     ).select(
-        "event_type", "approx_users", "exact_users",
-        F.round(F.col("_aq")[0], 4).alias("approx_p50"),
-        F.round(F.col("_aq")[1], 4).alias("approx_p99"),
-        F.round(F.col("_eq")[0], 4).alias("exact_p50"),
-        F.round(F.col("_eq")[1], 4).alias("exact_p99"),
+        "event_type", "exact_users",
+        F.round(eq[0], 4).alias("exact_p50"),
+        F.round(eq[1], 4).alias("exact_p99"),
+        (F.abs(F.col("_approx_users") - F.col("exact_users"))
+         <= F.greatest(F.lit(0.05) * F.col("exact_users"), F.lit(2.0)))
+        .alias("approx_users_within_rsd"),
+        aq[0].between(eq[2], eq[3]).alias("approx_p50_within_eps"),
+        aq[1].between(eq[4], eq[5]).alias("approx_p99_within_eps"),
     )
+
+
+ORACLE_APPROX_SKETCHES = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       round(quantile_cont(value, 0.99), 4) AS exact_p99,
+       TRUE AS approx_users_within_rsd,
+       TRUE AS approx_p50_within_eps,
+       TRUE AS approx_p99_within_eps
+FROM events GROUP BY event_type
+"""
 
 
 def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,8 +25,76 @@ from . import sql_api
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# ORDERING POLICY: the driver's correctness harness adjudicates a
+# 50-query window from the FRONT of this dict each round, so entries are
+# ordered by adjudication need, not by topic:
+#   1. queries with no fully-green driver row in any round yet (r01
+#      checked positions 1-50 of the round-1 ordering, r02 the same 50 —
+#      everything added later was never officially adjudicated);
+#   2. queries whose implementation changed this round (need a fresh row);
+#   3. new queries added this round;
+#   4. queries green in r01 but not re-checked since;
+#   5. queries green in r02 (the original first-50) last.
+# Rotate per round so every query's latest code has an official
+# CORRECTNESS row. The topic grouping lives in each operator module.
 QUERIES: dict[str, QueryFn] = {
-    # --- collocation pipeline (reference parity, SURVEY.md §2.9) ---
+    # --- (1) no fully-green driver row yet (r01/r02 window missed) ---
+    "rel_string_agg": rel.q_string_agg,
+    "rel_incremental_agg": rel.q_incremental_agg,  # mergeable-state rollup
+    "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
+    "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
+    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
+    "dedup_simhash_check": dedup.q_dedup_simhash_check,
+    "dedup_keep_one": dedup.q_dedup_keep_one,
+    "dedup_pagerank": dedup.q_dedup_pagerank,
+    "dedup_triangles": dedup.q_dedup_triangles,
+    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
+    "sim_lsh_recall": similarity.q_sim_lsh_recall,
+    "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
+    "sim_embedding_covariance": similarity.q_embedding_covariance,
+    "text_quality": textstats.q_text_quality,
+    "text_lang_id": textstats.q_lang_id,
+    "text_fingerprint": textstats.q_fingerprint,
+    "text_train_test_split": textstats.q_train_test_split,
+    "text_pii_redact": textstats.q_pii_redact,
+    "text_repetition": textstats.q_repetition,
+    "text_corpus_stats": textstats.q_corpus_stats,
+    "text_tfidf": textstats.q_tfidf,
+    "text_contamination": textstats.q_contamination,
+    "text_stratified_sample": textstats.q_stratified_sample,
+    "mm_binary_stats": multimodal.q_mm_binary_stats,
+    "mm_frame_sample": multimodal.q_mm_frame_sample,
+    # Structured Streaming (run to completion via AvailableNow)
+    "stream_tumbling": sw.q_stream_tumbling,
+    "stream_session": sw.q_stream_session,
+    "stream_stateful_totals": sw.q_stream_stateful_totals,
+    "stream_dedup": sw.q_stream_dedup,
+    "stream_sliding": sw.q_stream_sliding,
+    "stream_enrich": sw.q_stream_enrich,
+    "stream_pair_join": sw.q_stream_pair_join,
+    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
+    # --- (2) implementation changed this round ---
+    "rel_approx_sketches": rel.q_approx_sketches,
+    # --- (3) new this round (inserted as implemented) ---
+    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
+    "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
+    "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
+    # --- (4) green in r01, unchanged since ---
+    "text_token_positions": textstats.q_token_positions,
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_fingerprint": dedup.q_dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
+    "dedup_components": dedup.q_dedup_components,
+    "sim_cosine_topk": similarity.q_cosine_topk,
+    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
+    "sim_label_centroids": similarity.q_label_centroids,
+    "text_bm25": textstats.q_bm25,
+    "text_token_count": textstats.q_token_count,
+    # --- (5) green in r02 (collocation pipeline, SURVEY.md §2.9) ---
     "colloc_unigram_counts": co.q_unigram_counts,   # A2 (+P1-P6, J4)
     "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
     "colloc_totals": co.q_totals,                   # A4
@@ -39,7 +107,7 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,  # LM quality filter
     "colloc_vocab_growth": ng.q_vocab_growth,       # diachronic vocabulary
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
-    # --- relational operator coverage (§2 generalized + §2.8 gaps) ---
+    # --- (5) green in r02 (relational coverage, §2 generalized) ---
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
     "rel_percentiles": rel.q_percentiles,
     "rel_distinct_agg": rel.q_distinct_agg,
@@ -68,7 +136,6 @@ QUERIES: dict[str, QueryFn] = {
     "rel_merge_upsert": mg.q_merge_upsert,
     "rel_scalar_subquery": rel.q_scalar_subquery,
     "rel_global_sort": rel.q_global_sort,
-    "rel_approx_sketches": rel.q_approx_sketches,  # no oracle (sketches)
     "rel_window_range": rel.q_window_range,         # time-RANGE frame
     "rel_funnel": rel.q_funnel,                     # staged min-ts cascade
     "rel_anomaly_zscore": rel.q_anomaly_zscore,
@@ -78,55 +145,6 @@ QUERIES: dict[str, QueryFn] = {
     "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
     "rel_equidepth_histogram": rel.q_equidepth_histogram,
     "rel_window_firstlast": rel.q_window_firstlast,
-    "rel_string_agg": rel.q_string_agg,
-    "rel_incremental_agg": rel.q_incremental_agg,  # mergeable-state rollup
-    "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
-    "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
-    "text_token_positions": textstats.q_token_positions,
-    # --- training-data-pipeline extensions (BASELINE.json north star) ---
-    "dedup_exact": dedup.q_dedup_exact,
-    "dedup_fingerprint": dedup.q_dedup_fingerprint,
-    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
-    "dedup_components": dedup.q_dedup_components,
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,
-    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
-    "dedup_simhash_check": dedup.q_dedup_simhash_check,
-    "dedup_keep_one": dedup.q_dedup_keep_one,
-    "dedup_pagerank": dedup.q_dedup_pagerank,
-    "dedup_triangles": dedup.q_dedup_triangles,
-    "sim_cosine_topk": similarity.q_cosine_topk,
-    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
-    "sim_lsh_recall": similarity.q_sim_lsh_recall,
-    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
-    "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
-    "sim_label_centroids": similarity.q_label_centroids,
-    "sim_embedding_covariance": similarity.q_embedding_covariance,
-    "text_bm25": textstats.q_bm25,
-    "text_token_count": textstats.q_token_count,
-    "text_quality": textstats.q_text_quality,
-    "text_lang_id": textstats.q_lang_id,
-    "text_fingerprint": textstats.q_fingerprint,
-    "text_train_test_split": textstats.q_train_test_split,
-    "text_pii_redact": textstats.q_pii_redact,
-    "text_repetition": textstats.q_repetition,
-    "text_corpus_stats": textstats.q_corpus_stats,
-    "text_tfidf": textstats.q_tfidf,
-    "text_contamination": textstats.q_contamination,
-    "text_stratified_sample": textstats.q_stratified_sample,
-    "mm_binary_stats": multimodal.q_mm_binary_stats,
-    "mm_frame_sample": multimodal.q_mm_frame_sample,
-    # --- Structured Streaming (run to completion via AvailableNow) ---
-    "stream_tumbling": sw.q_stream_tumbling,
-    "stream_session": sw.q_stream_session,
-    "stream_stateful_totals": sw.q_stream_stateful_totals,
-    "stream_dedup": sw.q_stream_dedup,
-    "stream_sliding": sw.q_stream_sliding,
-    "stream_enrich": sw.q_stream_enrich,
-    "stream_pair_join": sw.q_stream_pair_join,
-    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
 }
 
 ORACLES: dict[str, str] = {
@@ -136,6 +154,7 @@ ORACLES: dict[str, str] = {
     "colloc_scored": oracle.colloc_scored_sql(),
     "colloc_topk": oracle.colloc_topk_sql(),
     "colloc_topk_sql": oracle.colloc_topk_sql(),    # same oracle as colloc_topk
+    "rel_approx_sketches": rel.ORACLE_APPROX_SKETCHES,
     "colloc_assoc": oracle.colloc_assoc_sql(),
     "colloc_pmi_topk": oracle.colloc_pmi_topk_sql(),
     "colloc_condprob": oracle.colloc_condprob_sql(),
@@ -197,7 +216,10 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_recall": dedup.ORACLE_DEDUP_LSH_RECALL,
     "dedup_simhash_check": dedup.ORACLE_DEDUP_SIMHASH_CHECK,
     "dedup_keep_one": dedup.ORACLE_DEDUP_KEEP_ONE,
+    "dedup_keep_one_lsh": dedup.ORACLE_DEDUP_KEEP_ONE_LSH,
     "dedup_pagerank": dedup.ORACLE_DEDUP_PAGERANK,
+    "dedup_pagerank_lsh": dedup.ORACLE_DEDUP_PAGERANK_LSH,
+    "dedup_triangles_lsh": dedup.ORACLE_DEDUP_TRIANGLES_LSH,
     "sim_cosine_topk_quantized": similarity.ORACLE_COSINE_TOPK_QUANTIZED,
     "text_tfidf": textstats.ORACLE_TFIDF,
     "text_stratified_sample": textstats.ORACLE_STRATIFIED_SAMPLE,
