@@ -28,6 +28,32 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     lang: _CORE_STOP + _LANG_EXTRA[lang] for lang in LANGS
 }
 
+# Hebrew parity (the reference's second corpus: Hebrew with its own
+# stopword list, reference ``Stopwords.java`` heb block and
+# ``Constants.java:8``). The fixture corpus has no lang='he' documents,
+# so the Hebrew pipeline variant derives one deterministically: lower()
+# then a fixed latin→Hebrew codepoint translate() — expressible
+# identically in Spark and DuckDB. 26 distinct Hebrew glyphs (22
+# letters + 4 final forms) keep the map injective, so distinct words
+# stay distinct and the corpus statistics are isomorphic to English.
+TRANSLIT_LATIN = "abcdefghijklmnopqrstuvwxyz"
+TRANSLIT_HEBREW = "אבגדהוזחטיכלמנסעפצקרשתםןץף"
+assert len(TRANSLIT_HEBREW) == len(TRANSLIT_LATIN)
+
+_TO_HEBREW = str.maketrans(TRANSLIT_LATIN, TRANSLIT_HEBREW)
+
+
+def to_hebrew(word: str) -> str:
+    """Transliterate a lowercase token the way the Hebrew record
+    derivation does (Python twin of the translate() expression)."""
+    return word.lower().translate(_TO_HEBREW)
+
+
+# The he stopword list is the transliteration of the core list plus a
+# language-specific extra, so the per-(lang, word) anti-join stays
+# observable for Hebrew exactly as for the Latin-script languages.
+STOPWORDS["he"] = tuple(to_hebrew(w) for w in _CORE_STOP + ("is",))
+
 # Deterministic derivation of reference-shaped ngram records from the
 # `documents` fixture table (FIXTURES.md §B): each document contributes
 # its whitespace tokens as unigram records and adjacent pairs as bigram
@@ -44,7 +70,7 @@ LLR_ROUND = 6
 
 def stopword_rows() -> list[tuple[str, str]]:
     """Flat (lang, word) rows for building a DataFrame or SQL VALUES list."""
-    return [(lang, w) for lang in LANGS for w in STOPWORDS[lang]]
+    return [(lang, w) for lang in STOPWORDS for w in STOPWORDS[lang]]
 
 
 def stopword_values_sql() -> str:

@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 from ..constants import LLR_ROUND, TOP_K
 from ..functions.llr import llr
 from ..functions.text import clean_token, decade
-from ..sources.ngram_source import bigram_records, unigram_records
+from ..sources.ngram_source import (
+    bigram_records,
+    hebrew_bigram_records,
+    hebrew_unigram_records,
+    unigram_records,
+)
 from ..sources.tables import stopwords_df
 
 
@@ -222,3 +227,21 @@ def q_scored(spark: SparkSession, sf_dir: str,
 
 def q_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     return top_collocations(q_scored(spark, sf_dir), k)
+
+
+def q_hebrew_topk(spark: SparkSession, sf_dir: str,
+                  k: int = TOP_K) -> DataFrame:
+    """The full flagship pipeline over the derived Hebrew corpus
+    (lang='he', RTL script) with the Hebrew stopword list — the
+    reference's second-corpus surface (its heb stopword block in
+    ``Stopwords.java``; EMR run in ``Analysis.md``). Exercises clean →
+    stopword anti-join → counts → joins → LLR → Top-K end to end on
+    non-Latin text; same operators, different codepoint plane."""
+    stop = stopwords_df(spark)
+    uni = clean_unigrams(hebrew_unigram_records(spark, sf_dir), stop)
+    big = clean_bigrams(hebrew_bigram_records(spark, sf_dir), stop)
+    c1_df = unigram_counts(uni)
+    totals_df = (c1_df.groupBy("lang", "decade")
+                 .agg(F.sum("c1").alias("n_total")))
+    scored = score_collocations(bigram_counts(big), c1_df, totals_df)
+    return top_collocations(scored, k)

@@ -14,18 +14,27 @@ from .constants import LLR_ROUND, TOP_K, stopword_values_sql
 from .functions.assoc import chi_square_sql, pmi_sql, t_score_sql
 from .functions.llr import llr_sql
 from .functions.text import clean_token_sql, decade_sql
-from .sources.ngram_source import BIGRAM_RECORDS_SQL, UNIGRAM_RECORDS_SQL
+from .sources.ngram_source import (
+    BIGRAM_RECORDS_SQL,
+    HEBREW_TEXT_SQL,
+    UNIGRAM_RECORDS_SQL,
+    bigram_records_sql,
+    unigram_records_sql,
+)
 
 
-def ngram_ctes() -> str:
+def ngram_ctes(uni_sql: str = UNIGRAM_RECORDS_SQL,
+               big_sql: str = BIGRAM_RECORDS_SQL) -> str:
     """The shared WITH-clause body for all collocation-pipeline oracles:
-    raw records -> cleaned/filtered streams -> counts -> scored."""
+    raw records -> cleaned/filtered streams -> counts -> scored. The
+    record-source CTEs are parameterizable (the Hebrew variant swaps in
+    the transliterated corpus; everything downstream is identical)."""
     uni_word = clean_token_sql("token")
     w1 = clean_token_sql("token1")
     w2 = clean_token_sql("token2")
     return f"""
-uni_raw AS ({UNIGRAM_RECORDS_SQL}),
-big_raw AS ({BIGRAM_RECORDS_SQL}),
+uni_raw AS ({uni_sql}),
+big_raw AS ({big_sql}),
 stop AS (SELECT * FROM {stopword_values_sql()}),
 uni AS (
     SELECT u.lang, u.decade, u.word, u.occ
@@ -158,9 +167,9 @@ GROUP BY lang, decade, w1, w2, w3
 """
 
 
-def colloc_topk_sql(k: int = TOP_K) -> str:
+def colloc_topk_sql(k: int = TOP_K, ctes: str | None = None) -> str:
     return f"""
-WITH {ngram_ctes()},
+WITH {ctes if ctes is not None else ngram_ctes()},
 ranked AS (
     SELECT lang, decade, w1 || ' ' || w2 AS bigram, llr,
            CAST(row_number() OVER (
@@ -170,6 +179,16 @@ ranked AS (
 )
 SELECT lang, decade, bigram, llr, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def colloc_hebrew_topk_sql(k: int = TOP_K) -> str:
+    """The flagship oracle over the derived Hebrew corpus: identical
+    pipeline SQL with the record sources swapped for the transliterated
+    text and lang pinned to 'he'."""
+    from .sources.ngram_source import HEBREW_WHERE_SQL
+    return colloc_topk_sql(k, ngram_ctes(
+        unigram_records_sql(HEBREW_TEXT_SQL, "'he'", HEBREW_WHERE_SQL),
+        bigram_records_sql(HEBREW_TEXT_SQL, "'he'", HEBREW_WHERE_SQL)))
 
 
 def colloc_condprob_sql() -> str:

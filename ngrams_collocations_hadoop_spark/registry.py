@@ -82,6 +82,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
     "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
     "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
+    "colloc_hebrew_topk": co.q_hebrew_topk,         # second-corpus (RTL) parity
     # --- (4) green in r01, unchanged since ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -154,6 +155,7 @@ ORACLES: dict[str, str] = {
     "colloc_scored": oracle.colloc_scored_sql(),
     "colloc_topk": oracle.colloc_topk_sql(),
     "colloc_topk_sql": oracle.colloc_topk_sql(),    # same oracle as colloc_topk
+    "colloc_hebrew_topk": oracle.colloc_hebrew_topk_sql(),
     "rel_approx_sketches": rel.ORACLE_APPROX_SKETCHES,
     "colloc_assoc": oracle.colloc_assoc_sql(),
     "colloc_pmi_topk": oracle.colloc_pmi_topk_sql(),

@@ -22,28 +22,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..constants import TRANSLIT_HEBREW, TRANSLIT_LATIN
 from ..sources.tables import fan_out as _fan_out, load_table
 
+# The Hebrew corpus derivation (reference second corpus,
+# ``Stopwords.java`` heb block): lower() then codepoint translate() —
+# the SAME expression string is used by the Spark operators (F.expr)
+# and the DuckDB oracle, so the two corpora cannot drift.
+HEBREW_TEXT_SQL = (f"translate(lower(text), "
+                   f"'{TRANSLIT_LATIN}', '{TRANSLIT_HEBREW}')")
 
-def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str,
+                      text_sql: str = "text",
+                      lang_sql: str = "lang",
+                      where_sql: str = "TRUE") -> DataFrame:
     docs = _fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", "lang",
+    return docs.filter(F.expr(where_sql)).select(
+        "doc_id", F.expr(lang_sql).alias("lang"),
         (F.lit(2000) + F.col("doc_id") % 30).cast("long").alias("year"),
         (F.lit(1) + F.col("doc_id") % 5).cast("long").alias("occurrences"),
-        F.split(F.col("text"), " ").alias("ts"),
+        F.split(F.expr(text_sql), " ").alias("ts"),
     )
 
 
-def unigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_records(spark: SparkSession, sf_dir: str,
+                    text_sql: str = "text",
+                    lang_sql: str = "lang",
+                    where_sql: str = "TRUE") -> DataFrame:
     """(lang, token, year, occurrences) — raw, pre-cleaning."""
     return (
-        _docs_with_tokens(spark, sf_dir)
+        _docs_with_tokens(spark, sf_dir, text_sql, lang_sql, where_sql)
         .select("lang", "year", "occurrences", F.explode("ts").alias("token"))
     )
 
 
-def bigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The Hebrew corpus derives from the ENGLISH documents only (one
+# source corpus -> one derived corpus, mirroring the reference's
+# separate eng/heb EMR runs); the injective transliteration then makes
+# the he pipeline output exactly the transliterated en output — pinned
+# by test_hebrew_pipeline_parity.
+HEBREW_WHERE_SQL = "lang = 'en'"
+
+
+def hebrew_unigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram records of the derived Hebrew corpus (lang='he')."""
+    return unigram_records(spark, sf_dir, HEBREW_TEXT_SQL, "'he'",
+                           HEBREW_WHERE_SQL)
+
+
+def bigram_records(spark: SparkSession, sf_dir: str,
+                   text_sql: str = "text",
+                   lang_sql: str = "lang",
+                   where_sql: str = "TRUE") -> DataFrame:
     """(lang, token1, token2, year, occurrences) — adjacent pairs.
 
     `transform` over a slice pairs ts[i] with ts[i+1] entirely JVM-side
@@ -55,34 +86,51 @@ def bigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, i) -> struct(x AS token1, ts[i + 1] AS token2))"
     )
     return (
-        _docs_with_tokens(spark, sf_dir)
+        _docs_with_tokens(spark, sf_dir, text_sql, lang_sql, where_sql)
         .select("lang", "year", "occurrences", F.explode(pairs).alias("bg"))
         .select("lang", F.col("bg.token1").alias("token1"),
                 F.col("bg.token2").alias("token2"), "year", "occurrences")
     )
 
 
+def hebrew_bigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram records of the derived Hebrew corpus (lang='he')."""
+    return bigram_records(spark, sf_dir, HEBREW_TEXT_SQL, "'he'",
+                          HEBREW_WHERE_SQL)
+
+
 # --- DuckDB-oracle CTE bodies (same derivation in ANSI SQL) -------------
 
-UNIGRAM_RECORDS_SQL = """
-    SELECT lang,
+def unigram_records_sql(text_sql: str = "text",
+                        lang_sql: str = "lang",
+                        where_sql: str = "TRUE") -> str:
+    return f"""
+    SELECT {lang_sql} AS lang,
            CAST(2000 + doc_id % 30 AS BIGINT) AS year,
            CAST(1 + doc_id % 5 AS BIGINT) AS occurrences,
-           unnest(string_split(text, ' ')) AS token
-    FROM documents
+           unnest(string_split({text_sql}, ' ')) AS token
+    FROM documents WHERE {where_sql}
 """
 
-BIGRAM_RECORDS_SQL = """
+
+def bigram_records_sql(text_sql: str = "text",
+                       lang_sql: str = "lang",
+                       where_sql: str = "TRUE") -> str:
+    return f"""
     SELECT lang,
            ts[i] AS token1,
            ts[i + 1] AS token2,
            year,
            occurrences
     FROM (
-        SELECT lang,
+        SELECT {lang_sql} AS lang,
                CAST(2000 + doc_id % 30 AS BIGINT) AS year,
                CAST(1 + doc_id % 5 AS BIGINT) AS occurrences,
-               string_split(text, ' ') AS ts
-        FROM documents
+               string_split({text_sql}, ' ') AS ts
+        FROM documents WHERE {where_sql}
     ) t, UNNEST(range(1, len(ts))) AS u(i)
 """
+
+
+UNIGRAM_RECORDS_SQL = unigram_records_sql()
+BIGRAM_RECORDS_SQL = bigram_records_sql()

@@ -139,3 +139,34 @@ def test_topk_cutoff_and_tiebreak(spark):
 
 
 # (registry-wide DuckDB differential coverage lives in test_registry.py)
+
+
+def test_hebrew_pipeline_parity(spark):
+    """The derived Hebrew corpus is isomorphic to the English one under
+    the injective transliteration, so the he top-k must be exactly the
+    en top-k with every bigram transliterated (stopword lists
+    correspond; LLR depends only on counts, which the bijection
+    preserves)."""
+    from ngrams_collocations_hadoop_spark.constants import to_hebrew
+    from ngrams_collocations_hadoop_spark.operators.collocations import (
+        q_hebrew_topk, q_topk,
+    )
+    sf = "/root/testdata/sf0.001"
+    he = {(r["decade"], r["bigram"]): (r["llr"], r["rank"])
+          for r in q_hebrew_topk(spark, sf).collect()}
+    assert he and all(k[1] for k in he)  # nonempty, he rows present
+    en = {(r["decade"], to_hebrew(r["bigram"])): (r["llr"], r["rank"])
+          for r in q_topk(spark, sf).collect()
+          if r["lang"] == "en"}
+    assert he == en
+
+
+def test_hebrew_stopwords_are_transliterated_core(spark):
+    from ngrams_collocations_hadoop_spark.constants import (
+        STOPWORDS, to_hebrew,
+    )
+    assert to_hebrew("the") in STOPWORDS["he"]
+    # transliteration leaves digits/punctuation alone, maps all a-z
+    assert to_hebrew("a1-b2") != "a1-b2"
+    assert all(ch not in "abcdefghijklmnopqrstuvwxyz"
+               for ch in to_hebrew("abcdefghijklmnopqrstuvwxyz"))
