@@ -65,7 +65,14 @@ def read_ngram_sequencefile(spark: SparkSession, path: str,
     """S1: Hadoop SequenceFile of (LongWritable, Text) records — the
     reference's actual input format (CollocationExtraction3Jobs.java:
     68-71). The RDD hop is confined to deserialization; everything
-    after is a DataFrame."""
+    after is a DataFrame.
+
+    PARITY/TEST PATH ONLY at scale: ``rdd.map`` routes every record
+    through a Python worker — at the reference's 2.19B-record EN corpus
+    that per-row hop is the ingest bottleneck. The 100 TB story is
+    ``convert_sequencefile_to_parquet`` below: pay the hop ONCE in a
+    conversion job, then every query reads parquet (columnar, split-
+    table, predicate-pushdown) with zero Python per row."""
     rdd = spark.sparkContext.sequenceFile(
         path, "org.apache.hadoop.io.LongWritable",
         "org.apache.hadoop.io.Text")
@@ -75,6 +82,22 @@ def read_ngram_sequencefile(spark: SparkSession, path: str,
     return (_parse_ngram_lines(lines, "value")
             .withColumn("lang", F.lit(lang))
             .select("lang", "ngram", "year", "occurrences"))
+
+
+def convert_sequencefile_to_parquet(spark: SparkSession, path: str,
+                                    out: str, lang: str) -> DataFrame:
+    """One-time SequenceFile → parquet ingest conversion, and the only
+    place the per-record Python deserialization hop is allowed to run.
+    Parses with the same silent-drop semantics as the direct reader, so
+    downstream pipelines see identical records whichever path fed them.
+
+    Returns the (parquet-backed) DataFrame of the converted records.
+    At 100 TB run this once per corpus drop; the conversion is a single
+    map-only pass (no shuffle), bounded by the Python worker throughput
+    — after it, all query I/O is JVM-side columnar scans."""
+    read_ngram_sequencefile(spark, path, lang) \
+        .write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
 
 
 def multi_source_union(sources: list[DataFrame]) -> DataFrame:

@@ -56,7 +56,37 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
-def normalize_timestamps(df: DataFrame) -> DataFrame:
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _footer_ts_unit(path: str, col: str) -> str:
+    """The parquet footer's logical-type unit ('ns'/'us'/'ms'/'s') for a
+    timestamp column that Spark surfaced as a raw int64. Footer-only
+    read (pyarrow) — no Spark job, cached per (path, column). A plain
+    unannotated INT64 under a timestamp column name raises instead of
+    being silently mis-scaled (it has no declared unit to trust)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise ValueError(f"no parquet files under {path}")
+        f = parts[0]
+    t = pq.read_schema(f).field(col).type
+    if pa.types.is_timestamp(t):
+        return t.unit
+    raise ValueError(
+        f"column {col!r} in {path} is {t}, not an annotated parquet "
+        f"TIMESTAMP — refusing to guess an epoch unit for a raw int64")
+
+
+def normalize_timestamps(df: DataFrame, path: str | None = None) -> DataFrame:
     """Normalize fixture timestamp columns to TimestampType (LTZ, with
     the session pinned to UTC) regardless of how the parquet writer
     encoded them. The driver has shipped two encodings across rounds:
@@ -70,19 +100,35 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
       timezone) so every downstream operator — watermarks, windows,
       unix_timestamp — sees one type either way.
 
+    A LongType timestamp column is NOT assumed to be nanos: when the
+    source ``path`` is known, the parquet footer's logical-type
+    annotation picks the divisor (ns/µs/ms/s), and an unannotated
+    int64 fails loudly rather than being mis-scaled 1000× — the
+    footer read is metadata-only and cached, no extra Spark job.
+    Without a path (non-file DataFrames) the historical nanos
+    assumption applies, since that is the only encoding that reaches
+    LongType via our own session confs.
+
     Only the known fixture timestamp columns are touched; a plain int64
     column like ``event_id`` must not be reinterpreted.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+    to_micros = {
+        "ns": lambda c: F.expr(f"{c} div 1000"),
+        "us": lambda c: F.col(c),
+        "ms": lambda c: F.expr(f"{c} * 1000"),
+        "s": lambda c: F.expr(f"{c} * 1000000"),
+    }
     ts_cols = {"ts", "o_orderdate", "l_shipdate"}
     for field in df.schema.fields:
         if field.name not in ts_cols:
             continue
         if isinstance(field.dataType, T.LongType):
+            unit = _footer_ts_unit(path, field.name) if path else "ns"
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+                F.timestamp_micros(to_micros[unit](field.name)))
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(
                 field.name, F.col(field.name).cast("timestamp"))
@@ -91,8 +137,8 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    return normalize_timestamps(
-        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    return normalize_timestamps(spark.read.parquet(path), path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

