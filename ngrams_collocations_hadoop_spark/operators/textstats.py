@@ -57,8 +57,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents") \
         .withColumn("tokens", F.split("text", " "))
     n_tok = F.size("tokens")
-    mean_len = F.expr(
-        "aggregate(tokens, 0L, (a, t) -> a + length(t))").cast("double") / n_tok
+    # sum(len(token)) == length(text) - (n_tok - 1): splitting on a
+    # single space partitions the string, so token chars = total chars
+    # minus the separators. Two scalar ops replace a per-token lambda
+    # pass (the array-lambda was this query's hottest expression).
+    mean_len = (F.length("text") - n_tok + 1).cast("double") / n_tok
     stop_ratio = (F.size(F.filter("tokens",
                                   lambda t: F.array_contains(stop_arr, t)))
                   .cast("double") / n_tok)
@@ -624,4 +627,153 @@ SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
 FROM sh LEFT JOIN train t USING (shingle)
 WHERE sh.split = 'test'
 GROUP BY sh.doc_id
+"""
+
+
+# --- training-example preparation: chunking, packing, mixtures ----------
+
+# Context-window chunking: fixed token windows with overlap, the
+# standard prep for long documents before tokenizer/packing stages.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48          # = CHUNK_TOKENS - 16 token overlap
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-size token chunks
+    (one row per chunk). Pure map-side: split → transform over a
+    stride sequence → explode, zero shuffles — at 100 TB this stage is
+    embarrassingly parallel over the scan, and chunk rows land directly
+    in the training-shard writer. Chunk starts are 1-based stride
+    multiples; the final chunk is short when the document does not
+    divide evenly (kept — training pipelines pad or pack downstream)."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("ts", F.split("text", " "))
+    chunk = F.expr(
+        f"transform(sequence(1, size(ts), {CHUNK_STRIDE}), "
+        f"s -> struct(CAST((s - 1) div {CHUNK_STRIDE} AS BIGINT) "
+        f"AS chunk_id, "
+        f"CAST(size(slice(ts, s, {CHUNK_TOKENS})) AS BIGINT) "
+        f"AS n_tokens, "
+        f"array_join(slice(ts, s, {CHUNK_TOKENS}), ' ') AS chunk_text))")
+    return (docs.select("doc_id", "lang", F.explode(chunk).alias("c"))
+            .select("doc_id", "lang", "c.chunk_id", "c.n_tokens",
+                    "c.chunk_text"))
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+           FROM documents)
+SELECT doc_id, lang,
+       CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(ts[s:s + {CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tokens,
+       array_to_string(ts[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM d, UNNEST(range(1, len(ts) + 1, {CHUNK_STRIDE})) AS u(s)
+"""
+
+
+# Token-level sequence packing (concatenate-and-split pretraining prep):
+# documents are laid end to end per language in doc_id order and cut
+# into fixed context windows.
+PACK_CTX = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its token offset and context-window bin
+    under sequential concatenate-and-split packing (per lang, doc_id
+    order): start_offset = running token count before the doc,
+    bin_id = start_offset div CTX, spans_boundary = whether the doc
+    crosses a window edge (its tokens land in two training sequences).
+
+    One window (running sum over the per-lang ordering) — a single
+    range-partitioned exchange at scale; everything else is scalar
+    arithmetic. This is the planning query for a shard writer: bin_id
+    is the training-sequence id, and the boundary flag measures how
+    much document-truncation loss the packing induces."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return docs.select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / PACK_CTX).cast("long").alias("bin_id"),
+        (F.floor(start / PACK_CTX) != F.floor((cum - 1) / PACK_CTX))
+        .alias("spans_boundary"))
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM d)
+SELECT doc_id, lang, n_tokens,
+       cum - n_tokens AS start_offset,
+       (cum - n_tokens) // {PACK_CTX} AS bin_id,
+       ((cum - n_tokens) // {PACK_CTX}) <> ((cum - 1) // {PACK_CTX})
+           AS spans_boundary
+FROM c
+"""
+
+
+# Temperature-scaled source mixture (multinomial sampling weights):
+# w_i ∝ p_i^ALPHA with p_i the source's token share — the standard
+# up/down-weighting of low/high-resource sources.
+MIXTURE_ALPHA = 0.3
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus shares and temperature-scaled sampling
+    weights: p = source tokens / corpus tokens, w ∝ p^alpha
+    (normalized), epochs = w·T/t — how many passes over each source one
+    corpus-sized token budget implies (>1 on small sources = the
+    up-sampling the temperature buys). Two tiny aggregations (sources ×
+    1 rows); the heavy input scan is the same partial-agg shape as any
+    sum. Window-free: the normalizing totals ride a single-row
+    broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"))
+    p = F.col("n_tokens") / F.col("total_tokens")
+    shared = per_src.crossJoin(F.broadcast(per_src.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"))))
+    scaled = shared.withColumn("w_raw", F.pow(p, F.lit(MIXTURE_ALPHA)))
+    norm = scaled.crossJoin(F.broadcast(
+        scaled.agg(F.sum("w_raw").alias("w_sum"))))
+    weight = F.col("w_raw") / F.col("w_sum")
+    return norm.select(
+        "source", "n_docs", "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(weight, 6).alias("mixture_weight"),
+        F.round(weight * F.col("total_tokens") / F.col("n_tokens"), 6)
+        .alias("epochs_at_corpus_budget"))
+
+
+ORACLE_MIXTURE_WEIGHTS = f"""
+WITH per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               sum(pow(n_tokens / (SELECT sum(n_tokens)::DOUBLE
+                                   FROM per_src), {MIXTURE_ALPHA}))
+                   AS w_sum
+        FROM per_src)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / total_tokens::DOUBLE, 6) AS token_share,
+       round(pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum,
+             6) AS mixture_weight,
+       round(pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum
+             * total_tokens / n_tokens::DOUBLE, 6)
+           AS epochs_at_corpus_budget
+FROM per_src, tot
 """

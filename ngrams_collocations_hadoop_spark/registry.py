@@ -83,6 +83,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
     "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
     "colloc_hebrew_topk": co.q_hebrew_topk,         # second-corpus (RTL) parity
+    "text_doc_chunks": textstats.q_doc_chunks,      # context-window chunking
+    "text_pack_sequences": textstats.q_pack_sequences,  # concat-and-split packing
+    "text_mixture_weights": textstats.q_mixture_weights,  # temperature sampling
     # --- (4) green in r01, unchanged since ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -207,6 +210,9 @@ ORACLES: dict[str, str] = {
     "text_contamination": textstats.ORACLE_CONTAMINATION,
     "stream_dedup_bounded": sw.ORACLE_STREAM_DEDUP_BOUNDED,
     "text_token_positions": textstats.ORACLE_TOKEN_POSITIONS,
+    "text_doc_chunks": textstats.ORACLE_DOC_CHUNKS,
+    "text_pack_sequences": textstats.ORACLE_PACK_SEQUENCES,
+    "text_mixture_weights": textstats.ORACLE_MIXTURE_WEIGHTS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
