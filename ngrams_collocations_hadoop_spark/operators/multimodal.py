@@ -174,3 +174,63 @@ SELECT doc_id,
            AS last_byte
 FROM s
 """
+
+
+# --- real codec-free decode: fixed-layout image-header parsing ----------
+
+def synth_png_payload() -> F.Column:
+    """A structurally valid PNG prefix (magic + IHDR chunk) with
+    width/height derived from doc_id — the deterministic stand-in for a
+    stored image bytes column, faithful enough that a real PNG parser
+    would accept the header layout."""
+    return F.expr(
+        "concat(unhex('89504E470D0A1A0A'), "            # PNG magic
+        "unhex(lpad(hex(13), 8, '0')), "                # IHDR length
+        "unhex('49484452'), "                           # 'IHDR'
+        "unhex(lpad(hex(16 + doc_id % 64), 8, '0')), "  # width
+        "unhex(lpad(hex(16 + (doc_id * 7) % 64), 8, '0')), "  # height
+        "unhex('0802000000'))")                         # depth/color/...
+
+
+def q_mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dimensions WITHOUT a codec and WITHOUT Python: PNG IHDR
+    width/height live at fixed byte offsets, so the 'decode' is
+    hex + substring + base-16 parse — pure codegen column expressions
+    over the binary column. This is the scale-path counterpart to the
+    mapInPandas decoder plumbing above: for fixed-layout header fields
+    (dimensions, sample rate, duration) a 100 TB pipeline should parse
+    JVM-side and reserve Python decoders for actual pixel/sample work.
+    The magic check doubles as format validation (malformed rows
+    surface as valid_magic=false, the silent-drop hook)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    p = docs.withColumn("payload", synth_png_payload())
+    hx = F.hex("payload")
+    width = F.conv(F.substring(hx, 33, 8), 16, 10).cast("long")
+    height = F.conv(F.substring(hx, 41, 8), 16, 10).cast("long")
+    return p.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        (F.substring(hx, 1, 16) == "89504E470D0A1A0A").alias("valid_magic"),
+        width.alias("width"), height.alias("height"),
+        F.round(width.cast("double") / height, 6).alias("aspect_ratio"))
+
+
+ORACLE_MM_IMAGE_DIMS = """
+WITH p AS (
+    SELECT doc_id,
+           unhex('89504E470D0A1A0A') || unhex(lpad(to_hex(13), 8, '0'))
+           || unhex('49484452')
+           || unhex(lpad(to_hex(16 + doc_id % 64), 8, '0'))
+           || unhex(lpad(to_hex(16 + (doc_id * 7) % 64), 8, '0'))
+           || unhex('0802000000') AS payload
+    FROM documents)
+SELECT doc_id,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       substring(hex(payload), 1, 16) = '89504E470D0A1A0A' AS valid_magic,
+       ('0x' || substring(hex(payload), 33, 8))::BIGINT AS width,
+       ('0x' || substring(hex(payload), 41, 8))::BIGINT AS height,
+       round(('0x' || substring(hex(payload), 33, 8))::BIGINT::DOUBLE
+             / ('0x' || substring(hex(payload), 41, 8))::BIGINT, 6)
+           AS aspect_ratio
+FROM p
+"""

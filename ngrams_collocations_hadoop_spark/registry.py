@@ -86,6 +86,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_doc_chunks": textstats.q_doc_chunks,      # context-window chunking
     "text_pack_sequences": textstats.q_pack_sequences,  # concat-and-split packing
     "text_mixture_weights": textstats.q_mixture_weights,  # temperature sampling
+    "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
     # --- (4) green in r01, unchanged since ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -251,6 +252,7 @@ ORACLES: dict[str, str] = {
     "text_repetition": textstats.ORACLE_REPETITION,
     "text_corpus_stats": textstats.ORACLE_CORPUS_STATS,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
+    "mm_image_dims": multimodal.ORACLE_MM_IMAGE_DIMS,
     "mm_frame_sample": multimodal.ORACLE_MM_FRAME_SAMPLE,
     "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,
     "stream_dedup": sw.ORACLE_STREAM_DEDUP,
