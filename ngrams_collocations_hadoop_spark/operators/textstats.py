@@ -777,3 +777,55 @@ SELECT source, n_docs, n_tokens,
            AS epochs_at_corpus_budget
 FROM per_src, tot
 """
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction: for every document, the
+    share of its distinct 5-token shingles that occur in at least one
+    OTHER document — the span-level duplication signal (RefinedWeb /
+    Dolma style) that pair-level dedup cannot see (a document can be
+    30% boilerplate without having any single near-duplicate partner).
+
+    Shape: shingles explode map-side and dedup per doc; one shuffle on
+    the shingle computes each shingle's document frequency; the join
+    back is on the SAME key, so the exchange is reused; the final
+    per-doc aggregation is the only other shuffle. No pairwise work
+    anywhere — cost is corpus shingles, not documents². Short documents
+    (< 5 tokens) have no shingles and drop out, same in both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (docs.withColumn("toks", F.split("text", " "))
+          .select("doc_id", F.explode(F.expr(
+              f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 0)), "
+              f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
+              .alias("shingle"))
+          .dropDuplicates(["doc_id", "shingle"]))
+    df_counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"))
+    return (sh.join(df_counts, on="shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                 .alias("n_dup_shingles"))
+            .withColumn("dup_fraction",
+                        F.round(F.col("n_dup_shingles")
+                                / F.col("n_shingles"), 6)))
+
+
+ORACLE_DUP_SPANS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                   for i in range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1))])
+               AS shingle
+    FROM d),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles,
+       round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS dup_fraction
+FROM sh JOIN df USING (shingle)
+GROUP BY doc_id
+"""

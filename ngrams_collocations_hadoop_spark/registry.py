@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_pack_sequences": textstats.q_pack_sequences,  # concat-and-split packing
     "text_mixture_weights": textstats.q_mixture_weights,  # temperature sampling
     "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
+    "text_dup_spans": textstats.q_dup_spans,        # cross-doc span duplication
     # --- (4) green in r01, unchanged since ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -214,6 +215,7 @@ ORACLES: dict[str, str] = {
     "text_doc_chunks": textstats.ORACLE_DOC_CHUNKS,
     "text_pack_sequences": textstats.ORACLE_PACK_SEQUENCES,
     "text_mixture_weights": textstats.ORACLE_MIXTURE_WEIGHTS,
+    "text_dup_spans": textstats.ORACLE_DUP_SPANS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,

@@ -196,3 +196,65 @@ def test_quantized_ann_broadcast_and_group_limit(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_doc_chunks_is_map_only(spark):
+    """Chunking must stay a pure map over the scan — zero exchanges
+    (the 100 TB claim in its docstring)."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_doc_chunks,
+    )
+    df = q_doc_chunks(spark, SF_SMALL)
+    assert count_in_plan(df, "Exchange") == 0
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Sequential packing needs exactly one exchange (the per-lang
+    window partitioning) — no second shuffle for the arithmetic."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_pack_sequences,
+    )
+    df = q_pack_sequences(spark, SF_SMALL)
+    assert count_in_plan(df, "Exchange hashpartitioning") == 1
+    assert count_in_plan(df, "Window") >= 1
+
+
+def test_image_dims_no_python(spark):
+    """The header parse is pure codegen — no Python eval nodes, no
+    exchange (per-row map)."""
+    from ngrams_collocations_hadoop_spark.operators.multimodal import (
+        q_mm_image_dims,
+    )
+    df = q_mm_image_dims(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_connected_components_one_job_per_round(spark):
+    """The observe-folded convergence check must not run a second pass
+    per iteration. With AQE off (so a job isn't split into per-stage
+    jobs) the count is exact: 2 setup checkpoints (edges, seed labels)
+    + 1 checkpoint job per round — the old join-then-count formulation
+    ran 2 per round."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        connected_components,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["src", "dst"])
+    sc = spark.sparkContext
+    group = "cc-job-count"
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "cc job audit", interruptOnCancel=False)
+    try:
+        comp = connected_components(edges)
+        rounds = connected_components.last_rounds
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert len(jobs) == 2 + rounds, (len(jobs), rounds)
+    got = {(r["node"], r["component"]) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
