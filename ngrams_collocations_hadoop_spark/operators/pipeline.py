@@ -1,0 +1,133 @@
+"""End-to-end training-data preparation: the composed pipeline a
+100 TB corpus actually runs — quality filter → near-dup removal (LSH
+clusters, keep-one) → context-window packing — as ONE lazy DAG with a
+single recursive-CTE DuckDB oracle.
+
+This is the composition proof for the engine's training-data operators:
+each stage is the registry operator re-used verbatim (same expressions,
+same constants), so a green hash here certifies that the pieces
+compose, not just that they work in isolation.
+
+Scale shape: quality scoring is map-side; the dedup stage is the
+band-join LSH pipeline (no quadratic work) restricted to quality
+survivors; keep-one is one shuffle anti-join; packing is one window
+exchange per lang. Nothing materializes between stages — Catalyst sees
+the whole plan and prunes columns straight through to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import (
+    JACCARD_THRESHOLD,
+    _MINHASH_LSH_PAIRS_SQL,
+    _components_over,
+    q_dedup_minhash_lsh,
+)
+from .textstats import _CORE_STOP_LIST, _sql_str_array
+from .textstats import PACK_CTX
+
+# Keep documents whose blended quality score (the text_quality formula,
+# rounded to 6 dp in both engines) clears this bar — ~the corpus median
+# on the fixtures, so both branches stay populated.
+QUALITY_THRESHOLD = 0.6
+
+
+def _quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens) of documents passing the quality bar —
+    the text_quality score expression inlined (same formula, same
+    rounding)."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("tokens", F.split("text", " "))
+    stop_arr = F.array(*[F.lit(w) for w in _CORE_STOP_LIST])
+    n_tok = F.size("tokens")
+    mean_len = (F.length("text") - n_tok + 1).cast("double") / n_tok
+    stop_ratio = (F.size(F.filter("tokens",
+                                  lambda t: F.array_contains(stop_arr, t)))
+                  .cast("double") / n_tok)
+    ttr = F.size(F.array_distinct("tokens")).cast("double") / n_tok
+    score = F.round(F.least(mean_len / 10, F.lit(1.0)) * 0.3
+                    + (1 - stop_ratio) * 0.3 + ttr * 0.4, 6)
+    return (docs.filter(score >= QUALITY_THRESHOLD)
+            .select("doc_id", "lang", n_tok.cast("long").alias("n_tokens")))
+
+
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter → LSH near-dup keep-one → sequence packing,
+    summarized per language: surviving docs, total tokens, and the
+    number of PACK_CTX-token training sequences they pack into.
+
+    Dedup runs among quality survivors (the standard order: no point
+    clustering documents the quality gate already dropped): the LSH
+    pair list is semi-filtered to survivors on both endpoints, then
+    connected components + keep-one exactly as in ``dedup_keep_one_lsh``.
+    """
+    surv = _quality_survivors(spark, sf_dir)
+    ids = surv.select("doc_id")
+    pairs = (q_dedup_minhash_lsh(spark, sf_dir)
+             .join(ids.withColumnRenamed("doc_id", "doc_a"),
+                   on="doc_a", how="left_semi")
+             .join(ids.withColumnRenamed("doc_id", "doc_b"),
+                   on="doc_b", how="left_semi"))
+    comp = _components_over(pairs)
+    dropped = comp.filter(
+        F.col("doc_id") != F.col("component_id")).select("doc_id")
+    kept = surv.join(dropped, on="doc_id", how="left_anti")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    packed = kept.withColumn(
+        "bin_id", F.floor((cum - F.col("n_tokens")) / PACK_CTX))
+    return (packed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 (F.max("bin_id") + 1).cast("long").alias("n_bins")))
+
+
+ORACLE_TRAINING_PREP = f"""
+WITH RECURSIVE {_MINHASH_LSH_PAIRS_SQL},
+dq AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
+       FROM documents),
+q AS (
+    SELECT doc_id, lang, CAST(len(tokens) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT doc_id, lang, tokens,
+               round(least(((length(text) - len(tokens) + 1)::DOUBLE
+                            / len(tokens)) / 10, 1.0) * 0.3
+                     + (1 - len(list_filter(tokens, t -> list_contains(
+                           {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
+                           / len(tokens)) * 0.3
+                     + (len(list_distinct(tokens))::DOUBLE
+                        / len(tokens)) * 0.4, 6) AS score
+        FROM dq)
+    WHERE score >= {QUALITY_THRESHOLD}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+      AND doc_a IN (SELECT doc_id FROM q)
+      AND doc_b IN (SELECT doc_id FROM q)),
+bi AS (
+    SELECT src AS n, dst AS m FROM edges
+    UNION ALL SELECT dst, src FROM edges),
+reach(n, r) AS (
+    SELECT DISTINCT n, n FROM bi
+    UNION
+    SELECT bi.n, reach.r FROM bi JOIN reach ON bi.m = reach.n),
+dropped AS (
+    SELECT n AS doc_id FROM reach GROUP BY n HAVING n <> min(r)),
+kept AS (
+    SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+packed AS (
+    SELECT lang, n_tokens,
+           (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens) // {PACK_CTX} AS bin_id
+    FROM kept)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(bin_id) + 1 AS BIGINT) AS n_bins
+FROM packed GROUP BY lang
+"""

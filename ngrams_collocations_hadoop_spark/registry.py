@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracle
-from .operators import asof, dedup, interval, multimodal, similarity, textstats
+from .operators import asof, dedup, interval, multimodal, pipeline, similarity, textstats
 from .operators import collocations as co
 from .operators import relational as rel
 from .operators import merge as mg
@@ -88,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_mixture_weights": textstats.q_mixture_weights,  # temperature sampling
     "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
     "text_dup_spans": textstats.q_dup_spans,        # cross-doc span duplication
+    "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
     # --- (4) green in r01, unchanged since ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -216,6 +217,7 @@ ORACLES: dict[str, str] = {
     "text_pack_sequences": textstats.ORACLE_PACK_SEQUENCES,
     "text_mixture_weights": textstats.ORACLE_MIXTURE_WEIGHTS,
     "text_dup_spans": textstats.ORACLE_DUP_SPANS,
+    "pipeline_training_prep": pipeline.ORACLE_TRAINING_PREP,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
