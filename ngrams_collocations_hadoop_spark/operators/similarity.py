@@ -502,3 +502,70 @@ xij AS (
 SELECT i, j, round(covar_pop(xi, xj), 6) AS cov
 FROM xij GROUP BY i, j
 """
+
+
+# --- one k-means EM step (assign + update) ------------------------------
+
+KMEANS_K = 8    # deterministic init: the first K vec_ids seed the centroids
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means iteration over the embedding corpus:
+    assignment (nearest of K broadcast centroids by squared L2,
+    deterministic min-cid tiebreak) followed by the centroid update
+    (per-dimension means in long format), with centroids seeded from
+    the first K vectors — the deterministic init that makes an
+    iterative-ML step fully oracle-able.
+
+    Scale shape — the canonical distributed k-means plan: centroids
+    broadcast (K·dim doubles), assignment is a map-side argmin over the
+    scan (no shuffle), and the update explodes to (cluster, pos, x)
+    with map-side partial aggregation, so the one shuffle carries
+    ≤ parts·K·dim partial sums, independent of corpus size. Iterating
+    = re-running with the emitted centroids; each step is this plan.
+    Long-format output (cluster_id, pos, centroid_val) — nested arrays
+    don't survive result canonicalizers."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (e.filter(F.col("vec_id") < KMEANS_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("v").alias("cvec")))
+    d2 = F.expr(
+        "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)), "
+        "0D, (a, t) -> a + t)")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (e.crossJoin(F.broadcast(cent))
+                .withColumn("d2", d2)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", F.col("cid").alias("cluster_id"), "v"))
+    return (assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.round(F.avg("x"), 6).alias("centroid_val"))
+            .withColumn("pos", F.col("pos").cast("long")))
+
+
+ORACLE_KMEANS_STEP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
+dists AS (
+    SELECT e.vec_id, cent.cid, e.v,
+           list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - cent.cvec[i]) * (e.v[i] - cent.cvec[i])))
+               AS d2
+    FROM e CROSS JOIN cent),
+assigned AS (
+    SELECT vec_id, cid AS cluster_id, v
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+          FROM dists)
+    WHERE rn = 1),
+comp AS (
+    SELECT cluster_id, CAST(i - 1 AS BIGINT) AS pos, v[i] AS x
+    FROM assigned, UNNEST(range(1, len(v) + 1)) AS r(i))
+SELECT cluster_id, pos,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(x), 6) AS centroid_val
+FROM comp GROUP BY cluster_id, pos
+"""

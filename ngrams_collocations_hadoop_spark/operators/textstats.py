@@ -829,3 +829,45 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
 FROM sh JOIN df USING (shingle)
 GROUP BY doc_id
 """
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum staging: quartile-bucket documents by the
+    blended quality score within each language (ntile over one window
+    exchange) and summarize each stage — the standard curriculum /
+    data-selection planning query (train on stage 4 first, anneal in
+    the rest). Deterministic: the score tiebreak falls back to doc_id."""
+    q = q_text_quality(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (q.withColumn("stage", F.ntile(4).over(w).cast("long"))
+            .groupBy("lang", "stage")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.min("quality_score"), 6).alias("min_score"),
+                 F.round(F.max("quality_score"), 6).alias("max_score"),
+                 F.round(F.avg("quality_score"), 6).alias("mean_score")))
+
+
+ORACLE_CURRICULUM_BUCKETS = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
+           FROM documents),
+m AS (
+    SELECT doc_id, lang,
+           round(least(((length(text) - len(tokens) + 1)::DOUBLE
+                        / len(tokens)) / 10, 1.0) * 0.3
+                 + (1 - len(list_filter(tokens, t -> list_contains(
+                       {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
+                       / len(tokens)) * 0.3
+                 + (len(list_distinct(tokens))::DOUBLE
+                    / len(tokens)) * 0.4, 6) AS quality_score
+    FROM d),
+staged AS (
+    SELECT lang, quality_score,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                ORDER BY quality_score, doc_id) AS BIGINT) AS stage
+    FROM m)
+SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(quality_score), 6) AS min_score,
+       round(max(quality_score), 6) AS max_score,
+       round(avg(quality_score), 6) AS mean_score
+FROM staged GROUP BY lang, stage
+"""

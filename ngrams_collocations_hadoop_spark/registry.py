@@ -89,6 +89,8 @@ QUERIES: dict[str, QueryFn] = {
     "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
     "text_dup_spans": textstats.q_dup_spans,        # cross-doc span duplication
     "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
+    "sim_kmeans_step": similarity.q_kmeans_step,    # one EM step, full oracle
+    "text_curriculum_buckets": textstats.q_curriculum_buckets,
     # --- (4) green in r01, unchanged since ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -218,6 +220,8 @@ ORACLES: dict[str, str] = {
     "text_mixture_weights": textstats.ORACLE_MIXTURE_WEIGHTS,
     "text_dup_spans": textstats.ORACLE_DUP_SPANS,
     "pipeline_training_prep": pipeline.ORACLE_TRAINING_PREP,
+    "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
+    "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
     "dedup_ngram_jaccard": dedup.ORACLE_DEDUP_NGRAM_JACCARD,
