@@ -134,9 +134,10 @@ def test_frame_sampling_boundaries(spark):
 
 
 def test_connected_components_chain_rounds_and_cap(spark):
-    """Min-label propagation needs `diameter` rounds (+1 to observe the
-    fixpoint) on a chain graph; the cap turns a non-converging loop
-    into a loud failure instead of an unbounded driver loop."""
+    """Pointer jumping converges chain graphs in O(log diameter)
+    rounds — a diameter-19 chain in ~5 rounds where plain min-label
+    propagation needs 19-20; the cap turns a non-converging loop into
+    a loud failure instead of an unbounded driver loop."""
     import pytest
 
     from ngrams_collocations_hadoop_spark.operators.dedup import (
@@ -147,9 +148,15 @@ def test_connected_components_chain_rounds_and_cap(spark):
         "(1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)")
     out = connected_components(chain)
     assert {r["component"] for r in out.collect()} == {1}
-    assert 4 <= connected_components.last_rounds <= 5
+    assert 2 <= connected_components.last_rounds <= 4
+    chain19 = spark.sql(
+        "SELECT CAST(id AS LONG) AS src, CAST(id + 1 AS LONG) AS dst "
+        "FROM range(1, 20)")
+    assert ({r["component"] for r in connected_components(chain19).collect()}
+            == {1})
+    assert connected_components.last_rounds <= 7  # vs 19-20 without jumping
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(chain, max_rounds=2)
+        connected_components(chain19, max_rounds=2)
 
 
 def test_components_lsh_consistent_with_edges(spark):
