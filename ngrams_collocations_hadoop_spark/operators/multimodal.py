@@ -234,3 +234,58 @@ SELECT doc_id,
            AS aspect_ratio
 FROM p
 """
+
+
+# --- resize (downsample) through the Pandas-UDF decode path -------------
+
+RESIZE_SCALE = 2    # keep every 2nd byte — nearest-neighbor downsample
+
+
+def resize_payloads(df: DataFrame, scale: int = RESIZE_SCALE) -> DataFrame:
+    """Deterministic stand-in for an image/audio resize: nearest-
+    neighbor byte subsampling of the opaque payload (every ``scale``-th
+    byte) inside Arrow-batched mapInPandas — the same batch shape,
+    schema contract, and per-row Python work a real PIL/ffmpeg resize
+    drops into, minus the codec this container lacks. Emits the
+    resized payload's size and content hash so correctness of the
+    TRANSFORM (not just the plumbing) is checkable end to end."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf["payload"].map(bytes)
+            sub = data.map(lambda b: b[::scale])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes_in": data.map(len).astype("int64"),
+                "n_bytes_out": sub.map(len).astype("int64"),
+                "resized_md5": sub.map(
+                    lambda b: hashlib.md5(b).hexdigest()),
+            })
+
+    return (df.select("doc_id", "payload")
+            .mapInPandas(run, schema=("doc_id long, n_bytes_in long, "
+                                      "n_bytes_out long, resized_md5 string")))
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return resize_payloads(docs)
+
+
+# The fixture payload is ASCII text bytes, so the oracle reconstructs
+# the byte subsample as a character subsample and hashes it — the md5
+# column proves the Python transform produced exactly the right bytes.
+ORACLE_MM_RESIZE = f"""
+WITH s AS (
+    SELECT doc_id, text,
+           array_to_string(list_transform(
+               range(1, length(text) + 1, {RESIZE_SCALE}),
+               i -> substr(text, i, 1)), '') AS sub
+    FROM documents)
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+       CAST(length(sub) AS BIGINT) AS n_bytes_out,
+       md5(sub) AS resized_md5
+FROM s
+"""

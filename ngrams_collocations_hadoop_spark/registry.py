@@ -91,6 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
     "sim_kmeans_step": similarity.q_kmeans_step,    # one EM step, full oracle
     "text_curriculum_buckets": textstats.q_curriculum_buckets,
+    "mm_resize": multimodal.q_mm_resize,            # downsample via mapInPandas
     # --- (4) green in r01, unchanged since ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -261,6 +262,7 @@ ORACLES: dict[str, str] = {
     "text_corpus_stats": textstats.ORACLE_CORPUS_STATS,
     "mm_binary_stats": multimodal.ORACLE_MM_BINARY_STATS,
     "mm_image_dims": multimodal.ORACLE_MM_IMAGE_DIMS,
+    "mm_resize": multimodal.ORACLE_MM_RESIZE,
     "mm_frame_sample": multimodal.ORACLE_MM_FRAME_SAMPLE,
     "stream_tumbling": sw.ORACLE_STREAM_TUMBLING,
     "stream_dedup": sw.ORACLE_STREAM_DEDUP,
