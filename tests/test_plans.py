@@ -82,7 +82,7 @@ def test_scored_reuses_unigram_subtree(spark):
 # ops are mapInPandas BY DESIGN (binary decode has no JVM expression
 # form). Streaming queries are excluded from the sweep because building
 # them executes the stream; their plans are pinned in test_streaming.py.
-_PYTHON_ALLOWED = {"mm_binary_stats", "mm_frame_sample"}
+_PYTHON_ALLOWED = {"mm_binary_stats", "mm_frame_sample", "mm_resize"}
 
 
 def test_whole_stage_codegen_everywhere(spark):
