@@ -145,3 +145,57 @@ def test_stream_dedup_state_spans_micro_batches(spark):
              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
              .collect()}
     assert got == exact
+
+
+def test_doc_chunks_invariants(spark):
+    """Chunking invariants on real fixtures: stride-aligned starts,
+    full coverage (every token index falls inside >= 1 chunk), exact
+    overlap of CHUNK_TOKENS - CHUNK_STRIDE between neighbors, and
+    reconstruction (non-overlapped chunk prefixes concatenate back to
+    the document)."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        CHUNK_STRIDE, CHUNK_TOKENS, q_doc_chunks,
+    )
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    texts = {r["doc_id"]: r["text"]
+             for r in load_table(spark, sf, "documents").collect()}
+    chunks = {}
+    for r in q_doc_chunks(spark, sf).collect():
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_tokens"], r["chunk_text"]))
+    assert set(chunks) == set(texts)
+    for doc_id, ch in chunks.items():
+        ch.sort()
+        toks = texts[doc_id].split(" ")
+        assert [c[0] for c in ch] == list(range(len(ch)))
+        # coverage + sizes
+        for cid, n, _text in ch[:-1]:
+            assert n == min(CHUNK_TOKENS, len(toks) - cid * CHUNK_STRIDE)
+        # reconstruction from stride prefixes
+        rebuilt = []
+        for cid, n, text in ch:
+            rebuilt.extend(text.split(" ")[:CHUNK_STRIDE])
+        assert rebuilt[:len(toks)] == toks
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: per-lang offsets are a prefix sum in doc_id
+    order, bins are contiguous from 0, and a doc spans a boundary iff
+    its token interval crosses a PACK_CTX multiple."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        PACK_CTX, q_pack_sequences,
+    )
+    rows = q_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["start_offset"] == cum
+            assert r["bin_id"] == cum // PACK_CTX
+            end = cum + r["n_tokens"] - 1
+            assert r["spans_boundary"] == (cum // PACK_CTX != end // PACK_CTX)
+            cum += r["n_tokens"]
