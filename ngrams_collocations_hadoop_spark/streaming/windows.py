@@ -445,3 +445,50 @@ def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_DEDUP_BOUNDED = ORACLE_STREAM_DEDUP
+
+
+# --- foreachBatch idempotent-merge sink ---------------------------------
+
+def stream_merge_to_table(spark: SparkSession, stream: DataFrame,
+                          table_path: str, checkpoint: str,
+                          key_cols: list[str]) -> None:
+    """Exactly-once streaming upsert into a parquet key-value table via
+    ``foreachBatch``: each micro-batch MERGEs its (pre-aggregated) rows
+    into the table by key — new keys insert, existing keys are
+    replaced by the batch's newer row.
+
+    Idempotence under retries comes from the merge being a pure
+    function of (table state, batch content): replaying a batch after
+    a failure rewrites the same rows, so the sink commits
+    at-least-once deliveries into exactly-once table state — the
+    standard production pattern for pushing streaming aggregates to a
+    serving store that doesn't speak Spark commits. The whole batch
+    merge is JVM-side DataFrame work (anti-join + union + write); at
+    scale the overwrite becomes a partition-scoped replace
+    (partitionOverwriteMode=dynamic) or a real MERGE INTO on a
+    transactional table format; the anti-join shape is identical.
+    """
+    import os
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        if os.path.exists(table_path):
+            current = sess.read.parquet(table_path)
+            merged = (current.join(batch.select(*key_cols),
+                                   on=key_cols, how="left_anti")
+                      .unionByName(batch))
+        else:
+            merged = batch
+        # Plan reads the same path it overwrites: materialize the merge
+        # before the write truncates the source.
+        out = merged.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(table_path)
+
+    # update mode: each micro-batch delivers the keys whose aggregate
+    # changed; the merge replaces exactly those rows, so the table
+    # converges to the final aggregate state across batches.
+    (stream.writeStream.foreachBatch(merge_batch)
+     .outputMode("update")
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start().awaitTermination())

@@ -119,3 +119,43 @@ def test_stream_pair_join_state_spans_batches_and_evicts(spark):
     # passed their join horizon (absence of (1,4)/(2,4), which WOULD
     # match on the time bounds alone)
     assert pairs == {(1, 2): 300, (3, 5): 600}
+
+
+def test_stream_merge_to_table_upserts_and_is_idempotent(spark):
+    """The foreachBatch merge sink must (a) produce exactly the batch
+    aggregate state a plain batch query computes, and (b) be
+    idempotent: re-running the same stream into the same table (fresh
+    checkpoint, same data) leaves the table unchanged."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        _event_stream, stream_merge_to_table,
+    )
+    sf = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp(prefix="merge_sink_")
+    table = base + "/table"
+
+    def run(checkpoint: str) -> None:
+        stream = _event_stream(spark, sf)
+        agg = (stream.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("sum_value")))
+        stream_merge_to_table(spark, agg, table, checkpoint,
+                              key_cols=["event_type"])
+
+    run(base + "/cp1")
+    got1 = {r["event_type"]: (r["n"], round(r["sum_value"], 6))
+            for r in spark.read.parquet(table).collect()}
+    exact = {r["event_type"]: (r["n"], round(r["sum_value"], 6))
+             for r in load_table(spark, sf, "events")
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("value").alias("sum_value")).collect()}
+    assert got1 == exact
+    # replay with a fresh checkpoint: same input -> same table state
+    run(base + "/cp2")
+    got2 = {r["event_type"]: (r["n"], round(r["sum_value"], 6))
+            for r in spark.read.parquet(table).collect()}
+    assert got2 == got1
