@@ -248,7 +248,13 @@ def resize_payloads(df: DataFrame, scale: int = RESIZE_SCALE) -> DataFrame:
     schema contract, and per-row Python work a real PIL/ffmpeg resize
     drops into, minus the codec this container lacks. Emits the
     resized payload's size and content hash so correctness of the
-    TRANSFORM (not just the plumbing) is checkable end to end."""
+    TRANSFORM (not just the plumbing) is checkable end to end.
+
+    The hash is md5 of the UPPERCASE HEX of the subsampled bytes, not
+    of the raw bytes: DuckDB's md5 only accepts VARCHAR, and a byte
+    subsample of multibyte UTF-8 is not valid UTF-8, so hashing raw
+    bytes would make the oracle ASCII-only. Hex is injective, valid
+    text for ANY bytes, and case-matches DuckDB's hex(BLOB)."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -260,7 +266,8 @@ def resize_payloads(df: DataFrame, scale: int = RESIZE_SCALE) -> DataFrame:
                 "n_bytes_in": data.map(len).astype("int64"),
                 "n_bytes_out": sub.map(len).astype("int64"),
                 "resized_md5": sub.map(
-                    lambda b: hashlib.md5(b).hexdigest()),
+                    lambda b: hashlib.md5(
+                        b.hex().upper().encode("ascii")).hexdigest()),
             })
 
     return (df.select("doc_id", "payload")
@@ -273,19 +280,24 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payloads(docs)
 
 
-# The fixture payload is ASCII text bytes, so the oracle reconstructs
-# the byte subsample as a character subsample and hashes it — the md5
-# column proves the Python transform produced exactly the right bytes.
+# The oracle reconstructs the byte subsample on the ENCODED bytes
+# (hex-pair slicing — DuckDB cannot substring BLOBs), so parity holds
+# for any UTF-8 fixture text, not just ASCII; both engines hash the
+# uppercase-hex rendering of the subsampled bytes (see resize_payloads).
 ORACLE_MM_RESIZE = f"""
 WITH s AS (
-    SELECT doc_id, text,
+    SELECT doc_id, octet_length(encode(text)) AS n_in,
+           hex(encode(text)) AS h
+    FROM documents),
+b AS (
+    SELECT doc_id, n_in,
            array_to_string(list_transform(
-               range(1, length(text) + 1, {RESIZE_SCALE}),
-               i -> substr(text, i, 1)), '') AS sub
-    FROM documents)
+               range(1, n_in + 1, {RESIZE_SCALE}),
+               i -> substr(h, (i - 1) * 2 + 1, 2)), '') AS sub_hex
+    FROM s)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
-       CAST(length(sub) AS BIGINT) AS n_bytes_out,
-       md5(sub) AS resized_md5
-FROM s
+       CAST(n_in AS BIGINT) AS n_bytes_in,
+       CAST(length(sub_hex) / 2 AS BIGINT) AS n_bytes_out,
+       md5(sub_hex) AS resized_md5
+FROM b
 """

@@ -478,16 +478,38 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by partitions × dim², NEVER by corpus size; nothing
     quadratic in rows. (The dim² fan-out is per-vector CPU, the price
     of one-pass covariance; for dim ≫ 100 you'd block the matrix.)
-    covar_pop is a single-pass moment sketch in both engines."""
+
+    Determinism: covar_pop is a float accumulation whose order differs
+    per engine, so round(…, 6) can land on opposite sides of a rounding
+    boundary (the one r03 hash flap). Instead the moment sums S_ij, S_i,
+    S_j are accumulated EXACTLY: each term is quantized to integer
+    units of 1e-12 via floor(x·1e12) — floor of an IEEE double is
+    bit-deterministic in every engine, unlike double→DECIMAL casts whose
+    tie-rounding differs (HALF_UP vs half-even; observed on dim 37 of
+    the sf0.01 fixture) — and summed as DECIMAL(38,0), which is exact
+    and order-independent. The covariance is then derived as ONE fixed
+    double expression, identical text in Spark and DuckDB; the trailing
+    + 0.0 normalizes IEEE −0.0 to +0.0 on both sides."""
     e = load_table(spark, sf_dir, "embeddings") \
         .select(F.col("embedding").cast("array<double>").alias("v"))
     xi = e.select("v", F.posexplode("v").alias("i", "xi"))
     xij = (xi.select("i", "xi", F.posexplode("v").alias("j", "xj"))
            .filter(F.col("i") <= F.col("j")))
-    return (xij.groupBy("i", "j")
-            .agg(F.round(F.covar_pop("xi", "xj"), 6).alias("cov"))
-            .select(F.col("i").cast("long"), F.col("j").cast("long"),
-                    "cov"))
+    sc = F.lit(1e12)
+    mom = (xij.groupBy("i", "j")
+           .agg(F.sum(F.floor(F.col("xi") * F.col("xj") * sc)
+                      .cast("decimal(38,0)")).alias("sij"),
+                F.sum(F.floor(F.col("xi") * sc)
+                      .cast("decimal(38,0)")).alias("si"),
+                F.sum(F.floor(F.col("xj") * sc)
+                      .cast("decimal(38,0)")).alias("sj"),
+                F.count(F.lit(1)).alias("n")))
+    cov = (F.round((F.col("sij").cast("double")
+                    - F.col("si").cast("double")
+                    * F.col("sj").cast("double") / (F.col("n") * sc))
+                   / (F.col("n") * sc), 6) + F.lit(0.0))
+    return mom.select(F.col("i").cast("long"), F.col("j").cast("long"),
+                      cov.alias("cov"))
 
 
 ORACLE_EMBEDDING_COVARIANCE = """
@@ -498,9 +520,19 @@ xi AS (
 xij AS (
     SELECT i, xi, CAST(j - 1 AS BIGINT) AS j, v[j] AS xj
     FROM xi, UNNEST(range(1, len(v) + 1)) AS s(j)
-    WHERE i <= j - 1)
-SELECT i, j, round(covar_pop(xi, xj), 6) AS cov
-FROM xij GROUP BY i, j
+    WHERE i <= j - 1),
+m AS (
+    SELECT i, j,
+           sum(CAST(floor(xi * xj * 1e12) AS DECIMAL(38,0))) AS sij,
+           sum(CAST(floor(xi * 1e12) AS DECIMAL(38,0))) AS si,
+           sum(CAST(floor(xj * 1e12) AS DECIMAL(38,0))) AS sj,
+           count(*) AS n
+    FROM xij GROUP BY i, j)
+SELECT i, j,
+       round((CAST(sij AS DOUBLE)
+              - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / (n * 1e12))
+             / (n * 1e12), 6) + 0.0 AS cov
+FROM m
 """
 
 

@@ -585,7 +585,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(F.lit("test")))
           .withColumn("toks", F.split("text", " "))
           .select("doc_id", "split", F.explode_outer(F.expr(
-              f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 0)), "
+              f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
+              f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
+              f"ELSE array() END, "
               f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
               .alias("shingle"))
           .dropDuplicates(["doc_id", "split", "shingle"]))
@@ -795,7 +797,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = (docs.withColumn("toks", F.split("text", " "))
           .select("doc_id", F.explode(F.expr(
-              f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 0)), "
+              f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
+              f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
+              f"ELSE array() END, "
               f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
               .alias("shingle"))
           .dropDuplicates(["doc_id", "shingle"]))

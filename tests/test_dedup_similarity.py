@@ -133,6 +133,37 @@ def test_frame_sampling_boundaries(spark):
                     (7, 4, 256, 44, ord("a"), ord("z"))]
 
 
+def test_resize_oracle_parity_on_multibyte_utf8(spark):
+    """The resize oracle slices the ENCODED bytes (hex pairs), so it
+    must agree with the Spark byte subsample even when fixture text is
+    multibyte UTF-8 — the case where a character subsample silently
+    diverges (é is 2 bytes; every-2nd-BYTE != every-2nd-CHAR)."""
+    import tempfile
+
+    import duckdb
+
+    from ngrams_collocations_hadoop_spark.operators.multimodal import (
+        ORACLE_MM_RESIZE, q_mm_resize)
+    rows = [(1, "héllo wörld ünïcode", "de", "s", 19),
+            (2, "plain ascii text", "en", "s", 16),
+            (3, "שלום עולם", "he", "s", 9)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tempfile.mkdtemp(prefix="mmresize_")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: (r["n_bytes_in"], r["n_bytes_out"],
+                         r["resized_md5"])
+           for r in q_mm_resize(spark, d).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(ORACLE_MM_RESIZE).fetchall()}
+    con.close()
+    assert got == want
+    assert got[1][0] == len("héllo wörld ünïcode".encode()) != 19
+
+
 def test_connected_components_chain_rounds_and_cap(spark):
     """Pointer jumping converges chain graphs in O(log diameter)
     rounds — a diameter-19 chain in ~5 rounds where plain min-label
@@ -157,6 +188,22 @@ def test_connected_components_chain_rounds_and_cap(spark):
     assert connected_components.last_rounds <= 7  # vs 19-20 without jumping
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain19, max_rounds=2)
+
+
+def test_connected_components_empty_edges(spark):
+    """An empty edge set must converge immediately: F.sum over zero
+    rows observes NULL, which the loop must read as 'nothing changed',
+    not spin to max_rounds and raise. Reachable in production whenever
+    an upstream filter (quality gate, LSH threshold) drops every pair."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        connected_components,
+    )
+    empty = spark.sql(
+        "SELECT col1 AS src, col2 AS dst FROM VALUES (1L, 2L)").filter(
+        "src > 100")
+    out = connected_components(empty, max_rounds=3)
+    assert out.count() == 0
+    assert connected_components.last_rounds <= 1
 
 
 def test_components_lsh_consistent_with_edges(spark):

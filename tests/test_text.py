@@ -98,6 +98,31 @@ def test_repetition_single_token_doc_guard(spark):
     assert out[3]["repetitive"] == 0   # all grams unique
 
 
+def test_shingle_short_doc_guard(spark):
+    """sequence(1, 0) yields [1, 0] (descending default step), and
+    slice(toks, 0, n) then throws at runtime — docs shorter than the
+    shingle width must produce ZERO shingles and drop out cleanly in
+    both q_dup_spans and q_text_contamination."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_contamination, q_dup_spans)
+
+    long_txt = " ".join(f"w{i}" for i in range(12))
+    rows = [(1, "too short", "en", "s", 9),
+            (2, "a b c d", "en", "s", 7),          # exactly N-1 tokens
+            (3, long_txt, "en", "s", len(long_txt))]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    import tempfile
+    d = tempfile.mkdtemp(prefix="shingle_")
+    df.write.parquet(f"{d}/documents.parquet")
+    spans = {r["doc_id"]: r.asDict() for r in
+             q_dup_spans(spark, d).collect()}
+    assert set(spans) == {3}            # short docs have no shingles
+    assert spans[3]["n_shingles"] == 8  # 12 - 5 + 1
+    # contamination must also run without error on the same fixture
+    q_contamination(spark, d).collect()
+
+
 def test_clean_token_null_returns_empty(spark):
     """clean_token(NULL) must be '' (reference cleanToken never returns
     null), matching the Python mirror clean_token_ref."""
