@@ -128,6 +128,50 @@ def totals(uni: DataFrame) -> DataFrame:
             .agg(F.sum("occ").alias("n_total")))
 
 
+# --- reference-quirk emulation (opt-in bit-parity mode) ------------------
+
+QUIRK_REDUCERS = 4   # stands in for Job1's reducer count in quirk mode
+
+
+def bigram_counts_quirk(big: DataFrame) -> DataFrame:
+    """Quirk 1 (Job1.java:282-292): the reference reducer emits one P
+    record PER INCOMING VALUE for a bigram key — i.e. per map-task
+    partial (post-combiner) — and never re-sums across map tasks, so a
+    bigram whose occurrences span map tasks yields SEVERAL fragmented
+    c12 rows, each scored independently downstream. The Spark analogue
+    of a map task is an input partition: summing per (key, partition)
+    and never across reproduces the fragmentation. Inherently
+    partitioning-dependent — that is the bug being emulated; the exact
+    path (``bigram_counts``) is the intended semantics."""
+    return (big.withColumn("_maptask", F.spark_partition_id())
+            .groupBy("lang", "decade", "w1", "w2", "_maptask")
+            .agg(F.sum("occ").alias("c12"))
+            .drop("_maptask"))
+
+
+def totals_quirk(c1_df: DataFrame,
+                 reducers: int = QUIRK_REDUCERS) -> DataFrame:
+    """Quirk 2 (Job2.java:185): each Job1 reducer emits its own partial
+    N for (lang, decade), and Job2's setup loads them with
+    ``NMap.put`` — overwrite, not sum — so the LAST cache file read
+    wins and N is one reducer's partial, correct only at 1 reducer.
+    Emulation: bucket each w1 group into ``reducers`` buckets by a
+    deterministic hash (standing in for Hadoop's key partitioner), sum
+    c1 per bucket, and keep the HIGHEST bucket id present per
+    (lang, decade) — cache files are read in part-file order, so the
+    last reducer's record lands last."""
+    partials = (c1_df.withColumn(
+                    "_rid", F.pmod(F.xxhash64("lang", "decade", "word"),
+                                   F.lit(reducers)))
+                .groupBy("lang", "decade", "_rid")
+                .agg(F.sum("c1").alias("n_partial")))
+    w = Window.partitionBy("lang", "decade").orderBy(F.desc("_rid"))
+    return (partials.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("lang", "decade",
+                    F.col("n_partial").alias("n_total")))
+
+
 # --- joins + scoring (J1/J2/J3 + C1 + P7) -------------------------------
 
 def score_collocations(c12_df: DataFrame, c1_df: DataFrame,
@@ -211,22 +255,34 @@ def q_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scored(spark: SparkSession, sf_dir: str,
-             cache_counts: bool = False) -> DataFrame:
+             cache_counts: bool = False,
+             quirk_mode: bool = False) -> DataFrame:
+    """``quirk_mode=True`` opts into bit-parity with the reference's
+    two bugs (SURVEY.md §4 quirks 1-2): fragmented c12 partials and a
+    single-reducer N, via ``bigram_counts_quirk`` / ``totals_quirk``.
+    Default is the intended-exact semantics."""
     uni, big = _cleaned_inputs(spark, sf_dir)
     c1_df = unigram_counts(uni)
     if cache_counts:
         # c1 feeds three consumers (J1 probe, J2 probe as c2, N);
         # at scale, computing the unigram-count subtree once matters.
         c1_df = c1_df.persist()
-    # N = Σ c1 — rolls up from the (possibly cached) counts instead of
-    # re-scanning the raw unigram stream (algebraically identical).
-    totals_df = (c1_df.groupBy("lang", "decade")
-                 .agg(F.sum("c1").alias("n_total")))
-    return score_collocations(bigram_counts(big), c1_df, totals_df)
+    if quirk_mode:
+        c12_df = bigram_counts_quirk(big)
+        totals_df = totals_quirk(c1_df)
+    else:
+        c12_df = bigram_counts(big)
+        # N = Σ c1 — rolls up from the (possibly cached) counts instead
+        # of re-scanning the raw unigram stream (algebraically identical).
+        totals_df = (c1_df.groupBy("lang", "decade")
+                     .agg(F.sum("c1").alias("n_total")))
+    return score_collocations(c12_df, c1_df, totals_df)
 
 
-def q_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    return top_collocations(q_scored(spark, sf_dir), k)
+def q_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K,
+           quirk_mode: bool = False) -> DataFrame:
+    return top_collocations(q_scored(spark, sf_dir,
+                                     quirk_mode=quirk_mode), k)
 
 
 def q_hebrew_topk(spark: SparkSession, sf_dir: str,

@@ -1015,18 +1015,50 @@ HIST_BINS = 10
 
 
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile) histogram of order value: ntile(10) bins
-    with per-bin count/min/max/sum — the data-profiling complement of
-    the equi-width bucket (each bin holds ~the same row count, so bin
-    EDGES describe the distribution). The ntile is one global sort
-    exchange; at 100 TB you'd swap it for approx_percentile edges +
-    a broadcast bucket join — same output contract, sketch-accurate
-    edges (the sketch form is exercised by rel_approx_sketches)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.select(
-        "o_totalprice",
-        F.ntile(HIST_BINS).over(w).cast("long").alias("bin"))
+    """Equi-depth (quantile) histogram of order value: ntile(10)-exact
+    bins with per-bin count/min/max/sum — the data-profiling complement
+    of the equi-width bucket (each bin holds ~the same row count, so
+    bin EDGES describe the distribution).
+
+    Scale shape — the naive form is ``ntile(10) OVER (ORDER BY …)``,
+    but an unpartitioned window moves EVERY row to one task: a
+    scale-killer. Instead the exact global rank is computed the way a
+    distributed sort does: range-repartition on the (unique) sort key,
+    row_number WITHIN each range partition (window partitioned by
+    partition id — parallel), then add each partition's start offset,
+    derived from the tiny per-partition counts via a broadcast
+    triangular self-join (P² rows, no window at all). The ntile bin is
+    then pure integer arithmetic on the rank — bit-identical to the
+    oracle's ntile, with every stage distributed. Rank is invariant to
+    where the range boundaries land, so the sampling inside
+    repartitionByRange cannot perturb the output."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    parts = (o.repartitionByRange(
+                 spark.sparkContext.defaultParallelism,
+                 F.col("o_totalprice"), F.col("o_orderkey"))
+             .withColumn("pid", F.spark_partition_id()))
+    w_loc = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = parts.withColumn("lr", F.row_number().over(w_loc))
+    cnts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offs = (cnts.alias("a")
+            .join(F.broadcast(cnts.alias("b")),
+                  F.col("b.pid") < F.col("a.pid"), "left")
+            .groupBy(F.col("a.pid").alias("pid"))
+            .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("off")))
+    total = cnts.agg(F.sum("c").alias("nn"))
+    ranked = (local.join(F.broadcast(offs), on="pid")
+              .crossJoin(F.broadcast(total))
+              .withColumn("rank", F.col("lr") + F.col("off")))
+    # ntile(B): q = N div B, r = N mod B; bins 1..r hold q+1 rows —
+    # pure integer arithmetic, exact at any N.
+    binned = ranked.withColumn("bin", F.expr(f"""
+        CAST(CASE
+          WHEN rank <= (nn % {HIST_BINS}) * (nn div {HIST_BINS} + 1)
+          THEN (rank - 1) div (nn div {HIST_BINS} + 1)
+          ELSE (nn % {HIST_BINS})
+               + (rank - (nn % {HIST_BINS}) * (nn div {HIST_BINS} + 1) - 1)
+                 div (nn div {HIST_BINS})
+        END + 1 AS BIGINT)"""))
     return (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("o_totalprice"), 4).alias("lo"),

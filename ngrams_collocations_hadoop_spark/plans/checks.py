@@ -42,3 +42,17 @@ def assert_not_in_plan(df: DataFrame, *fragments: str) -> None:
 
 def count_in_plan(df: DataFrame, fragment: str, executed: bool = False) -> int:
     return physical_plan(df, executed=executed).count(fragment)
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the optimized logical plan with an EMPTY
+    partition spec. Such a window moves every row to ONE task (Spark
+    logs 'No Partition Defined for Window operation') — a single-task
+    global sort that is fine at test SF and fatal at 100 TB. Detected
+    structurally via the plan's JSON rendering, not its display string
+    (the text form doesn't separate partition from order spec)."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return [n["class"] for n in nodes
+            if n["class"].endswith(".Window") and not n.get("partitionSpec")]

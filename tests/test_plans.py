@@ -100,6 +100,22 @@ def test_whole_stage_codegen_everywhere(spark):
         assert "MapInPandas" not in plan, name
 
 
+def test_no_unpartitioned_window_anywhere(spark):
+    """Registry-wide guard: no query may contain a Window with an empty
+    partition spec — that plan moves EVERY row to one task (a global
+    sort on a single executor), invisible at sf0.01 and fatal at 100 TB.
+    rel_equidepth_histogram regressed this way once (ntile over a bare
+    ORDER BY); it now derives exact ranks via range repartitioning."""
+    from ngrams_collocations_hadoop_spark.plans.checks import (
+        unpartitioned_windows,
+    )
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("stream_"):
+            continue
+        bad = unpartitioned_windows(fn(spark, SF_SMALL))
+        assert not bad, f"{name}: unpartitioned Window node(s): {bad}"
+
+
 def test_ivf_centroid_join_is_broadcast(spark):
     from ngrams_collocations_hadoop_spark.operators.similarity import (
         q_cosine_topk_ivf,
