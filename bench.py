@@ -29,9 +29,11 @@ BENCH_QUERIES = [
     "rel_topk_per_group",    # window group limit
     "rel_sessionize",        # window analytics over events
     "dedup_minhash_lsh",     # sketch + band join + verify
+    "dedup_components_lsh",  # LSH edges -> iterative clustering
     "sim_cosine_topk",       # vector scoring
     "text_quality",          # array-lambda text ops
     "stream_tumbling",       # structured streaming end-to-end
+    "pipeline_training_prep",  # flagship composition (quality->dedup->pack)
 ]
 
 

@@ -835,6 +835,89 @@ GROUP BY doc_id
 """
 
 
+def q_dup_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span INTERVALS: the start/end token
+    offsets of every maximal run of cross-document shingles (df > 1) —
+    the form a RefinedWeb-style span-REMOVAL pass actually consumes
+    (cut [start_tok, end_tok] out of the doc), where ``q_dup_spans``
+    only reports the per-doc fraction.
+
+    Shape: same shingle-DF join as q_dup_spans (no pairwise work, cost
+    is corpus shingles); duplicated shingle occurrences then compress
+    into maximal token intervals via gaps-and-islands — a window
+    PARTITIONED BY doc_id (never global): a new island starts when a
+    shingle's start offset exceeds the previous covered end + 1, the
+    island id is a running sum of those breaks, and each island
+    aggregates to one (start_tok, end_tok) row. A shingle at pos i
+    covers tokens [i, i+4]; overlapping/adjacent covers merge."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    occ = (docs.withColumn("toks", F.split("text", " "))
+           .select("doc_id", F.posexplode(F.expr(
+               f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
+               f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
+               f"ELSE array() END, "
+               f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
+               .alias("idx", "shingle"))
+           .withColumn("pos", (F.col("idx") + 1).cast("long"))
+           .drop("idx"))
+    dfc = (occ.select("doc_id", "shingle").distinct()
+           .groupBy("shingle").agg(F.count(F.lit(1)).alias("df")))
+    dup = (occ.join(dfc.filter(F.col("df") > 1), on="shingle")
+           .select("doc_id", "pos",
+                   (F.col("pos") + SHINGLE_N - 1).alias("e")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull()
+                 | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    spans = (dup.withColumn("brk", brk)
+             .withColumn("span_id", F.sum("brk").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0))
+                 .cast("long")))
+    return (spans.groupBy("doc_id", "span_id")
+            .agg(F.min("pos").alias("start_tok"),
+                 F.max("e").alias("end_tok"),
+                 F.count(F.lit(1)).alias("n_shingles"))
+            .withColumn("span_tokens",
+                        F.col("end_tok") - F.col("start_tok") + 1))
+
+
+ORACLE_DUP_SPAN_POSITIONS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+occ AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+    FROM d, UNNEST(range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1)))
+         AS r(i)),
+dfc AS (SELECT shingle, count(DISTINCT doc_id) AS df
+        FROM occ GROUP BY shingle),
+dup AS (
+    SELECT o.doc_id, o.pos, o.pos + {SHINGLE_N - 1} AS e
+    FROM occ o JOIN dfc USING (shingle) WHERE df > 1),
+isl AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN max(e) OVER w_prev IS NULL
+                     OR pos > max(e) OVER w_prev + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM dup
+    WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+num AS (
+    SELECT doc_id, pos, e,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+    FROM isl)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(e) AS BIGINT) AS end_tok,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM num GROUP BY doc_id, span_id
+"""
+
+
 def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum staging: quartile-bucket documents by the
     blended quality score within each language (ntile over one window

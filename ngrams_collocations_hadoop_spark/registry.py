@@ -28,88 +28,51 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ORDERING POLICY: the driver's correctness harness adjudicates a
 # 50-query window from the FRONT of this dict each round, so entries are
 # ordered by adjudication need, not by topic:
-#   1. queries with no fully-green driver row in any round yet (r01
-#      checked positions 1-50 of the round-1 ordering, r02 the same 50 —
-#      everything added later was never officially adjudicated);
-#   2. queries whose implementation changed this round (need a fresh row);
-#   3. new queries added this round;
-#   4. queries green in r01 but not re-checked since;
-#   5. queries green in r02 (the original first-50) last.
-# Rotate per round so every query's latest code has an official
-# CORRECTNESS row. The topic grouping lives in each operator module.
+#   1. queries whose implementation changed this round (need a fresh row);
+#   2. queries new this round;
+#   3. queries whose newest green row is the OLDEST (refresh rotation) —
+#      fill the remaining window slots with these;
+#   4. everything with a recent green row goes behind the window, oldest
+#      evidence first, so the next rotation pulls from the front of the
+#      tail.
+# r04 window: 12 changed (covariance determinism fix; equi-depth
+# de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
+# mm_resize; connected-components fix -> components/keep_one/pipeline;
+# quirk-mode plumbing -> colloc_scored/topk) + 2 new + 10 green-in-r01-
+# only + 26 r02 refreshes. Accounting: every query outside this window
+# has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
-    # --- (1) no fully-green driver row yet (r01/r02 window missed) ---
-    "rel_string_agg": rel.q_string_agg,
-    "rel_incremental_agg": rel.q_incremental_agg,  # mergeable-state rollup
-    "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
-    "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,
-    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
-    "dedup_simhash_check": dedup.q_dedup_simhash_check,
-    "dedup_keep_one": dedup.q_dedup_keep_one,
-    "dedup_pagerank": dedup.q_dedup_pagerank,
-    "dedup_triangles": dedup.q_dedup_triangles,
-    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
-    "sim_lsh_recall": similarity.q_sim_lsh_recall,
-    "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
+    # --- (1) implementation changed this round ---
     "sim_embedding_covariance": similarity.q_embedding_covariance,
-    "text_quality": textstats.q_text_quality,
-    "text_lang_id": textstats.q_lang_id,
-    "text_fingerprint": textstats.q_fingerprint,
-    "text_train_test_split": textstats.q_train_test_split,
-    "text_pii_redact": textstats.q_pii_redact,
-    "text_repetition": textstats.q_repetition,
-    "text_corpus_stats": textstats.q_corpus_stats,
-    "text_tfidf": textstats.q_tfidf,
-    "text_contamination": textstats.q_contamination,
-    "text_stratified_sample": textstats.q_stratified_sample,
-    "mm_binary_stats": multimodal.q_mm_binary_stats,
-    "mm_frame_sample": multimodal.q_mm_frame_sample,
-    # Structured Streaming (run to completion via AvailableNow)
-    "stream_tumbling": sw.q_stream_tumbling,
-    "stream_session": sw.q_stream_session,
-    "stream_stateful_totals": sw.q_stream_stateful_totals,
-    "stream_dedup": sw.q_stream_dedup,
-    "stream_sliding": sw.q_stream_sliding,
-    "stream_enrich": sw.q_stream_enrich,
-    "stream_pair_join": sw.q_stream_pair_join,
-    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
-    # --- (2) implementation changed this round ---
-    "rel_approx_sketches": rel.q_approx_sketches,
-    # --- (3) new this round (inserted as implemented) ---
-    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
-    "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
-    "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
-    "colloc_hebrew_topk": co.q_hebrew_topk,         # second-corpus (RTL) parity
-    "text_doc_chunks": textstats.q_doc_chunks,      # context-window chunking
-    "text_pack_sequences": textstats.q_pack_sequences,  # concat-and-split packing
-    "text_mixture_weights": textstats.q_mixture_weights,  # temperature sampling
-    "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
+    "rel_equidepth_histogram": rel.q_equidepth_histogram,
     "text_dup_spans": textstats.q_dup_spans,        # cross-doc span duplication
-    "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
-    "sim_kmeans_step": similarity.q_kmeans_step,    # one EM step, full oracle
-    "text_curriculum_buckets": textstats.q_curriculum_buckets,
+    "text_contamination": textstats.q_contamination,
     "mm_resize": multimodal.q_mm_resize,            # downsample via mapInPandas
-    # --- (4) green in r01, unchanged since ---
+    "dedup_components": dedup.q_dedup_components,
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
+    "dedup_keep_one": dedup.q_dedup_keep_one,
+    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
+    "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
+    "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
+    "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
+    # --- (2) new this round ---
+    "text_dup_span_positions": textstats.q_dup_span_positions,  # span intervals
+    "stream_merge_sink": sw.q_stream_merge_sink,    # foreachBatch upsert table
+    # --- (3) newest green row is r01 (stalest official evidence) ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_fingerprint": dedup.q_dedup_fingerprint,
     "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
-    "dedup_components": dedup.q_dedup_components,
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
     "sim_label_centroids": similarity.q_label_centroids,
     "text_bm25": textstats.q_bm25,
     "text_token_count": textstats.q_token_count,
-    # --- (5) green in r02 (collocation pipeline, SURVEY.md §2.9) ---
+    # --- (3) newest green row is r02 — first 26 of the refresh queue ---
     "colloc_unigram_counts": co.q_unigram_counts,   # A2 (+P1-P6, J4)
     "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
     "colloc_totals": co.q_totals,                   # A4
-    "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
-    "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
     "colloc_pmi_topk": ng.q_pmi_topk,
@@ -117,7 +80,6 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,  # LM quality filter
     "colloc_vocab_growth": ng.q_vocab_growth,       # diachronic vocabulary
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
-    # --- (5) green in r02 (relational coverage, §2 generalized) ---
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
     "rel_percentiles": rel.q_percentiles,
     "rel_distinct_agg": rel.q_distinct_agg,
@@ -134,6 +96,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_window_ranks": rel.q_window_ranks,
     "rel_corr_stats": rel.q_corr_stats,
     "rel_set_ops": rel.q_set_ops,
+    # ================= end of the 50-query r04 window =================
+    # --- (4) newest green row is r02 — next in the refresh queue (r05) ---
     "rel_json_extract": rel.q_json_extract,
     "rel_tumbling_window": rel.q_tumbling_window,
     "rel_sliding_window": rel.q_sliding_window,
@@ -153,8 +117,51 @@ QUERIES: dict[str, QueryFn] = {
     "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
     "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
     "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
-    "rel_equidepth_histogram": rel.q_equidepth_histogram,
     "rel_window_firstlast": rel.q_window_firstlast,
+    # --- (4) newest green row is r03 ---
+    "rel_string_agg": rel.q_string_agg,
+    "rel_incremental_agg": rel.q_incremental_agg,  # mergeable-state rollup
+    "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
+    "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
+    "rel_approx_sketches": rel.q_approx_sketches,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
+    "dedup_simhash_check": dedup.q_dedup_simhash_check,
+    "dedup_pagerank": dedup.q_dedup_pagerank,
+    "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
+    "dedup_triangles": dedup.q_dedup_triangles,
+    "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
+    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
+    "sim_lsh_recall": similarity.q_sim_lsh_recall,
+    "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
+    "sim_kmeans_step": similarity.q_kmeans_step,    # one EM step, full oracle
+    "text_quality": textstats.q_text_quality,
+    "text_lang_id": textstats.q_lang_id,
+    "text_fingerprint": textstats.q_fingerprint,
+    "text_train_test_split": textstats.q_train_test_split,
+    "text_pii_redact": textstats.q_pii_redact,
+    "text_repetition": textstats.q_repetition,
+    "text_corpus_stats": textstats.q_corpus_stats,
+    "text_tfidf": textstats.q_tfidf,
+    "text_stratified_sample": textstats.q_stratified_sample,
+    "text_doc_chunks": textstats.q_doc_chunks,      # context-window chunking
+    "text_pack_sequences": textstats.q_pack_sequences,  # concat-and-split packing
+    "text_mixture_weights": textstats.q_mixture_weights,  # temperature sampling
+    "text_curriculum_buckets": textstats.q_curriculum_buckets,
+    "mm_binary_stats": multimodal.q_mm_binary_stats,
+    "mm_frame_sample": multimodal.q_mm_frame_sample,
+    "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
+    "colloc_hebrew_topk": co.q_hebrew_topk,         # second-corpus (RTL) parity
+    # Structured Streaming (run to completion via AvailableNow)
+    "stream_tumbling": sw.q_stream_tumbling,
+    "stream_session": sw.q_stream_session,
+    "stream_stateful_totals": sw.q_stream_stateful_totals,
+    "stream_dedup": sw.q_stream_dedup,
+    "stream_sliding": sw.q_stream_sliding,
+    "stream_enrich": sw.q_stream_enrich,
+    "stream_pair_join": sw.q_stream_pair_join,
+    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
 }
 
 ORACLES: dict[str, str] = {
@@ -215,11 +222,13 @@ ORACLES: dict[str, str] = {
     "dedup_triangles": dedup.ORACLE_DEDUP_TRIANGLES,
     "text_contamination": textstats.ORACLE_CONTAMINATION,
     "stream_dedup_bounded": sw.ORACLE_STREAM_DEDUP_BOUNDED,
+    "stream_merge_sink": sw.ORACLE_STREAM_MERGE_SINK,
     "text_token_positions": textstats.ORACLE_TOKEN_POSITIONS,
     "text_doc_chunks": textstats.ORACLE_DOC_CHUNKS,
     "text_pack_sequences": textstats.ORACLE_PACK_SEQUENCES,
     "text_mixture_weights": textstats.ORACLE_MIXTURE_WEIGHTS,
     "text_dup_spans": textstats.ORACLE_DUP_SPANS,
+    "text_dup_span_positions": textstats.ORACLE_DUP_SPAN_POSITIONS,
     "pipeline_training_prep": pipeline.ORACLE_TRAINING_PREP,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,

@@ -492,3 +492,53 @@ def stream_merge_to_table(spark: SparkSession, stream: DataFrame,
      .option("checkpointLocation", checkpoint)
      .trigger(availableNow=True)
      .start().awaitTermination())
+
+
+def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for the foreachBatch idempotent-merge sink: the
+    at-least-once doubled event stream is delivered in TWO micro-batches
+    (maxFilesPerTrigger=1), aggregated per event_type in update mode,
+    and each batch is MERGEd into a parquet serving table; the query
+    returns the FINAL table state — so a green row adjudicates the
+    exactly-once upsert semantics end to end (batch 2 must replace
+    batch 1's rows, not duplicate them).
+
+    Measures are integer-exact (count + a floor-microunit sum) so the
+    cross-batch accumulated totals hash identically to the one-shot
+    oracle — no float-order sensitivity between incremental state and
+    a single batch aggregation. Fresh table + checkpoint dirs per call
+    keep the query re-runnable and deterministic."""
+    import tempfile
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_timestamps(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_dup_stream_dir(sf_dir)))
+    agg = (stream.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1e6)).cast("long")
+                .alias("sum_value_micro")))
+    base = tempfile.mkdtemp(prefix="ncs_merge_sink_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(STREAM_STATE_PARTITIONS))
+    try:
+        stream_merge_to_table(spark, agg, f"{base}/table", f"{base}/cp",
+                              key_cols=["event_type"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(f"{base}/table")
+
+
+# Every event arrives twice (the dup stream), and the merge sink's final
+# state is the cumulative update-mode aggregate — i.e. the doubled
+# totals, exactly.
+ORACLE_STREAM_MERGE_SINK = """
+SELECT event_type,
+       CAST(2 * count(*) AS BIGINT) AS n,
+       CAST(2 * sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM events GROUP BY event_type
+"""

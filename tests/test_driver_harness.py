@@ -28,7 +28,8 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              "rel_hypertable_rollup", "rel_range_join", "stream_dedup",
              "stream_sliding", "stream_enrich", "stream_pair_join",
              "colloc_hebrew_topk", "mm_image_dims", "mm_resize",
-             "text_pack_sequences", "rel_approx_sketches"]:
+             "text_pack_sequences", "rel_approx_sketches",
+             "stream_merge_sink", "text_dup_span_positions"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)

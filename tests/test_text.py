@@ -123,6 +123,37 @@ def test_shingle_short_doc_guard(spark):
     q_contamination(spark, d).collect()
 
 
+def test_dup_span_positions_merges_runs(spark):
+    """Two docs sharing a 7-token run must each report ONE merged
+    interval covering exactly that run (three overlapping df>1
+    shingles compress into a single island), and a doc with two
+    separated shared runs must report two intervals."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_dup_span_positions)
+
+    shared = "s1 s2 s3 s4 s5 s6 s7"          # 7 tokens → 3 shingles
+    d1 = f"a1 a2 {shared} a3 a4"             # run covers tokens 3..9
+    d2 = f"b1 b2 b3 {shared}"                # run covers tokens 4..10
+    # d3: the same run twice, separated by >1 unique token → 2 islands
+    d3 = f"{shared} c1 c2 c3 {shared}"
+    rows = [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2)),
+            (3, d3, "en", "s", len(d3))]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    import tempfile
+    d = tempfile.mkdtemp(prefix="spanpos_")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {(r["doc_id"], r["span_id"]):
+           (r["start_tok"], r["end_tok"], r["n_shingles"])
+           for r in q_dup_span_positions(spark, d).collect()}
+    assert got[(1, 1)] == (3, 9, 3) and len(
+        [k for k in got if k[0] == 1]) == 1
+    assert got[(2, 1)] == (4, 10, 3) and len(
+        [k for k in got if k[0] == 2]) == 1
+    d3_spans = sorted(v[:2] for k, v in got.items() if k[0] == 3)
+    assert d3_spans == [(1, 7), (11, 17)]
+
+
 def test_clean_token_null_returns_empty(spark):
     """clean_token(NULL) must be '' (reference cleanToken never returns
     null), matching the Python mirror clean_token_ref."""
