@@ -250,9 +250,11 @@ def test_image_dims_no_python(spark):
 def test_connected_components_one_job_per_round(spark):
     """The observe-folded convergence check must not run a second pass
     per iteration. With AQE off (so a job isn't split into per-stage
-    jobs) the count is exact: 2 setup checkpoints (edges, seed labels)
-    + 1 checkpoint job per round — the old join-then-count formulation
-    ran 2 per round."""
+    jobs) the count is exact: 2 setup checkpoints (the directed edge
+    list — edge count rides it as an observe, not a job — and the seed
+    labels) + 1 checkpoint job per round — the old join-then-count
+    formulation ran 2 per round, and the old bidirectional-union
+    checkpoint ran the edge SOURCE twice inside one job."""
     from ngrams_collocations_hadoop_spark.operators.dedup import (
         connected_components,
     )
