@@ -918,6 +918,95 @@ FROM num GROUP BY doc_id, span_id
 """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-REMOVAL pass itself: cut every token covered by a
+    cross-document duplicated shingle out of each document and emit the
+    cleaned text's fingerprint — the RefinedWeb/Dolma consumer of
+    ``q_dup_span_positions``, kept as its own query so the whole
+    remove-rewrite contract (which tokens survive, in what order) is
+    oracle-adjudicated, not just the interval report.
+
+    Shape: dup shingle occurrences fan out to covered token positions
+    map-side (explode of a 5-element sequence); surviving tokens are a
+    left join on (doc_id, pos) with a null-flag filter; per-doc rewrite
+    is sort_array(collect_list(struct(pos, tok))) — bounded by document
+    length, never corpus-sized. Every document appears in the output,
+    including fully-duplicated ones (empty cleaned text) and short docs
+    (no shingles — text passes through verbatim)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = docs.withColumn("toks", F.split("text", " "))
+    occ = (toked
+           .select("doc_id", F.posexplode(F.expr(
+               f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
+               f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
+               f"ELSE array() END, "
+               f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
+               .alias("idx", "shingle"))
+           .withColumn("pos", (F.col("idx") + 1).cast("long"))
+           .drop("idx"))
+    dfc = (occ.select("doc_id", "shingle").distinct()
+           .groupBy("shingle").agg(F.count(F.lit(1)).alias("df")))
+    removed = (occ.join(dfc.filter(F.col("df") > 1), on="shingle")
+               .select(F.col("doc_id").alias("rdoc"), F.explode(F.expr(
+                   f"sequence(pos, pos + {SHINGLE_N - 1})"))
+                   .alias("rpos"))
+               .distinct())
+    toks = (toked.select(
+        "doc_id", F.posexplode("toks").alias("idx", "tok"))
+        .withColumn("pos", (F.col("idx") + 1).cast("long")))
+    flagged = (toks.join(removed,
+                         on=[F.col("doc_id") == F.col("rdoc"),
+                             F.col("pos") == F.col("rpos")],
+                         how="left")
+               .select("doc_id", "pos", "tok", "rpos"))
+    kept_struct = F.when(F.col("rpos").isNull(),
+                         F.struct("pos", "tok"))  # collect_list drops nulls
+    agg = (flagged.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens_in"),
+                F.sort_array(F.collect_list(kept_struct)).alias("kept")))
+    return agg.select(
+        "doc_id", "n_tokens_in",
+        F.size("kept").cast("long").alias("n_tokens_out"),
+        F.round(F.lit(1.0) - F.size("kept") / F.col("n_tokens_in"), 6)
+        .alias("removed_fraction"),
+        F.md5(F.concat_ws(" ", F.expr("transform(kept, s -> s.tok)")))
+        .alias("cleaned_md5"))
+
+
+ORACLE_DUP_SPAN_REMOVAL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+occ AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+    FROM d, UNNEST(range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1)))
+         AS r(i)),
+dfc AS (SELECT shingle, count(DISTINCT doc_id) AS df
+        FROM occ GROUP BY shingle),
+removed AS (
+    SELECT DISTINCT o.doc_id, p AS rpos
+    FROM occ o JOIN dfc USING (shingle),
+         UNNEST(range(o.pos, o.pos + {SHINGLE_N})) AS u(p)
+    WHERE df > 1),
+toks AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM d, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+flagged AS (
+    SELECT t.doc_id, t.pos, t.tok, r.rpos
+    FROM toks t LEFT JOIN removed r
+      ON t.doc_id = r.doc_id AND t.pos = r.rpos)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens_in,
+       CAST(sum(CASE WHEN rpos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokens_out,
+       round(1.0 - sum(CASE WHEN rpos IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS removed_fraction,
+       md5(coalesce(string_agg(CASE WHEN rpos IS NULL THEN tok END,
+                               ' ' ORDER BY pos), '')) AS cleaned_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum staging: quartile-bucket documents by the
     blended quality score within each language (ntile over one window

@@ -153,6 +153,23 @@ def test_dup_span_positions_merges_runs(spark):
     d3_spans = sorted(v[:2] for k, v in got.items() if k[0] == 3)
     assert d3_spans == [(1, 7), (11, 17)]
 
+    # the removal pass must cut exactly those intervals and keep every
+    # doc in the output — including ones with nothing to remove
+    import hashlib
+
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_dup_span_removal)
+    rem = {r["doc_id"]: r.asDict() for r in
+           q_dup_span_removal(spark, d).collect()}
+    assert set(rem) == {1, 2, 3}
+    assert (rem[1]["n_tokens_in"], rem[1]["n_tokens_out"]) == (11, 4)
+    assert rem[1]["cleaned_md5"] == hashlib.md5(
+        b"a1 a2 a3 a4").hexdigest()
+    assert rem[3]["n_tokens_out"] == 3      # only c1 c2 c3 survive
+    assert rem[3]["cleaned_md5"] == hashlib.md5(
+        b"c1 c2 c3").hexdigest()
+    assert rem[1]["removed_fraction"] == round(7 / 11, 6)
+
 
 def test_clean_token_null_returns_empty(spark):
     """clean_token(NULL) must be '' (reference cleanToken never returns
