@@ -206,6 +206,27 @@ def test_connected_components_empty_edges(spark):
     assert connected_components.last_rounds <= 1
 
 
+def test_incremental_lsh_matches_full_pairs_restricted(spark):
+    """The incremental batch-vs-index query must equal the FULL pair
+    list restricted to pairs touching the new slice (new id first,
+    new×new kept once) — and must never emit an old×old pair."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        NEW_BATCH_MOD, q_dedup_incremental_lsh, q_dedup_minhash_lsh)
+    sf = "/root/testdata/sf0.001"
+    inc = {(r["doc_new"], r["doc_match"]): r["jaccard"]
+           for r in q_dedup_incremental_lsh(spark, sf).collect()}
+    assert inc and all(n % NEW_BATCH_MOD == 0 for n, _ in inc)
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q_dedup_minhash_lsh(spark, sf).collect()}
+    expect = {}
+    for (a, b), j in full.items():
+        if a % NEW_BATCH_MOD == 0:
+            expect[(a, b)] = j
+        elif b % NEW_BATCH_MOD == 0:
+            expect[(b, a)] = j
+    assert inc == expect
+
+
 def test_components_lsh_consistent_with_edges(spark):
     """Every LSH-verified pair must land in one cluster, and each
     cluster id is the min doc_id of its members."""
