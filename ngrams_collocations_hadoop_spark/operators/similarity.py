@@ -74,6 +74,72 @@ FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
 
+# --- metadata-filtered ANN (hybrid search) ------------------------------
+
+FILTER_MIN_CHARS = 400    # candidate gate: documents.n_chars >= this
+
+
+def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search ("hybrid search"): exact
+    top-k cosine neighbors per query vector, restricted to candidates
+    whose DOCUMENT passes a metadata gate (here `n_chars >=
+    FILTER_MIN_CHARS` — the quality/store-filter shape every retrieval
+    stack needs: filter + vector score in one query).
+
+    Scale shape — the gate applies BEFORE any distance math: the
+    documents-side predicate prunes at the parquet scan (pushed
+    filter), the id semi-join cuts the candidate embedding stream, and
+    only survivors enter the broadcast-Q scoring. Post-filtering a
+    plain top-k instead (score, rank, then drop gated rows) would both
+    waste |Q|x|corpus| cosine work AND return < k rows per query —
+    filter-THEN-rank is the semantics retrieval actually wants, and
+    per-query result counts stay exactly k whenever k survivors
+    exist."""
+    e = load_table(spark, sf_dir, "embeddings")
+    keep = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") >= FILTER_MIN_CHARS)
+            .select(F.col("doc_id").alias("cand_id")))
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cand = (e.select(F.col("vec_id").alias("cand_id"),
+                     F.col("embedding").alias("c_emb"))
+            .join(keep, on="cand_id", how="left_semi"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_emb", "c_emb"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+ORACLE_COSINE_TOPK_FILTERED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keep AS (SELECT doc_id FROM documents
+         WHERE n_chars >= {FILTER_MIN_CHARS}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    JOIN keep k ON k.doc_id = c.vec_id
+    WHERE q.vec_id < {N_QUERY_VECS}),
+ranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
 # --- hyperplane LSH ------------------------------------------------------
 
 # Hyperplane coefficients are a data-independent constant matrix,

@@ -206,6 +206,31 @@ def test_connected_components_empty_edges(spark):
     assert connected_components.last_rounds <= 1
 
 
+def test_filtered_ann_gates_before_ranking(spark):
+    """Hybrid search must filter THEN rank: every returned candidate
+    passes the metadata gate, each query still gets exactly k rows
+    (survivors abound at this SF), and the gate reaches the parquet
+    scan as a pushed filter with a semi-join — not a post-rank drop."""
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        FILTER_MIN_CHARS, TOPK_NEIGHBORS, q_cosine_topk_filtered)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    out = q_cosine_topk_filtered(spark, sf).collect()
+    ok_ids = {r["doc_id"] for r in
+              load_table(spark, sf, "documents")
+              .filter(F.col("n_chars") >= FILTER_MIN_CHARS)
+              .select("doc_id").collect()}
+    assert ok_ids and all(r["cand_id"] in ok_ids for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, TOPK_NEIGHBORS + 1))
+               for v in per_q.values())
+    plan = q_cosine_topk_filtered(spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "PushedFilters" in plan
+
+
 def test_incremental_lsh_matches_full_pairs_restricted(spark):
     """The incremental batch-vs-index query must equal the FULL pair
     list restricted to pairs touching the new slice (new id first,
