@@ -835,6 +835,46 @@ GROUP BY doc_id
 """
 
 
+GROUP_SAMPLE_K = 10     # docs kept per (lang, source) group
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling: keep the K documents
+    with the smallest md5(doc_id) within every (lang, source) stratum —
+    the eval-set/inspection-set construction a training pipeline runs
+    over every slice of the corpus. Hash-ordering makes the sample
+    pseudo-uniform yet reproducible across runs, engines, partitionings
+    AND corpus growth (a doc already sampled stays sampled unless a
+    smaller-hashed doc arrives — reservoir semantics without RNG state).
+
+    Scale shape: the rank-≤-k filter compiles to WindowGroupLimitExec,
+    so each task keeps at most K rows per group BEFORE the exchange —
+    shuffle bytes are bounded by groups x K, never the corpus. The md5
+    sort key is fixed-width hex: lexicographic order == integer order,
+    portable to the oracle verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= GROUP_SAMPLE_K)
+            .select("lang", "source", "doc_id", "rank",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+
+
+ORACLE_GROUP_SAMPLE = f"""
+WITH ranked AS (
+    SELECT lang, source, doc_id, n_chars,
+           CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS rank
+    FROM documents)
+SELECT lang, source, doc_id, rank, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rank <= {GROUP_SAMPLE_K}
+"""
+
+
 def q_dup_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span INTERVALS: the start/end token
     offsets of every maximal run of cross-document shingles (df > 1) —
