@@ -38,9 +38,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r04 window: 12 changed (covariance determinism fix; equi-depth
 # de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
 # mm_resize; connected-components fix -> components/keep_one/pipeline;
-# quirk-mode plumbing -> colloc_scored/topk) + 2 new + 10 green-in-r01-
-# only + 22 r02 refreshes. Accounting: every query outside this window
-# has a green row in r02 or r03.
+# quirk-mode plumbing -> colloc_scored/topk) + 6 new (span positions/
+# removal, merge sink, incremental LSH, filtered ANN, group sample) +
+# 10 green-in-r01-only + 22 r02 refreshes. Accounting: every query
+# outside this window has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
     "sim_embedding_covariance": similarity.q_embedding_covariance,
