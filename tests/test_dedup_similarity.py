@@ -252,6 +252,29 @@ def test_incremental_lsh_matches_full_pairs_restricted(spark):
     assert inc == expect
 
 
+def test_star_contraction_equivalent_to_pointer_jumping(spark):
+    """Both distributed components engines must reach the identical
+    fixpoint (node -> min reachable id) on a high-diameter chain, a
+    multi-component graph, and an empty edge set."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        connected_components, connected_components_star)
+    chain19 = spark.sql(
+        "SELECT CAST(id AS LONG) AS src, CAST(id + 1 AS LONG) AS dst "
+        "FROM range(1, 20)")
+    multi = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["src", "dst"])
+    for edges in (chain19, multi):
+        a = {(r["node"], r["component"]) for r in
+             connected_components(edges).collect()}
+        b = {(r["node"], r["component"]) for r in
+             connected_components_star(edges).collect()}
+        assert a == b and a
+    empty = chain19.filter("src > 100")
+    assert connected_components_star(empty).count() == 0
+    assert connected_components_star.last_rounds <= 2
+
+
 def test_components_lsh_consistent_with_edges(spark):
     """Every LSH-verified pair must land in one cluster, and each
     cluster id is the min doc_id of its members."""
