@@ -171,6 +171,28 @@ def test_dup_span_positions_merges_runs(spark):
     assert rem[1]["removed_fraction"] == round(7 / 11, 6)
 
 
+def test_span_positions_and_removal_agree_on_fixture_corpus(spark):
+    """Cross-operator invariant on the real fixture: per document, the
+    total token span covered by the reported intervals must equal
+    exactly the number of tokens the removal pass dropped."""
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_dup_span_positions, q_dup_span_removal)
+    sf = "/root/testdata/sf0.001"
+    spans = (q_dup_span_positions(spark, sf)
+             .groupBy("doc_id")
+             .agg(F.sum("span_tokens").alias("covered")))
+    rem = q_dup_span_removal(spark, sf).select(
+        "doc_id", (F.col("n_tokens_in") - F.col("n_tokens_out"))
+        .alias("dropped"))
+    joined = rem.join(spans, on="doc_id", how="left") \
+        .withColumn("covered", F.coalesce("covered", F.lit(0)))
+    bad = joined.filter(F.col("covered") != F.col("dropped")).count()
+    assert bad == 0
+    assert joined.filter(F.col("dropped") > 0).count() > 0
+
+
 def test_clean_token_null_returns_empty(spark):
     """clean_token(NULL) must be '' (reference cleanToken never returns
     null), matching the Python mirror clean_token_ref."""
