@@ -395,6 +395,35 @@ FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked recall@k of the IVF ANN against the exact brute-force
+    top-k — the IVF twin of ``q_sim_lsh_recall``, so BOTH approximate
+    index families carry an honest, driver-adjudicated recall row. An
+    accidental NPROBE/centroid retune that collapses recall turns this
+    row red instead of silently degrading retrieval."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    found = (q_cosine_topk_ivf(spark, sf_dir)
+             .select("query_id", "cand_id").withColumn("_hit", F.lit(1)))
+    hits = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+    return (exact.join(found, on=["query_id", "cand_id"], how="left")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 hits.alias("n_found"),
+                 F.round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 .alias("recall")))
+
+
+ORACLE_SIM_IVF_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+ivf_side AS ({ORACLE_COSINE_TOPK_IVF})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(i.cand_id) AS BIGINT) AS n_found,
+       round(count(i.cand_id)::DOUBLE / count(*), 4) AS recall
+FROM exact_side x
+LEFT JOIN ivf_side i
+  ON x.query_id = i.query_id AND x.cand_id = i.cand_id
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize every embedding, then aggregate per-label centroids
     of the unit vectors — the shared kernel of k-means iterations,

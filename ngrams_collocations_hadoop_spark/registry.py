@@ -38,10 +38,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r04 window: 12 changed (covariance determinism fix; equi-depth
 # de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
 # mm_resize; connected-components fix -> components/keep_one/pipeline;
-# quirk-mode plumbing -> colloc_scored/topk) + 7 new (span positions/
+# quirk-mode plumbing -> colloc_scored/topk) + 8 new (span positions/
 # removal, merge sink, incremental LSH, filtered ANN, group sample,
-# components-star) +
-# 10 green-in-r01-only + 21 r02 refreshes. Accounting: every query
+# components-star, IVF recall) +
+# 10 green-in-r01-only + 20 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
@@ -65,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,  # hybrid
     "text_group_sample": textstats.q_group_sample,  # exactly-k per stratum
     "dedup_components_star": dedup.q_dedup_components_star,  # star contraction
+    "sim_ivf_recall": similarity.q_sim_ivf_recall,  # honest IVF recall row
     # --- (3) newest green row is r01 (stalest official evidence) ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -97,8 +98,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_semi_join": rel.q_semi_join,
     "rel_anti_join": rel.q_anti_join,               # J4 shape
     "rel_outer_join": rel.q_outer_join,
-    "rel_topk_per_group": rel.q_topk_per_group,     # T1-T3 shape
     # ================= end of the 50-query r04 window =================
+    "rel_topk_per_group": rel.q_topk_per_group,     # T1-T3 shape
     "rel_global_topn": rel.q_global_topn,
     "rel_window_running": rel.q_window_running,
     "rel_window_ranks": rel.q_window_ranks,
@@ -241,6 +242,7 @@ ORACLES: dict[str, str] = {
     "sim_cosine_topk_filtered": similarity.ORACLE_COSINE_TOPK_FILTERED,
     "text_group_sample": textstats.ORACLE_GROUP_SAMPLE,
     "dedup_components_star": dedup.ORACLE_DEDUP_COMPONENTS,
+    "sim_ivf_recall": similarity.ORACLE_SIM_IVF_RECALL,
     "pipeline_training_prep": pipeline.ORACLE_TRAINING_PREP,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
