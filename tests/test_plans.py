@@ -116,6 +116,37 @@ def test_no_unpartitioned_window_anywhere(spark):
         assert not bad, f"{name}: unpartitioned Window node(s): {bad}"
 
 
+def test_equidepth_rank_arithmetic_matches_ntile_on_uneven_n(spark):
+    """Both fixture SFs have row counts divisible into the bins evenly
+    (N % 10 == 0), so the driver's oracle never exercises the uneven
+    branch of the distributed ntile arithmetic (bins 1..r holding q+1
+    rows). Pin it on a 47-row table against Spark's own ntile: q=4,
+    r=7 -> bins 1-7 hold 5 rows, bins 8-10 hold 4."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, float((i * 37) % 101)) for i in range(47)]
+    df = spark.createDataFrame(rows, ["o_orderkey", "o_totalprice"])
+    d = tempfile.mkdtemp(prefix="eqd_")
+    df.write.parquet(f"{d}/orders.parquet")
+    got = {r["bin"]: (r["n"], r["lo"], r["hi"], r["total"]) for r in
+           rel.q_equidepth_histogram(spark, d).collect()}
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {r["bin"]: (r["n"], r["lo"], r["hi"], r["total"]) for r in
+            df.select("o_totalprice",
+                      F.ntile(10).over(w).cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 4).alias("lo"),
+                 F.round(F.max("o_totalprice"), 4).alias("hi"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total"))
+            .collect()}
+    assert got == want
+    assert sorted(n for n, *_ in got.values()) == [4] * 3 + [5] * 7
+
+
 def test_ivf_centroid_join_is_broadcast(spark):
     from ngrams_collocations_hadoop_spark.operators.similarity import (
         q_cosine_topk_ivf,
