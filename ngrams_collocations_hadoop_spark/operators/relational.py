@@ -1183,3 +1183,66 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value) / count(*), 6) AS mean
 FROM events GROUP BY event_type
 """
+
+
+# --- robust outlier detection (median absolute deviation) ----------------
+
+MAD_K = 3.0          # |x - median| > K * MAD flags an outlier
+MAD_SIGMA = 1.4826   # normal-consistency constant for reporting
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile: per event_type, the median,
+    the median absolute deviation (exact two-pass percentile), and the
+    count/fraction of events beyond MAD_K·MAD — the data-quality
+    monitor that, unlike z-scores (`q_anomaly_zscore`), is immune to
+    the outliers it is hunting.
+
+    Scale shape: two group-bounded exact-percentile aggregates (group
+    count is tiny, so each is one partial-agg'd shuffle of group
+    cardinality), medians rejoined by broadcast — never a global sort
+    or window; the flagging pass is a map-side comparison. Exact
+    percentile sorts within each group's aggregation buffer; for
+    groups too large for that, swap in approx_percentile with the same
+    plan (the repo pins that accuracy pattern in q_approx_sketches)."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = (e.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    mad = (e.join(F.broadcast(med), on="event_type")
+           .groupBy("event_type")
+           .agg(F.first("med").alias("med"),
+                F.expr("percentile(abs(value - med), 0.5)").alias("mad")))
+    return (e.join(F.broadcast(mad), on="event_type")
+            .groupBy("event_type")
+            .agg(F.first(F.round("med", 6)).alias("median"),
+                 F.first(F.round("mad", 6)).alias("mad"),
+                 F.round(F.first("mad") * MAD_SIGMA, 6).alias("robust_sigma"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum((F.abs(F.col("value") - F.col("med"))
+                        > MAD_K * F.col("mad")).cast("long"))
+                 .alias("n_outliers"))
+            .withColumn("outlier_frac",
+                        F.round(F.col("n_outliers") / F.col("n"), 6)))
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type),
+mad AS (
+    SELECT e.event_type, any_value(med) AS med,
+           quantile_cont(abs(value - med), 0.5) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type)
+SELECT e.event_type,
+       round(any_value(mad.med), 6) AS median,
+       round(any_value(mad.mad), 6) AS mad,
+       round(any_value(mad.mad) * {MAD_SIGMA}, 6) AS robust_sigma,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(value - mad.med) > {MAD_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN abs(value - mad.med) > {MAD_K} * mad.mad
+                 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS outlier_frac
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type
+"""

@@ -636,6 +636,25 @@ FROM m
 KMEANS_K = 8    # deterministic init: the first K vec_ids seed the centroids
 
 
+def _kmeans_assign(e: DataFrame) -> DataFrame:
+    """Assign every vector to the nearest of K broadcast centroids by
+    squared L2 (deterministic min-cid tiebreak), centroids seeded from
+    the first K vec_ids. Map-side argmin over the scan — no shuffle;
+    shared by the k-means EM step and the SemDeDup pass."""
+    cent = (e.filter(F.col("vec_id") < KMEANS_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("v").alias("cvec")))
+    d2 = F.expr(
+        "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)), "
+        "0D, (a, t) -> a + t)")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (e.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cluster_id"), "v"))
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full k-means iteration over the embedding corpus:
     assignment (nearest of K broadcast centroids by squared L2,
@@ -654,18 +673,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't survive result canonicalizers."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cent = (e.filter(F.col("vec_id") < KMEANS_K)
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("v").alias("cvec")))
-    d2 = F.expr(
-        "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)), "
-        "0D, (a, t) -> a + t)")
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (e.crossJoin(F.broadcast(cent))
-                .withColumn("d2", d2)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", F.col("cid").alias("cluster_id"), "v"))
+    assigned = _kmeans_assign(e)
     return (assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
@@ -695,4 +703,77 @@ SELECT cluster_id, pos,
        CAST(count(*) AS BIGINT) AS n_members,
        round(avg(x), 6) AS centroid_val
 FROM comp GROUP BY cluster_id, pos
+"""
+
+
+# --- SemDeDup: semantic dedup within k-means clusters --------------------
+
+# Within-cluster cosine ≥ threshold marks the higher vec_id a semantic
+# duplicate. 0.35 sits at ~q99 of the sf0.01 within-cluster pair cosines,
+# so the drop set is small but non-empty — the regime the real pass
+# targets (Abbas et al. 2023, "SemDeDup", arXiv:2303.09540).
+SEMANTIC_DUP_THRESHOLD = 0.35
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    the deterministic k-means assignment (first-K seed centroids,
+    broadcast argmin — zero shuffle), compare pairs ONLY within a
+    cluster, and drop every vector that has a lower-id cluster-mate
+    with cosine ≥ SEMANTIC_DUP_THRESHOLD. Emits the full keep/drop
+    decision per vector — the form a curation pipeline consumes.
+
+    Scale shape — the SemDeDup cost model: assignment is a map-side
+    pass over the scan; the pairwise stage is an equi-join on
+    cluster_id, so total work is Σ|C|² over clusters, never corpus².
+    At 100 TB you raise K so clusters stay ~fixed-size (K ∝ corpus);
+    the centroid set stays broadcastable (K·dim floats) far beyond
+    that, and an oversized straggler cluster is handled like any skewed
+    join key (salt by a secondary hash, verify across salts)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assigned = _kmeans_assign(e)
+    a = assigned.select(F.col("vec_id").alias("id_a"), "cluster_id",
+                        F.col("v").alias("va"))
+    b = assigned.select(F.col("vec_id").alias("id_b"), "cluster_id",
+                        F.col("v").alias("vb"))
+    dup_ids = (a.join(b, on="cluster_id")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .withColumn("cos", cosine_expr("va", "vb"))
+               .filter(F.col("cos") >= SEMANTIC_DUP_THRESHOLD)
+               .select(F.col("id_b").alias("vec_id"))
+               .distinct()
+               .withColumn("_dup", F.lit(1)))
+    return (assigned.join(dup_ids, on="vec_id", how="left")
+            .select("vec_id", F.col("cluster_id").cast("long"),
+                    F.col("_dup").isNull().alias("keep")))
+
+
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
+dists AS (
+    SELECT e.vec_id, cent.cid, e.v,
+           list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - cent.cvec[i]) * (e.v[i] - cent.cvec[i])))
+               AS d2
+    FROM e CROSS JOIN cent),
+assigned AS (
+    SELECT vec_id, cid AS cluster_id, v
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+          FROM dists)
+    WHERE rn = 1),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a
+    JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v)))
+          >= {SEMANTIC_DUP_THRESHOLD})
+SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       d.vec_id IS NULL AS keep
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
 """

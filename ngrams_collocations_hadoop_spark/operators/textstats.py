@@ -1087,3 +1087,188 @@ SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(quality_score), 6) AS mean_score
 FROM staged GROUP BY lang, stage
 """
+
+
+# --- DSIR importance weights (data selection) ----------------------------
+
+DSIR_TARGET_LANG = "en"   # fixture target domain; production: any doc gate
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), unigram form: score every document by the mean
+    per-token log-likelihood ratio between a target-domain LM (here
+    docs with lang = DSIR_TARGET_LANG) and the raw-corpus LM, both
+    add-1-smoothed over the corpus vocabulary. High weight = looks like
+    the target domain; resampling by these weights is the selection
+    step. This is the LLR idea of the reference's collocation scorer
+    (`LLR.java`) applied corpuswide as a curation operator.
+
+    Scale shape: the two LMs are vocabulary-bounded aggregates
+    (word-count shuffles with partial agg); corpus totals are one tiny
+    broadcast row; scoring joins the exploded token stream to the LM on
+    token — the same equi-join shape as word count, no corpus² work.
+
+    Determinism: each token's log-ratio is ln of one exactly-computed
+    rational (BIGINT products, single double division) rounded to 6 dp,
+    then per-doc accumulation uses exact integer micro-units
+    (BIGINT sum of round(lr·1e6)) — order-independent across engines;
+    only the final mean is float."""
+    tok = (load_table(spark, sf_dir, "documents")
+           .select("doc_id", "lang", F.explode(F.split("text", " "))
+                   .alias("token")))
+    cnt_r = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
+    cnt_t = (tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+             .groupBy("token").agg(F.count(F.lit(1)).alias("ct")))
+    totals = (cnt_r.agg(F.count(F.lit(1)).alias("v"),
+                        F.sum("cr").alias("nr")))
+    totals_t = cnt_t.agg(F.sum("ct").alias("nt"))
+    lm = (cnt_r.join(cnt_t, on="token", how="left")
+          .withColumn("ct", F.coalesce("ct", F.lit(0)))
+          .crossJoin(F.broadcast(totals))
+          .crossJoin(F.broadcast(totals_t))
+          .withColumn(
+              "lr",
+              F.round(F.log(((F.col("ct") + 1) * (F.col("nr") + F.col("v")))
+                            .cast("double")
+                            / ((F.col("cr") + 1)
+                               * (F.col("nt") + F.col("v"))).cast("double")),
+                      6))
+          .select("token", "lr"))
+    return (tok.join(lm, on="token")
+            .groupBy("doc_id", "lang")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.round(F.col("lr") * 1e6).cast("long")).alias("s"))
+            .select("doc_id", "lang", "n_tokens",
+                    F.round(F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6)
+                    .alias("dsir_logweight")))
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+cnt_r AS (SELECT token, count(*) AS cr FROM tok GROUP BY token),
+cnt_t AS (SELECT token, count(*) AS ct FROM tok
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY token),
+totals AS (SELECT count(*) AS v, sum(cr) AS nr FROM cnt_r),
+totals_t AS (SELECT sum(ct) AS nt FROM cnt_t),
+lm AS (
+    SELECT r.token,
+           round(ln(((coalesce(t.ct, 0) + 1) * (nr + v))::DOUBLE
+                    / ((r.cr + 1) * (nt + v))::DOUBLE), 6) AS lr
+    FROM cnt_r r LEFT JOIN cnt_t t ON r.token = t.token
+    CROSS JOIN totals CROSS JOIN totals_t)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(CAST(round(lr * 1e6) AS BIGINT))
+             / (1e6 * count(*)), 6) AS dsir_logweight
+FROM tok JOIN lm USING (token)
+GROUP BY doc_id, lang
+"""
+
+
+# --- deterministic shard assignment (training export) --------------------
+
+N_SHARDS = 8
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training export: every doc
+    hashes to one of N_SHARDS shards (md5 of doc_id — content-stable,
+    cross-engine, unlike engine-private hash functions), gets a dense
+    within-shard position and a cumulative token offset — exactly what
+    a sharded tokenized-corpus writer (WebDataset/TFRecord-style)
+    needs to lay out files without a global sort.
+
+    Scale shape: the hash is map-side; position/offset are ONE window
+    exchange partitioned by shard — N_SHARDS-way parallel, never a
+    single-partition global window. Shard sizes stay balanced because
+    the hash is uniform; the window per shard is the per-file writer
+    order, which a real export would produce with
+    repartition(shard).sortWithinPartitions — the same plan."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_tokens"))
+            .withColumn(
+                "shard",
+                (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                    1, 4), 16, 10).cast("long")
+                 % N_SHARDS)))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (docs
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .withColumn("token_offset",
+                        F.coalesce(F.sum("n_tokens").over(
+                            w.rowsBetween(Window.unboundedPreceding, -1)),
+                            F.lit(0)).cast("long"))
+            .select("doc_id", "shard", "pos", "n_tokens", "token_offset"))
+
+
+ORACLE_SHARD_ASSIGN = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+             % {N_SHARDS} AS shard
+    FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER w AS BIGINT) AS pos,
+       n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+            PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+FROM d
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+"""
+
+
+# --- BPE pair statistics (tokenizer training step) -----------------------
+
+BPE_TOPK = 10
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-selection step per language: count every adjacent
+    character pair inside whitespace words and rank the top BPE_TOPK
+    merge candidates (count desc, pair asc — the deterministic
+    tiebreak). Iterating merge-count-merge is exactly how a BPE
+    tokenizer is trained; this is the distributed inner loop, and its
+    pair-counting is the reference's bigram count (`Job1.java`) one
+    level down, at the character plane.
+
+    Scale shape: pair extraction is a map-side expression (sequence +
+    substring — character-indexed, so CJK text is handled per
+    codepoint, not per byte); the count is one partial-agg'd
+    (lang, pair) shuffle bounded by the pair alphabet, not the corpus;
+    the top-k is a WindowGroupLimit over that bounded aggregate."""
+    pairs = F.expr(
+        "CASE WHEN length(w) >= 2 "
+        "THEN transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2)) ELSE array() END")
+    words = (load_table(spark, sf_dir, "documents")
+             .select("lang", F.explode(F.split("text", " ")).alias("w")))
+    counts = (words.select("lang", F.explode(pairs).alias("pair"))
+              .groupBy("lang", "pair")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("pair"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= BPE_TOPK)
+            .select("lang", "pair", "cnt", "rank"))
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH words AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+pairs AS (
+    SELECT lang, w[i:i+1] AS pair
+    FROM words, UNNEST(range(1, length(w))) AS r(i)
+    WHERE length(w) >= 2),
+counts AS (
+    SELECT lang, pair, count(*) AS cnt FROM pairs GROUP BY lang, pair),
+ranked AS (
+    SELECT lang, pair, cnt,
+           CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
+    FROM counts)
+SELECT lang, pair, cnt, rank FROM ranked WHERE rank <= {BPE_TOPK}
+"""

@@ -38,10 +38,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r04 window: 12 changed (covariance determinism fix; equi-depth
 # de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
 # mm_resize; connected-components fix -> components/keep_one/pipeline;
-# quirk-mode plumbing -> colloc_scored/topk) + 8 new (span positions/
+# quirk-mode plumbing -> colloc_scored/topk) + 14 new (span positions/
 # removal, merge sink, incremental LSH, filtered ANN, group sample,
-# components-star, IVF recall) +
-# 10 green-in-r01-only + 20 r02 refreshes. Accounting: every query
+# components-star, IVF recall, semantic dedup, DSIR weights, shard
+# assign, BPE pairs, MAD outliers, stream top-k) +
+# 10 green-in-r01-only + 14 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
@@ -66,6 +67,12 @@ QUERIES: dict[str, QueryFn] = {
     "text_group_sample": textstats.q_group_sample,  # exactly-k per stratum
     "dedup_components_star": dedup.q_dedup_components_star,  # star contraction
     "sim_ivf_recall": similarity.q_sim_ivf_recall,  # honest IVF recall row
+    "dedup_semantic": similarity.q_dedup_semantic,  # SemDeDup within clusters
+    "text_dsir_weights": textstats.q_dsir_weights,  # importance resampling
+    "text_shard_assign": textstats.q_shard_assign,  # training-export layout
+    "text_bpe_pairs": textstats.q_bpe_pairs,        # BPE merge-step counts
+    "rel_mad_outliers": rel.q_mad_outliers,         # robust outlier profile
+    "stream_window_topk": sw.q_stream_window_topk,  # streaming leaderboard
     # --- (3) newest green row is r01 (stalest official evidence) ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -92,13 +99,13 @@ QUERIES: dict[str, QueryFn] = {
     "rel_percentiles": rel.q_percentiles,
     "rel_distinct_agg": rel.q_distinct_agg,
     "rel_rollup": rel.q_rollup,
+    # ================= end of the 50-query r04 window =================
     "rel_cube": rel.q_cube,
     "rel_pivot": rel.q_pivot,
     "rel_star_join": rel.q_star_join,               # J1/J2 + broadcast J3
     "rel_semi_join": rel.q_semi_join,
     "rel_anti_join": rel.q_anti_join,               # J4 shape
     "rel_outer_join": rel.q_outer_join,
-    # ================= end of the 50-query r04 window =================
     "rel_topk_per_group": rel.q_topk_per_group,     # T1-T3 shape
     "rel_global_topn": rel.q_global_topn,
     "rel_window_running": rel.q_window_running,
@@ -244,6 +251,12 @@ ORACLES: dict[str, str] = {
     "dedup_components_star": dedup.ORACLE_DEDUP_COMPONENTS,
     "sim_ivf_recall": similarity.ORACLE_SIM_IVF_RECALL,
     "pipeline_training_prep": pipeline.ORACLE_TRAINING_PREP,
+    "dedup_semantic": similarity.ORACLE_DEDUP_SEMANTIC,
+    "text_dsir_weights": textstats.ORACLE_DSIR_WEIGHTS,
+    "text_shard_assign": textstats.ORACLE_SHARD_ASSIGN,
+    "text_bpe_pairs": textstats.ORACLE_BPE_PAIRS,
+    "rel_mad_outliers": rel.ORACLE_MAD_OUTLIERS,
+    "stream_window_topk": sw.ORACLE_STREAM_WINDOW_TOPK,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,

@@ -542,3 +542,49 @@ SELECT event_type,
            AS sum_value_micro
 FROM events GROUP BY event_type
 """
+
+
+# --- streaming windowed top-k -------------------------------------------
+
+STREAM_TOPK = 3
+
+
+def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: the tumbling-window aggregate runs as a
+    stream (watermarked state-store operator), and the top-K event
+    types per window are ranked over the emitted aggregate — the
+    kappa-architecture split every streaming leaderboard uses, because
+    rank-over-window is not an incremental operator: the stream
+    maintains the additive state (counts), the serving layer ranks the
+    bounded aggregate. Here the ranking runs on the completed
+    AvailableNow output; in production it is the same expression over
+    the merge-sink serving table (``q_stream_merge_sink``).
+
+    Scale: the ranked input is |windows|·|event types| rows — window
+    exchange over the aggregate, never over raw events."""
+    from pyspark.sql import Window
+
+    agg = _run_to_completion(
+        tumbling_agg(_event_stream(spark, sf_dir)),
+        "stream_window_topk_out", "complete")
+    w = (Window.partitionBy("win_start")
+         .orderBy(F.desc("n"), F.asc("event_type")))
+    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= STREAM_TOPK)
+            .select("win_start", "event_type", "n", "rank"))
+
+
+ORACLE_STREAM_WINDOW_TOPK = f"""
+WITH agg AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+           count(*) AS n
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    GROUP BY 1, 2),
+ranked AS (
+    SELECT win_start, event_type, n,
+           CAST(row_number() OVER (PARTITION BY win_start
+                ORDER BY n DESC, event_type ASC) AS BIGINT) AS rank
+    FROM agg)
+SELECT win_start, event_type, n, rank
+FROM ranked WHERE rank <= {STREAM_TOPK}
+"""

@@ -1,0 +1,102 @@
+"""Invariant tests for the round-4 curation operators (semantic dedup,
+DSIR weights, shard assignment, BPE pairs, MAD outliers, streaming
+top-k) — semantics the differential suite can't pin because both
+engines could share the same bug."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ngrams_collocations_hadoop_spark.operators.relational import (
+    MAD_K, q_mad_outliers)
+from ngrams_collocations_hadoop_spark.operators.similarity import (
+    q_dedup_semantic)
+from ngrams_collocations_hadoop_spark.operators.textstats import (
+    BPE_TOPK, N_SHARDS, DSIR_TARGET_LANG, q_bpe_pairs, q_dsir_weights,
+    q_shard_assign)
+from ngrams_collocations_hadoop_spark.streaming.windows import (
+    STREAM_TOPK, q_stream_window_topk)
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_semantic_dedup_keeps_cluster_minimum(spark):
+    rows = q_dedup_semantic(spark, SF).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        kept = [m for m in members if m.keep]
+        # at least one survivor per cluster, and the min vec_id has no
+        # lower-id mate so it can never be marked a duplicate
+        assert kept
+        assert min(m.vec_id for m in members) in {m.vec_id for m in kept}
+
+
+def test_semantic_dedup_drops_something_at_sf001(spark):
+    dropped = q_dedup_semantic(spark, SF).filter(~F.col("keep")).count()
+    assert dropped > 0  # threshold is calibrated to bite, not no-op
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    res = (q_dsir_weights(spark, SF)
+           .groupBy(F.col("lang") == DSIR_TARGET_LANG)
+           .agg(F.avg("dsir_logweight").alias("w"))
+           .collect())
+    means = {r[0]: r.w for r in res}
+    # target-domain docs must score higher under their own LM ratio
+    assert means[True] > means[False]
+
+
+def test_shard_assign_layout_is_consistent(spark):
+    rows = q_shard_assign(spark, SF).collect()
+    docs = {r.doc_id for r in rows}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(docs) == n_docs  # every doc placed exactly once
+    shards: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        shards.setdefault(r.shard, []).append(r)
+    for members in shards.values():
+        members.sort(key=lambda r: r.pos)
+        assert [m.pos for m in members] == list(range(1, len(members) + 1))
+        off = 0
+        for m in members:
+            assert m.token_offset == off  # writer offset = running sum
+            off += m.n_tokens
+
+
+def test_bpe_pairs_ranking_contract(spark):
+    rows = q_bpe_pairs(spark, SF).collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        # substring(w, i, 2) with i <= length-1 always yields 2 chars
+        assert len(r.pair) == 2
+        per_lang.setdefault(r.lang, []).append(r)
+    for members in per_lang.values():
+        members.sort(key=lambda r: r.rank)
+        assert len(members) <= BPE_TOPK
+        cnts = [m.cnt for m in members]
+        assert cnts == sorted(cnts, reverse=True)
+
+
+def test_mad_outliers_bounds(spark):
+    for r in q_mad_outliers(spark, SF01).collect():
+        assert r.mad >= 0
+        assert r.n_outliers <= r.n
+        # MAD_K=3: by construction at most half the points can sit
+        # beyond the median-centered band
+        assert r.outlier_frac < 0.5
+        assert abs(r.outlier_frac - r.n_outliers / r.n) < 1e-6
+        assert MAD_K == 3.0
+
+
+def test_stream_window_topk_bounded_per_window(spark):
+    rows = q_stream_window_topk(spark, SF).collect()
+    per_win: dict = {}
+    for r in rows:
+        per_win.setdefault(r.win_start, []).append(r.rank)
+    for ranks in per_win.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= STREAM_TOPK
