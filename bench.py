@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "text_quality",          # array-lambda text ops
     "stream_tumbling",       # structured streaming end-to-end
     "pipeline_training_prep",  # flagship composition (quality->dedup->pack)
+    "dedup_semantic",        # k-means assign + within-cluster pairs
+    "text_dsir_weights",     # LM aggregates + token-join scoring
 ]
 
 

@@ -732,7 +732,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key (salt by a secondary hash, verify across salts)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    assigned = _kmeans_assign(e)
+    # The assignment feeds three consumers (both pair sides + the final
+    # keep join) and Catalyst does not canonicalize them to one reused
+    # exchange — materialize it once (executor-local, never driver).
+    # Production would persist the cluster-assignment table anyway: it
+    # is the shared input of SemDeDup, the centroid update, and cluster
+    # analytics.
+    assigned = _kmeans_assign(e).localCheckpoint()
     a = assigned.select(F.col("vec_id").alias("id_a"), "cluster_id",
                         F.col("v").alias("va"))
     b = assigned.select(F.col("vec_id").alias("id_b"), "cluster_id",

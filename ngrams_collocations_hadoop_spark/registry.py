@@ -35,14 +35,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   4. everything with a recent green row goes behind the window, oldest
 #      evidence first, so the next rotation pulls from the front of the
 #      tail.
-# r04 window: 12 changed (covariance determinism fix; equi-depth
+# r04 window: 13 changed (covariance determinism fix; equi-depth
 # de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
 # mm_resize; connected-components fix -> components/keep_one/pipeline;
-# quirk-mode plumbing -> colloc_scored/topk) + 14 new (span positions/
+# quirk-mode plumbing -> colloc_scored/topk; _kmeans_assign refactor ->
+# sim_kmeans_step) + 14 new (span positions/
 # removal, merge sink, incremental LSH, filtered ANN, group sample,
 # components-star, IVF recall, semantic dedup, DSIR weights, shard
 # assign, BPE pairs, MAD outliers, stream top-k) +
-# 10 green-in-r01-only + 14 r02 refreshes. Accounting: every query
+# 10 green-in-r01-only + 13 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
@@ -58,6 +59,7 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
     "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
     "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
+    "sim_kmeans_step": similarity.q_kmeans_step,    # _kmeans_assign refactor
     # --- (2) new this round ---
     "text_dup_span_positions": textstats.q_dup_span_positions,  # span intervals
     "text_dup_span_removal": textstats.q_dup_span_removal,  # the removal pass
@@ -98,8 +100,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
     "rel_percentiles": rel.q_percentiles,
     "rel_distinct_agg": rel.q_distinct_agg,
-    "rel_rollup": rel.q_rollup,
     # ================= end of the 50-query r04 window =================
+    "rel_rollup": rel.q_rollup,
     "rel_cube": rel.q_cube,
     "rel_pivot": rel.q_pivot,
     "rel_star_join": rel.q_star_join,               # J1/J2 + broadcast J3
@@ -150,7 +152,6 @@ QUERIES: dict[str, QueryFn] = {
     "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
     "sim_lsh_recall": similarity.q_sim_lsh_recall,
     "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
-    "sim_kmeans_step": similarity.q_kmeans_step,    # one EM step, full oracle
     "text_quality": textstats.q_text_quality,
     "text_lang_id": textstats.q_lang_id,
     "text_fingerprint": textstats.q_fingerprint,

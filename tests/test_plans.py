@@ -307,3 +307,44 @@ def test_connected_components_one_job_per_round(spark):
     got = {(r["node"], r["component"]) for r in comp.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
+
+
+def test_bpe_pairs_topk_uses_window_group_limit(spark):
+    """The BPE merge-candidate ranking must prune per-lang top-k before
+    the final window shuffle (pair-alphabet-bounded input, but the
+    partial limit is what keeps it bounded when the alphabet grows)."""
+    from ngrams_collocations_hadoop_spark.operators import textstats as ts
+    assert_in_plan(ts.q_bpe_pairs(spark, SF_SMALL), "WindowGroupLimit")
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    """Both MAD rejoin passes must broadcast the group-bounded medians
+    — a shuffle join there would shuffle the full event stream twice
+    for a table with |groups| rows."""
+    from ngrams_collocations_hadoop_spark.operators import relational as r
+    plan = physical_plan(r.q_mad_outliers(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_dedup_semantic_assignment_is_broadcast_argmin(spark):
+    """SemDeDup's cluster assignment must broadcast the centroid set
+    (map-side argmin) — shuffling the corpus against K centroids is
+    the plan that dies at scale. The within-cluster pair stage reads
+    the materialized assignment, so the checkpointed subplan is where
+    the broadcast lives."""
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        _kmeans_assign,
+    )
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assert_in_plan(_kmeans_assign(e), "BroadcastNestedLoopJoin")
+
+
+def test_dsir_scoring_join_has_partial_agg(spark):
+    """The DSIR doc-score aggregation must partial-aggregate before its
+    shuffle (token-stream volume collapses to per-doc rows map-side)."""
+    from ngrams_collocations_hadoop_spark.operators import textstats as ts
+    plan = physical_plan(ts.q_dsir_weights(spark, SF_SMALL))
+    assert "partial_sum" in plan and "partial_count" in plan, plan
