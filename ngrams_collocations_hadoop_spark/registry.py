@@ -39,11 +39,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
 # mm_resize; connected-components fix -> components/keep_one/pipeline;
 # quirk-mode plumbing -> colloc_scored/topk; _kmeans_assign refactor ->
-# sim_kmeans_step) + 14 new (span positions/
+# sim_kmeans_step) + 15 new (span positions/
 # removal, merge sink, incremental LSH, filtered ANN, group sample,
 # components-star, IVF recall, semantic dedup, DSIR weights, shard
-# assign, BPE pairs, MAD outliers, stream top-k) +
-# 10 green-in-r01-only + 13 r02 refreshes. Accounting: every query
+# assign, BPE pairs, MAD outliers, stream top-k, CDC chunks) +
+# 10 green-in-r01-only + 12 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
@@ -75,6 +75,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_bpe_pairs": textstats.q_bpe_pairs,        # BPE merge-step counts
     "rel_mad_outliers": rel.q_mad_outliers,         # robust outlier profile
     "stream_window_topk": sw.q_stream_window_topk,  # streaming leaderboard
+    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,   # content-defined chunks
     # --- (3) newest green row is r01 (stalest official evidence) ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -99,8 +100,8 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
     "rel_percentiles": rel.q_percentiles,
-    "rel_distinct_agg": rel.q_distinct_agg,
     # ================= end of the 50-query r04 window =================
+    "rel_distinct_agg": rel.q_distinct_agg,
     "rel_rollup": rel.q_rollup,
     "rel_cube": rel.q_cube,
     "rel_pivot": rel.q_pivot,
@@ -258,6 +259,7 @@ ORACLES: dict[str, str] = {
     "text_bpe_pairs": textstats.ORACLE_BPE_PAIRS,
     "rel_mad_outliers": rel.ORACLE_MAD_OUTLIERS,
     "stream_window_topk": sw.ORACLE_STREAM_WINDOW_TOPK,
+    "dedup_cdc_chunks": dedup.ORACLE_DEDUP_CDC_CHUNKS,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,

@@ -100,3 +100,41 @@ def test_stream_window_topk_bounded_per_window(spark):
     for ranks in per_win.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= STREAM_TOPK
+
+
+def test_cdc_chunks_partition_and_resync(spark):
+    """The two content-defined-chunking invariants: (1) chunks
+    PARTITION each doc's token stream (total chunk tokens == doc
+    tokens); (2) the rsync/LBFS resync property — inserting one token
+    mid-document leaves every chunk after the next boundary
+    content-identical, so only a bounded prefix of chunks changes."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        cdc_chunk_table)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight nine ten")
+    toks = base.split(" ")
+    mutated = " ".join(toks[:12] + ["INSERTED"] + toks[12:])
+    docs = spark.createDataFrame(
+        [(0, base), (1, mutated)], "doc_id long, text string")
+    rows = cdc_chunk_table(docs).collect()
+    a = sorted((r for r in rows if r.doc_id == 0),
+               key=lambda r: r.chunk_idx)
+    b = sorted((r for r in rows if r.doc_id == 1),
+               key=lambda r: r.chunk_idx)
+    assert sum(r.n_tokens for r in a) == len(toks)
+    assert sum(r.n_tokens for r in b) == len(toks) + 1
+    # resync: compare chunk-hash multisets from the tail — after the
+    # insertion point's chunk, both docs chunk identically
+    tail_shared = 0
+    for ra, rb in zip(reversed(a), reversed(b)):
+        if ra.chunk_md5 != rb.chunk_md5:
+            break
+        tail_shared += 1
+    n_diff_a = len(a) - tail_shared
+    assert tail_shared >= 1, "no resynchronization happened"
+    # the divergent prefix must be bounded by the insertion position's
+    # chunk neighborhood, not the whole doc
+    assert n_diff_a < len(a)
