@@ -138,3 +138,35 @@ def test_cdc_chunks_partition_and_resync(spark):
     # the divergent prefix must be bounded by the insertion position's
     # chunk neighborhood, not the whole doc
     assert n_diff_a < len(a)
+
+
+def test_label_propagation_disjoint_cliques(spark):
+    """Two disjoint triangles: synchronous LP with min-label tiebreak
+    converges each to its minimum member id, and labels never leak
+    across components."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        label_propagation)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 20), (20, 30), (10, 30)],
+        "src long, dst long")
+    got = {r.n: r.lbl for r in label_propagation(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10, 30: 10}
+
+
+def test_label_propagation_refines_components(spark):
+    """On the sf0.001 LSH graph every community must sit INSIDE one
+    connected component (LP refines CC, never merges across it)."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        q_dedup_communities_lsh, q_dedup_components_lsh)
+
+    comm = {r.doc_id: r.community
+            for r in q_dedup_communities_lsh(spark, SF).collect()}
+    comp = {r.doc_id: r.component_id
+            for r in q_dedup_components_lsh(spark, SF).collect()}
+    assert set(comm) == set(comp)
+    comm_to_comp: dict = {}
+    for doc, c in comm.items():
+        comm_to_comp.setdefault(c, set()).add(comp[doc])
+    for comps in comm_to_comp.values():
+        assert len(comps) == 1
