@@ -1104,10 +1104,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     step. This is the LLR idea of the reference's collocation scorer
     (`LLR.java`) applied corpuswide as a curation operator.
 
-    Scale shape: the two LMs are vocabulary-bounded aggregates
-    (word-count shuffles with partial agg); corpus totals are one tiny
-    broadcast row; scoring joins the exploded token stream to the LM on
-    token — the same equi-join shape as word count, no corpus² work.
+    Scale shape: BOTH LMs come out of one vocabulary-bounded aggregate
+    over the token stream (target counts as a conditional sum — one
+    corpus pass, not one per LM); corpus totals are one tiny broadcast
+    row; scoring joins the exploded token stream to the LM on token —
+    the same equi-join shape as word count, no corpus² work. The token
+    stream is consumed twice (LM build + scoring) and deliberately NOT
+    checkpointed: re-scanning columnar parquet is cheaper than
+    materializing a corpus-sized token explosion; at production scale
+    the tokenized corpus is a persisted shared table anyway.
 
     Determinism: each token's log-ratio is ln of one exactly-computed
     rational (BIGINT products, single double division) rounded to 6 dp,
@@ -1117,16 +1122,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (load_table(spark, sf_dir, "documents")
            .select("doc_id", "lang", F.explode(F.split("text", " "))
                    .alias("token")))
-    cnt_r = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
-    cnt_t = (tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-             .groupBy("token").agg(F.count(F.lit(1)).alias("ct")))
-    totals = (cnt_r.agg(F.count(F.lit(1)).alias("v"),
-                        F.sum("cr").alias("nr")))
-    totals_t = cnt_t.agg(F.sum("ct").alias("nt"))
-    lm = (cnt_r.join(cnt_t, on="token", how="left")
-          .withColumn("ct", F.coalesce("ct", F.lit(0)))
+    lm_counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("ct"))
+    totals = lm_counts.agg(F.count(F.lit(1)).alias("v"),
+                           F.sum("cr").alias("nr"),
+                           F.sum("ct").alias("nt"))
+    lm = (lm_counts
           .crossJoin(F.broadcast(totals))
-          .crossJoin(F.broadcast(totals_t))
           .withColumn(
               "lr",
               F.round(F.log(((F.col("ct") + 1) * (F.col("nr") + F.col("v")))
