@@ -131,3 +131,68 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(bin_id) + 1 AS BIGINT) AS n_bins
 FROM packed GROUP BY lang
 """
+
+
+# --- composed export pipeline: DSIR select -> shard layout -> manifest --
+
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second composition proof, over the round-4 curation
+    operators: DSIR-score every document, keep the top half per
+    language (rank by importance weight, deterministic doc_id
+    tiebreak), lay the survivors out into hashed export shards, and
+    emit the per-shard manifest — count, token total, and an md5 of
+    the exact doc order — i.e. what a training-export job hands to
+    the tokenizer fleet. A green hash certifies score → select →
+    layout compose end to end, with the manifest md5 pinning the
+    byte-level writer order, not just aggregate counts.
+
+    Scale shape: inherits DSIR's LM-join shape; selection is one
+    per-lang window over scored docs; sharding re-uses the
+    `text_shard_assign` plan (map-side hash + shard-partitioned
+    manifest aggregation). One lazy DAG, nothing materialized between
+    stages."""
+    from .textstats import N_SHARDS, q_dsir_weights
+
+    w = q_dsir_weights(spark, sf_dir)
+    rankw = (Window.partitionBy("lang")
+             .orderBy(F.desc("dsir_logweight"), F.asc("doc_id")))
+    langw = Window.partitionBy("lang")
+    sel = (w.withColumn("rn", F.row_number().over(rankw))
+           .withColumn("n_lang", F.count(F.lit(1)).over(langw))
+           .filter(F.col("rn") * 2 <= F.col("n_lang")))
+    placed = sel.withColumn(
+        "shard",
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % N_SHARDS))
+    return (placed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.md5(F.concat_ws(",", F.expr(
+                     "transform(sort_array(collect_list(doc_id)), "
+                     "x -> cast(x AS string))"))).alias("layout_md5")))
+
+
+def _oracle_export_manifest() -> str:
+    from .textstats import N_SHARDS, ORACLE_DSIR_WEIGHTS
+
+    return f"""
+WITH dsir AS ({ORACLE_DSIR_WEIGHTS}),
+ranked AS (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY dsir_logweight DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n_lang
+    FROM dsir),
+placed AS (
+    SELECT doc_id, n_tokens,
+           ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+             % {N_SHARDS} AS shard
+    FROM ranked WHERE rn * 2 <= n_lang)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS layout_md5
+FROM placed GROUP BY shard
+"""
+
+
+ORACLE_EXPORT_MANIFEST = _oracle_export_manifest()

@@ -183,3 +183,26 @@ def test_label_propagation_refines_components(spark):
         comm_to_comp.setdefault(c, set()).add(comp[doc])
     for comps in comm_to_comp.values():
         assert len(comps) == 1
+
+
+def test_export_manifest_consistent_with_dsir_selection(spark):
+    """The manifest must account for exactly the per-lang top-half DSIR
+    docs: shard doc counts sum to Σ floor(n_lang/2), and token totals
+    sum to the selected docs' tokens."""
+    from ngrams_collocations_hadoop_spark.operators.pipeline import (
+        q_export_manifest)
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_dsir_weights)
+
+    man = q_export_manifest(spark, SF).collect()
+    w = q_dsir_weights(spark, SF).collect()
+    per_lang: dict = {}
+    for r in w:
+        per_lang.setdefault(r.lang, []).append(r)
+    selected = []
+    for rows in per_lang.values():
+        rows.sort(key=lambda r: (-r.dsir_logweight, r.doc_id))
+        selected.extend(rows[: len(rows) // 2])
+    assert sum(r.n_docs for r in man) == len(selected)
+    assert sum(r.total_tokens for r in man) == \
+        sum(r.n_tokens for r in selected)
