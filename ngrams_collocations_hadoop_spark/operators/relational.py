@@ -1246,3 +1246,33 @@ SELECT e.event_type,
 FROM events e JOIN mad USING (event_type)
 GROUP BY e.event_type
 """
+
+
+# --- explicit GROUPING SETS ----------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: per (returnflag, linestatus), per returnflag alone, and the
+    grand total, but NOT per linestatus alone (the set CUBE would add).
+    One Expand pass + one aggregation, same plan family as
+    `q_rollup`/`q_cube`; `grouping_id` disambiguates the NULL produced
+    by set expansion from a NULL group value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.grouping_id().alias("gid"))
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+            AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""

@@ -39,12 +39,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
 # mm_resize; connected-components fix -> components/keep_one/pipeline;
 # quirk-mode plumbing -> colloc_scored/topk; _kmeans_assign refactor ->
-# sim_kmeans_step) + 17 new (span positions/
+# sim_kmeans_step) + 18 new (span positions/
 # removal, merge sink, incremental LSH, filtered ANN, group sample,
 # components-star, IVF recall, semantic dedup, DSIR weights, shard
 # assign, BPE pairs, MAD outliers, stream top-k, CDC chunks,
-# LP communities, export manifest) +
-# 10 green-in-r01-only + 10 r02 refreshes. Accounting: every query
+# LP communities, export manifest, grouping sets) +
+# 10 green-in-r01-only + 9 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
@@ -79,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,   # content-defined chunks
     "dedup_communities_lsh": dedup.q_dedup_communities_lsh,  # label prop
     "pipeline_export": pipeline.q_export_manifest,  # dsir->shard->manifest
+    "rel_grouping_sets": rel.q_grouping_sets,       # explicit set algebra
     # --- (3) newest green row is r01 (stalest official evidence) ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -100,8 +101,8 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_condprob": ng.q_condprob,               # bigram LM P(w2|w1)
     "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,  # LM quality filter
     "colloc_vocab_growth": ng.q_vocab_growth,       # diachronic vocabulary
-    "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     # ================= end of the 50-query r04 window =================
+    "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
     "rel_percentiles": rel.q_percentiles,
     "rel_distinct_agg": rel.q_distinct_agg,
@@ -265,6 +266,7 @@ ORACLES: dict[str, str] = {
     "dedup_cdc_chunks": dedup.ORACLE_DEDUP_CDC_CHUNKS,
     "dedup_communities_lsh": dedup.ORACLE_DEDUP_COMMUNITIES_LSH,
     "pipeline_export": pipeline.ORACLE_EXPORT_MANIFEST,
+    "rel_grouping_sets": rel.ORACLE_GROUPING_SETS,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
