@@ -1276,3 +1276,131 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many orders are "open"
+    (placed but not fully shipped) over time, reported as the monthly
+    max of the concurrency profile sampled at its change points.
+
+    The classic formulation needs a GLOBAL running sum over the event
+    timeline — an unpartitioned window, i.e. a single-task sort at
+    scale. Instead this uses the distributed two-phase prefix sum:
+
+      1. intervals → ±1 deltas, aggregated per day (shuffle is bounded
+         by the number of DISTINCT days, not by rows);
+      2. running sum WITHIN each year partition (parallel windows);
+      3. per-year grand totals (a handful of rows) → triangular
+         broadcast self-join yields each year's prefix offset;
+      4. day-level concurrency = within-year running + year offset.
+
+    Semantics note: the profile is sampled at delta days (the value
+    AFTER that day's change); months with no open/close events carry no
+    row. The oracle computes the identical sampled profile."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    close = li.groupBy("l_orderkey") \
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    iv = (o.select("o_orderkey", F.to_date("o_orderdate").alias("open_day"))
+          .join(close, F.col("o_orderkey") == F.col("l_orderkey"))
+          .select("open_day", "close_day"))
+    deltas = (iv.select(F.explode(F.array(
+                  F.struct(F.col("open_day").alias("day"),
+                           F.lit(1).alias("d")),
+                  F.struct(F.date_add("close_day", 1).alias("day"),
+                           F.lit(-1).alias("d")))).alias("e"))
+              .select("e.day", "e.d")
+              .groupBy("day").agg(F.sum("d").alias("delta"))
+              .withColumn("yr", F.year("day")))
+    run_in_year = F.sum("delta").over(Window.partitionBy("yr").orderBy("day"))
+    ytot = deltas.groupBy("yr").agg(F.sum("delta").alias("ydelta"))
+    off = (ytot.alias("a")
+           .join(F.broadcast(ytot.alias("b")),
+                 F.col("b.yr") < F.col("a.yr"), "left")
+           .groupBy(F.col("a.yr").alias("yr"))
+           .agg(F.coalesce(F.sum("b.ydelta"), F.lit(0)).alias("off")))
+    daily = (deltas.withColumn("run_y", run_in_year)
+             .join(F.broadcast(off), "yr")
+             .select("day", (F.col("run_y") + F.col("off"))
+                     .alias("open_orders")))
+    return (daily.groupBy(F.trunc("day", "month").alias("month"))
+            .agg(F.max("open_orders").cast("long").alias("max_open_orders")))
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH close AS (
+    SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+    FROM lineitem GROUP BY l_orderkey),
+iv AS (
+    SELECT CAST(o_orderdate AS DATE) AS open_day, close_day
+    FROM orders JOIN close ON o_orderkey = l_orderkey),
+deltas AS (
+    SELECT day, sum(d) AS delta FROM (
+        SELECT open_day AS day, 1 AS d FROM iv
+        UNION ALL
+        SELECT close_day + 1, -1 FROM iv) u
+    GROUP BY day),
+daily AS (
+    SELECT day, sum(delta) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_orders
+    FROM deltas)
+SELECT date_trunc('month', day) AS month,
+       CAST(max(open_orders) AS BIGINT) AS max_open_orders
+FROM daily GROUP BY 1
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (LOCF): densify per-type
+    hourly totals onto a complete hourly spine, carrying the last
+    observed value across gaps — the standard prep before joining
+    metrics of different cadences.
+
+    Scale shape: the raw aggregation shuffles once on (type, hour); the
+    spine is generated from a single-row min/max aggregate broadcast
+    against the distinct types (both tiny); the LOCF window partitions
+    by event_type (at 100 TB with unbounded history, partition by
+    (type, coarse epoch) and stitch epoch boundaries with the same
+    prefix-offset trick as q_interval_overlap)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.round(F.sum("value"), 4).alias("v")))
+    bounds = ev.groupBy().agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"))
+    spine_h = bounds.select(F.explode(
+        F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    spine = ev.select("event_type").distinct() \
+        .crossJoin(F.broadcast(spine_h))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(hourly, ["event_type", "hour"], "left")
+            .withColumn("filled", F.col("v").isNull())
+            .select("event_type", "hour",
+                    F.coalesce(F.last("v", ignorenulls=True).over(w),
+                               F.lit(0.0)).alias("value_ff"),
+                    "filled"))
+
+
+ORACLE_GAP_FILL = f"""
+WITH e AS (SELECT * FROM {EVENTS_US} AS t),
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           round(sum(value), 4) AS v
+    FROM e GROUP BY 1, 2),
+b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM e),
+spine AS (
+    SELECT t.event_type, h.hour
+    FROM (SELECT DISTINCT event_type FROM e) t,
+         (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM b) h)
+SELECT s.event_type, s.hour,
+       coalesce(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+           AS value_ff,
+       v IS NULL AS filled
+FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+"""

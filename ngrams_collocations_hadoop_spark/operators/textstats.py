@@ -1275,3 +1275,223 @@ ranked AS (
     FROM counts)
 SELECT lang, pair, cnt, rank FROM ranked WHERE rank <= {BPE_TOPK}
 """
+
+
+# --- Zipf law fit (token frequency power-law slope) ---------------------
+
+ZIPF_TOP = 500  # fit over the top-N ranks per language
+
+# Least-squares pieces over x=ln(rank), y=ln(count), derived from
+# floor-quantized exact moment sums (the cross-engine-deterministic
+# aggregation pattern from q_embedding_covariance). The strings are
+# shared verbatim between the Spark plan and the DuckDB oracle so the
+# derived float arithmetic is bit-identical.
+_ZD = {c: f"(CAST(s{c} AS DOUBLE) / 1e12)" for c in
+       ("x", "y", "xy", "xx", "yy")}
+_ZN = "CAST(n AS DOUBLE)"
+_Z_NUM = f"({_ZN} * {_ZD['xy']} - {_ZD['x']} * {_ZD['y']})"
+_Z_DEN = f"({_ZN} * {_ZD['xx']} - {_ZD['x']} * {_ZD['x']})"
+_Z_SLOPE = f"({_Z_NUM} / {_Z_DEN})"
+_Z_INTERCEPT = f"(({_ZD['y']} - {_Z_SLOPE} * {_ZD['x']}) / {_ZN})"
+_Z_R2 = (f"(({_Z_NUM} * {_Z_NUM}) / ({_Z_DEN} * "
+         f"({_ZN} * {_ZD['yy']} - {_ZD['y']} * {_ZD['y']})))")
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit per language: regress ln(count) on ln(rank)
+    over the top-500 token ranks. The slope (~ -1 for natural text) is
+    a corpus-health signal — synthetic or templated data bends it.
+
+    Shape: one (lang, token) count shuffle; ranking is a per-lang
+    window (bounded partitions); the regression itself is a per-lang
+    moment-sum aggregate — constant output per language, never a
+    driver-side fit. Determinism: built-in regr_slope accumulates
+    floats in engine order, so the moments are floor-quantized to
+    integer 1e-12 units and summed exactly (see
+    q_embedding_covariance); slope/intercept/r² derive from the same
+    expression text in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+              .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c")))
+    rw = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    ranked = (counts.withColumn("r", F.row_number().over(rw))
+              .filter(F.col("r") <= ZIPF_TOP)
+              .selectExpr("lang", "ln(CAST(r AS DOUBLE)) AS x",
+                          "ln(CAST(c AS DOUBLE)) AS y"))
+
+    def q12(col: str):
+        return (F.sum(F.floor(F.expr(col) * F.lit(1e12))
+                      .cast("decimal(38,0)")).alias("s" + col.replace(" * ", "")))
+
+    mom = ranked.groupBy("lang").agg(
+        q12("x"), q12("y"), q12("x * y"), q12("x * x"), q12("y * y"),
+        F.count(F.lit(1)).alias("n"))
+    return mom.selectExpr(
+        "lang", "CAST(n AS BIGINT) AS n_points",
+        f"round({_Z_SLOPE}, 6) AS slope",
+        f"round({_Z_INTERCEPT}, 6) AS intercept",
+        f"round({_Z_R2}, 6) AS r2")
+
+
+ORACLE_ZIPF = f"""
+WITH counts AS (
+    SELECT lang, w, count(*) AS c
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    GROUP BY lang, w),
+ranked AS (
+    SELECT lang, ln(CAST(c AS DOUBLE)) AS y,
+           ln(CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY c DESC, w ASC) AS DOUBLE)) AS x,
+           row_number() OVER (PARTITION BY lang
+                   ORDER BY c DESC, w ASC) AS r
+    FROM counts),
+mom AS (
+    SELECT lang,
+           sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS sx,
+           sum(CAST(floor(y * 1e12) AS DECIMAL(38,0))) AS sy,
+           sum(CAST(floor(x * y * 1e12) AS DECIMAL(38,0))) AS sxy,
+           sum(CAST(floor(x * x * 1e12) AS DECIMAL(38,0))) AS sxx,
+           sum(CAST(floor(y * y * 1e12) AS DECIMAL(38,0))) AS syy,
+           count(*) AS n
+    FROM ranked WHERE r <= {ZIPF_TOP} GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_points,
+       round({_Z_SLOPE}, 6) AS slope,
+       round({_Z_INTERCEPT}, 6) AS intercept,
+       round({_Z_R2}, 6) AS r2
+FROM mom
+"""
+
+
+# --- train/test distribution drift (smoothed KL divergence) -------------
+
+# Shared expression text (Spark + DuckDB) for the add-1-smoothed
+# distributions over the union vocabulary.
+_KL_P = ("((CAST(ctr AS DOUBLE) + 1) / "
+         "(CAST(ntr AS DOUBLE) + CAST(v AS DOUBLE)))")
+_KL_Q = ("((CAST(cte AS DOUBLE) + 1) / "
+         "(CAST(nte AS DOUBLE) + CAST(v AS DOUBLE)))")
+_KL_TERM = f"({_KL_P} * ln({_KL_P} / {_KL_Q}))"
+
+
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the train and test splits of the
+    deterministic content-hash partition (q_train_test_split): add-1-
+    smoothed unigram KL(train‖test) per language. The standard check
+    that a split (or a new crawl snapshot) didn't shift the token
+    distribution.
+
+    Shape: one (lang, word) count shuffle with the split folded in as
+    two conditional counts (no second pass over the corpus); per-lang
+    totals are a tiny aggregate broadcast back; the KL sum is a
+    floor-quantized exact aggregation (1e-15 units — terms are ≤1e-2)
+    so the result hashes identically across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
+              .cast("long") % 10)
+    tok = docs.select(
+        "lang", (bucket < 8).alias("is_train"),
+        F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("ctr"),
+        F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).alias("cte"))
+    totals = counts.groupBy("lang").agg(
+        F.sum("ctr").alias("ntr"), F.sum("cte").alias("nte"),
+        F.count(F.lit(1)).alias("v"))
+    terms = counts.join(F.broadcast(totals), "lang")
+    mom = terms.groupBy("lang").agg(
+        F.sum(F.floor(F.expr(_KL_TERM) * F.lit(1e15))
+              .cast("decimal(38,0)")).alias("skl"),
+        F.max("ntr").alias("ntr"), F.max("nte").alias("nte"),
+        F.max("v").alias("v"))
+    return mom.selectExpr(
+        "lang", "CAST(v AS BIGINT) AS vocab",
+        "CAST(ntr AS BIGINT) AS n_train_tokens",
+        "CAST(nte AS BIGINT) AS n_test_tokens",
+        "round(CAST(skl AS DOUBLE) / 1e15, 6) AS kl_train_test")
+
+
+ORACLE_KL_DRIFT = f"""
+WITH tok AS (
+    SELECT lang,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 10 < 8
+               AS is_train,
+           unnest(string_split(text, ' ')) AS w
+    FROM documents),
+counts AS (
+    SELECT lang, w,
+           sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS ctr,
+           sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS cte
+    FROM tok GROUP BY lang, w),
+totals AS (
+    SELECT lang, sum(ctr) AS ntr, sum(cte) AS nte, count(*) AS v
+    FROM counts GROUP BY lang),
+mom AS (
+    SELECT c.lang,
+           sum(CAST(floor({_KL_TERM} * 1e15) AS DECIMAL(38,0))) AS skl,
+           max(ntr) AS ntr, max(nte) AS nte, max(v) AS v
+    FROM counts c JOIN totals t ON c.lang = t.lang
+    GROUP BY c.lang)
+SELECT lang, CAST(v AS BIGINT) AS vocab,
+       CAST(ntr AS BIGINT) AS n_train_tokens,
+       CAST(nte AS BIGINT) AS n_test_tokens,
+       round(CAST(skl AS DOUBLE) / 1e15, 6) AS kl_train_test
+FROM mom
+"""
+
+
+# --- winnowing fingerprints (Schleimer et al., the MOSS algorithm) ------
+
+WINNOW_W = 4  # shingle-hash window: guarantees a match on any run of
+              # WINNOW_W + SHINGLE_N - 1 shared tokens
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every SHINGLE_N-token
+    shingle, slide a WINNOW_W window over the hash sequence, keep each
+    window's minimum, emit the distinct selected hashes per document.
+    The standard sublinear fingerprint set for plagiarism/overlap
+    detection — any shared token run of length ≥ WINNOW_W+SHINGLE_N-1
+    is guaranteed to share a fingerprint.
+
+    Shape: entirely map-side array lambdas (shingle → hash → windowed
+    min → distinct) then one explode; ZERO shuffles — the plan is a
+    single projection stage. Hashes are md5-derived 48-bit ints, the
+    repo's cross-engine hash idiom. Docs shorter than SHINGLE_N tokens
+    produce no fingerprints; shingle sequences shorter than WINNOW_W
+    contribute their global min (the w=1 degenerate window)."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("toks", F.split("text", " "))
+    sh = (f"CASE WHEN size(toks) >= {SHINGLE_N} "
+          f"THEN transform(sequence(1, size(toks) - {SHINGLE_N - 1}), "
+          f"i -> CAST(conv(substring(md5(concat_ws(' ', "
+          f"slice(toks, i, {SHINGLE_N}))), 1, 12), 16, 10) AS BIGINT)) "
+          f"ELSE array() END")
+    wins = (f"CASE WHEN size(sh) >= 1 "
+            f"THEN transform(sequence(1, greatest(size(sh) - {WINNOW_W - 1}, 1)), "
+            f"i -> array_min(slice(sh, i, {WINNOW_W}))) "
+            f"ELSE array() END")
+    return (docs.withColumn("sh", F.expr(sh))
+            .select("doc_id",
+                    F.explode(F.array_distinct(F.expr(wins))).alias("fp")))
+
+
+ORACLE_WINNOW_FINGERPRINTS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= {SHINGLE_N}
+           THEN list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
+                i -> CAST(('0x' || substring(md5(array_to_string(
+                     toks[i:i+{SHINGLE_N - 1}], ' ')), 1, 12)) AS BIGINT))
+           ELSE [] END AS sh
+    FROM d),
+wins AS (
+    SELECT doc_id,
+           CASE WHEN len(sh) >= 1
+           THEN list_transform(range(1, greatest(len(sh) - {WINNOW_W - 2}, 2)),
+                i -> list_min(sh[i:i+{WINNOW_W - 1}]))
+           ELSE [] END AS wins
+    FROM sh)
+SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wins
+"""

@@ -39,12 +39,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
 # mm_resize; connected-components fix -> components/keep_one/pipeline;
 # quirk-mode plumbing -> colloc_scored/topk; _kmeans_assign refactor ->
-# sim_kmeans_step) + 18 new (span positions/
+# sim_kmeans_step) + 24 new (span positions/
 # removal, merge sink, incremental LSH, filtered ANN, group sample,
 # components-star, IVF recall, semantic dedup, DSIR weights, shard
 # assign, BPE pairs, MAD outliers, stream top-k, CDC chunks,
-# LP communities, export manifest, grouping sets) +
-# 10 green-in-r01-only + 9 r02 refreshes. Accounting: every query
+# LP communities, export manifest, grouping sets, interval overlap,
+# gap fill, bloom prefilter, zipf, KL drift, winnowing) +
+# 10 green-in-r01-only + 3 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
@@ -80,6 +81,12 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_communities_lsh": dedup.q_dedup_communities_lsh,  # label prop
     "pipeline_export": pipeline.q_export_manifest,  # dsir->shard->manifest
     "rel_grouping_sets": rel.q_grouping_sets,       # explicit set algebra
+    "rel_interval_overlap": rel.q_interval_overlap,  # sweep-line prefix sum
+    "rel_gap_fill": rel.q_gap_fill,                 # densify + LOCF
+    "rel_bloom_prefilter": skew.q_bloom_prefilter,  # runtime-filter join
+    "text_zipf": textstats.q_zipf,                  # power-law corpus health
+    "text_kl_drift": textstats.q_kl_drift,          # split distribution shift
+    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,  # MOSS
     # --- (3) newest green row is r01 (stalest official evidence) ---
     "text_token_positions": textstats.q_token_positions,
     "dedup_exact": dedup.q_dedup_exact,
@@ -91,17 +98,17 @@ QUERIES: dict[str, QueryFn] = {
     "sim_label_centroids": similarity.q_label_centroids,
     "text_bm25": textstats.q_bm25,
     "text_token_count": textstats.q_token_count,
-    # --- (3) newest green row is r02 — first 26 of the refresh queue ---
+    # --- (3) newest green row is r02 — first 3 of the refresh queue ---
     "colloc_unigram_counts": co.q_unigram_counts,   # A2 (+P1-P6, J4)
     "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
     "colloc_totals": co.q_totals,                   # A4
+    # ================= end of the 50-query r04 window =================
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
     "colloc_pmi_topk": ng.q_pmi_topk,
     "colloc_condprob": ng.q_condprob,               # bigram LM P(w2|w1)
     "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,  # LM quality filter
     "colloc_vocab_growth": ng.q_vocab_growth,       # diachronic vocabulary
-    # ================= end of the 50-query r04 window =================
     "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
     "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
     "rel_percentiles": rel.q_percentiles,
@@ -267,6 +274,12 @@ ORACLES: dict[str, str] = {
     "dedup_communities_lsh": dedup.ORACLE_DEDUP_COMMUNITIES_LSH,
     "pipeline_export": pipeline.ORACLE_EXPORT_MANIFEST,
     "rel_grouping_sets": rel.ORACLE_GROUPING_SETS,
+    "rel_interval_overlap": rel.ORACLE_INTERVAL_OVERLAP,
+    "rel_gap_fill": rel.ORACLE_GAP_FILL,
+    "rel_bloom_prefilter": skew.ORACLE_BLOOM_PREFILTER,
+    "text_zipf": textstats.ORACLE_ZIPF,
+    "text_kl_drift": textstats.ORACLE_KL_DRIFT,
+    "text_winnow_fingerprints": textstats.ORACLE_WINNOW_FINGERPRINTS,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,

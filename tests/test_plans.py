@@ -348,3 +348,40 @@ def test_dsir_scoring_join_has_partial_agg(spark):
     from ngrams_collocations_hadoop_spark.operators import textstats as ts
     plan = physical_plan(ts.q_dsir_weights(spark, SF_SMALL))
     assert "partial_sum" in plan and "partial_count" in plan, plan
+
+
+def test_winnow_fingerprints_is_map_only(spark):
+    """Winnowing is shingle->hash->window-min->distinct as pure array
+    lambdas: the plan must contain NO exchange — one projection stage."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_winnow_fingerprints,
+    )
+    df = q_winnow_fingerprints(spark, SF_SMALL)
+    assert count_in_plan(df, "Exchange") == 0
+    assert "Generate explode" in physical_plan(df)
+
+
+def test_bloom_prefilter_shape(spark):
+    """The bloom stage must be a broadcast of the single-row bitmap
+    (BroadcastNestedLoopJoin over one row) feeding a map-side
+    element_at filter, then an exact semi-join — never a shuffle of the
+    unfiltered probe side against the build keys."""
+    from ngrams_collocations_hadoop_spark.operators.skew import (
+        q_bloom_prefilter,
+    )
+    plan = physical_plan(q_bloom_prefilter(spark, SF_SMALL))
+    assert "element_at" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap broadcast
+
+
+def test_interval_overlap_prefix_sum_is_distributed(spark):
+    """q_interval_overlap must do its running sum with year-partitioned
+    windows plus broadcast offsets — the sweep in
+    test_no_unpartitioned_window_anywhere enforces the window part;
+    this pins the broadcast-offset join so the two-phase structure
+    can't silently collapse into one global window."""
+    df = rel.q_interval_overlap(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan

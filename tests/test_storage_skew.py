@@ -61,3 +61,38 @@ def test_salted_join_equals_plain_join(spark):
         "l_orderkey", "l_linenumber")
     assert [tuple(r) for r in plain.collect()] == \
            [tuple(r) for r in salted.collect()]
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark):
+    """The bloom stage must pass EVERY true match (no false negatives —
+    otherwise the semi-join result would silently shrink) while
+    rejecting the bulk of non-matching probe rows map-side."""
+    from ngrams_collocations_hadoop_spark.operators.skew import (
+        BLOOM_M, BLOOM_SEEDS, bloom_bitmap, bloom_prefilter_semi_join,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem") \
+        .withColumnRenamed("l_orderkey", "k")
+    urgent = load_table(spark, SF_SMALL, "orders") \
+        .filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_orderkey").alias("k"))
+
+    exact = li.join(urgent.distinct(), "k", "left_semi")
+    via_bloom = bloom_prefilter_semi_join(li, "k", urgent, "k")
+    assert via_bloom.count() == exact.count()
+
+    # survivors of the bloom stage alone: superset of matches, far
+    # smaller than the probe (the whole point of the prefilter)
+    bm = bloom_bitmap(urgent, "k")
+    cond = None
+    for s in BLOOM_SEEDS:
+        c = (F.expr(
+            f"shiftright(element_at(bloom, CAST(pmod(xxhash64(k, {s}), "
+            f"{BLOOM_M}) / 64 AS INT) + 1), "
+            f"CAST(pmod(xxhash64(k, {s}), {BLOOM_M}) % 64 AS INT))")
+            .bitwiseAND(F.lit(1)) == 1)
+        cond = c if cond is None else cond & c
+    n_probe = li.count()
+    n_exact = exact.count()
+    n_surv = li.crossJoin(F.broadcast(bm)).filter(cond).count()
+    assert n_exact <= n_surv < n_probe // 2, (n_exact, n_surv, n_probe)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMALL
 from ngrams_collocations_hadoop_spark.functions.text import (
     clean_token, clean_token_ref, decade,
 )
@@ -202,3 +203,54 @@ def test_clean_token_null_returns_empty(spark):
     row = spark.sql("SELECT CAST(NULL AS STRING) AS t") \
         .select(clean_token(F.col("t")).alias("c")).collect()[0]
     assert row["c"] == ""
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark, tmp_path):
+    """Winnowing's core guarantee (Schleimer et al. §3): any two
+    documents sharing a token run of length >= WINNOW_W + SHINGLE_N - 1
+    must share at least one selected fingerprint. Also: a doc shorter
+    than SHINGLE_N tokens yields no fingerprints; a doc with fewer than
+    WINNOW_W shingles still yields its global min."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        SHINGLE_N, WINNOW_W, q_winnow_fingerprints,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + SHINGLE_N - 1))
+    docs = [
+        (1, "alpha beta gamma " + run + " delta epsilon", "en", "s", 0),
+        (2, run + " zeta eta theta iota kappa", "en", "s", 0),
+        (3, "too short", "en", "s", 0),                  # < SHINGLE_N
+        (4, "one two three four five six", "en", "s", 0),  # 2 shingles < W
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(f"{sf}/documents.parquet")
+    fps = q_winnow_fingerprints(spark, sf).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert 3 not in by_doc
+    assert len(by_doc[4]) >= 1
+
+
+def test_gap_fill_spine_and_locf_semantics(spark):
+    """The filled series must be dense (|types| x |hours| rows), flag
+    exactly the spine rows with no source data, and every filled row
+    must carry the most recent observed value (0.0 before the first)."""
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_gap_fill,
+    )
+
+    rows = q_gap_fill(spark, SF_SMALL).orderBy("event_type", "hour") \
+        .collect()
+    types = {r.event_type for r in rows}
+    hours = {r.hour for r in rows}
+    assert len(rows) == len(types) * len(hours)
+    last = {}
+    for r in rows:
+        if r.filled:
+            assert r.value_ff == last.get(r.event_type, 0.0), r
+        else:
+            last[r.event_type] = r.value_ff
