@@ -1323,7 +1323,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(off), "yr")
              .select("day", (F.col("run_y") + F.col("off"))
                      .alias("open_orders")))
-    return (daily.groupBy(F.trunc("day", "month").alias("month"))
+    return (daily.groupBy(F.date_trunc("month", "day").alias("month"))
             .agg(F.max("open_orders").cast("long").alias("max_open_orders")))
 
 
@@ -1344,7 +1344,7 @@ daily AS (
     SELECT day, sum(delta) OVER (ORDER BY day
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_orders
     FROM deltas)
-SELECT date_trunc('month', day) AS month,
+SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
        CAST(max(open_orders) AS BIGINT) AS max_open_orders
 FROM daily GROUP BY 1
 """

@@ -783,3 +783,143 @@ SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
        d.vec_id IS NULL AS keep
 FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
 """
+
+
+# --- PCA top component via distributed power iteration ------------------
+
+POWER_ITERATIONS = 3   # fixed unrolled rounds; enough to separate the
+                       # dominant direction on the fixture spectrum
+_PQ = 10 ** 9          # 1e-9 quantization unit for vectors/centering
+
+
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the first genuinely ITERATIVE linear-algebra operator
+    (PageRank's dense cousin): v ← normalize(C·v) without ever
+    materializing the covariance matrix C.
+
+    Scale shape: each round is ONE corpus pass — the current vector v
+    (dim longs) is broadcast, every row computes s = ⟨x−μ, v⟩ map-side,
+    and (C·v)_d = Σ_rows s·(x−μ)_d comes back through a dim-bounded
+    partial-agg shuffle (≤ partitions × dim rows). T rounds = T scans;
+    nothing driver-side, no dim² blow-up (contrast
+    ``q_embedding_covariance``, which pays dim² to get the whole
+    matrix). This is exactly how you'd run it on 100 TB of embeddings.
+
+    Determinism (the iterative-hash problem, same playbook as
+    pagerank's per-iteration quantization): every aggregation is over
+    EXACT integers — centered coordinates are floor-quantized to 1e-9
+    units, the per-row projection s is an integer dot product
+    accumulated in DECIMAL(38,0), and the re-normalization divides by
+    max(|w|) then by an integer-exact √norm², both as single derived
+    float expressions with identical text in Spark and the unrolled
+    DuckDB oracle. Floats never accumulate; they are only derived."""
+    e = load_table(spark, sf_dir, "embeddings") \
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+    # exact per-dimension mean: integer micro-sums + count
+    xi = e.select(F.posexplode("v").alias("pos", "x"))
+    msums = (xi.groupBy("pos")
+             .agg(F.sum(F.floor(F.col("x") * _PQ).cast("decimal(38,0)"))
+                  .alias("smu"),
+                  F.count(F.lit(1)).alias("n")))
+    mean_row = (msums.groupBy()
+                .agg(F.expr("array_sort(collect_list(struct(pos, smu)))")
+                     .alias("ms"),
+                     F.max("n").alias("n"))
+                .select(F.expr(
+                    f"transform(ms, s -> CAST(s.smu AS DOUBLE) "
+                    f"/ (CAST(n AS DOUBLE) * {_PQ}))").alias("mu")))
+    # centered, quantized rows (exact integers from here on)
+    cq = (e.crossJoin(F.broadcast(mean_row))
+          .select(F.expr(
+              f"zip_with(v, mu, (x, m) -> "
+              f"CAST(floor((x - m) * {_PQ}) AS BIGINT))").alias("cq")))
+    # v0: uniform direction, exactly 1/8 per component (dim = 64)
+    vi = spark.range(1).select(F.expr(
+        f"array_repeat(CAST({_PQ // 8} AS BIGINT), {EMB_DIM})").alias("vi"))
+    for _ in range(POWER_ITERATIONS):
+        s = (cq.crossJoin(F.broadcast(vi))
+             .select("cq", F.expr(
+                 "aggregate(zip_with(cq, vi, (c, u) -> "
+                 "CAST(c AS DECIMAL(38,0)) * u), "
+                 "CAST(0 AS DECIMAL(38,0)), (a, t) -> a + t)").alias("s")))
+        w = (s.select(F.col("s"), F.posexplode("cq").alias("pos", "c"))
+             .groupBy("pos")
+             .agg(F.sum(F.col("s") * F.col("c")).alias("w")))
+        vi = (w.groupBy()
+              .agg(F.expr("array_sort(collect_list(struct(pos, w)))")
+                   .alias("ws"),
+                   F.max(F.abs("w")).alias("m"))
+              .select(F.expr(
+                  f"transform(ws, s -> CAST(floor(CAST(s.w AS DOUBLE) "
+                  f"/ CAST(m AS DOUBLE) * {_PQ}) AS BIGINT))").alias("u"))
+              .select(F.expr(
+                  "aggregate(u, CAST(0 AS DECIMAL(38,0)), "
+                  "(a, t) -> a + CAST(t AS DECIMAL(38,0)) * t)")
+                  .alias("norm2"), "u")
+              .select(F.expr(
+                  f"transform(u, x -> CAST(floor(CAST(x AS DOUBLE) "
+                  f"/ sqrt(CAST(norm2 AS DOUBLE)) * {_PQ}) AS BIGINT))")
+                  .alias("vi")))
+    return (vi.select(F.posexplode("vi").alias("pos", "l"))
+            .select(F.col("pos").cast("long"),
+                    (F.col("l").cast("double") / _PQ).alias("loading")))
+
+
+def _power_oracle() -> str:
+    """Unrolled power-iteration oracle: one CTE pair (s_t, w_t, v_t)
+    per round, integer-exact throughout, HUGEINT where Spark uses
+    DECIMAL(38,0)."""
+    head = f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+xi AS (
+    SELECT CAST(i - 1 AS BIGINT) AS pos, v[i] AS x
+    FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+msums AS (
+    SELECT pos, sum(CAST(floor(x * {_PQ}) AS HUGEINT)) AS smu,
+           count(*) AS n
+    FROM xi GROUP BY pos),
+mean_row AS (
+    SELECT list(CAST(smu AS DOUBLE) / (CAST(n AS DOUBLE) * {_PQ})
+                ORDER BY pos) AS mu
+    FROM msums),
+cq AS (
+    SELECT list_transform(range(1, len(v) + 1),
+        i -> CAST(floor((v[i] - mu[i]) * {_PQ}) AS BIGINT)) AS cq
+    FROM e CROSS JOIN mean_row),
+v0 AS (SELECT list_transform(range(1, {EMB_DIM} + 1),
+        i -> CAST({_PQ // 8} AS BIGINT)) AS vi)"""
+    body = ""
+    prev = "v0"
+    for t in range(POWER_ITERATIONS):
+        body += f""",
+s{t} AS (
+    SELECT cq, list_sum(list_transform(range(1, len(cq) + 1),
+        i -> CAST(cq[i] AS HUGEINT) * vi[i])) AS s
+    FROM cq CROSS JOIN {prev}),
+w{t} AS (
+    SELECT CAST(i - 1 AS BIGINT) AS pos,
+           sum(s * CAST(cq[i] AS HUGEINT)) AS w
+    FROM s{t}, UNNEST(range(1, len(cq) + 1)) AS r(i)
+    GROUP BY pos),
+u{t} AS (
+    SELECT list(CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                           * {_PQ}) AS BIGINT) ORDER BY pos) AS u
+    FROM w{t} CROSS JOIN (SELECT max(abs(w)) AS m FROM w{t}) mm),
+v{t + 1} AS (
+    SELECT list_transform(range(1, len(u) + 1),
+        i -> CAST(floor(CAST(u[i] AS DOUBLE)
+                        / sqrt(CAST(n2 AS DOUBLE)) * {_PQ}) AS BIGINT))
+        AS vi
+    FROM u{t} CROSS JOIN (
+        SELECT list_sum(list_transform(u, x -> CAST(x AS HUGEINT) * x))
+               AS n2 FROM u{t}) nn)"""
+        prev = f"v{t + 1}"
+    tail = f"""
+SELECT CAST(i - 1 AS BIGINT) AS pos,
+       CAST(vi[i] AS DOUBLE) / {_PQ} AS loading
+FROM {prev}, UNNEST(range(1, len(vi) + 1)) AS r(i)"""
+    return head + body + tail
+
+
+ORACLE_POWER_ITERATION = _power_oracle()

@@ -46,7 +46,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # LP communities, export manifest, grouping sets, interval overlap,
 # gap fill, bloom prefilter, zipf, KL drift, winnowing) +
 # 10 green-in-r01-only + 3 r02 refreshes. Accounting: every query
-# outside this window has a green row in r02 or r03.
+# outside this window has a green row in r02 or r03, EXCEPT the
+# "(2b) post-window new" block right after the marker: those were
+# added after the window filled, have judge-sweep evidence only, and
+# are queued FIRST for the r05 window.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
     "sim_embedding_covariance": similarity.q_embedding_covariance,
@@ -103,6 +106,9 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
     "colloc_totals": co.q_totals,                   # A4
     # ================= end of the 50-query r04 window =================
+    # --- (2b) new post-window (judge-sweep only; first in line for r05) ---
+    "sim_power_iteration": similarity.q_power_iteration,  # PCA top component
+    # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
     "colloc_pmi_topk": ng.q_pmi_topk,
@@ -281,6 +287,7 @@ ORACLES: dict[str, str] = {
     "text_kl_drift": textstats.ORACLE_KL_DRIFT,
     "text_winnow_fingerprints": textstats.ORACLE_WINNOW_FINGERPRINTS,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
+    "sim_power_iteration": similarity.ORACLE_POWER_ITERATION,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

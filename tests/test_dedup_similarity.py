@@ -307,3 +307,36 @@ def test_pagerank_fixed_point_and_asymmetry(spark):
     ranks = {r["n"]: r["rank"] for r in pagerank(path).collect()}
     assert ranks[2] > ranks[1] and ranks[2] > ranks[3]
     assert abs(ranks[1] - ranks[3]) < 1e-9
+
+
+def test_power_iteration_unit_norm_and_planted_direction(spark, tmp_path):
+    """On a corpus with a PLANTED dominant direction u (strong rank-one
+    signal + small deterministic noise), three power-iteration rounds
+    must return a unit vector aligned with u (|cos| > 0.99). The
+    shipped fixture is near-isotropic (eigengap ratio ~0.99), so the
+    constructed corpus is what actually exercises convergence; the
+    fixture run is covered by the oracle differential test."""
+    import math
+
+    from ngrams_collocations_hadoop_spark.operators import similarity as sim
+
+    dim, n = sim.EMB_DIM, 200
+    u = [math.sin(3.7 * d + 1.1) for d in range(dim)]
+    nu = math.sqrt(sum(x * x for x in u))
+    u = [x / nu for x in u]
+    rows = []
+    for i in range(n):
+        a = (i % 17) - 8          # symmetric strong signal coefficient
+        noise = [0.05 * math.cos(2.3 * (i + 7 * d)) for d in range(dim)]
+        rows.append((i, [float(a * u[d] + noise[d]) for d in range(dim)], 0))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = {r["pos"]: r["loading"]
+           for r in sim.q_power_iteration(spark, sf).collect()}
+    norm2 = sum(x * x for x in out.values())
+    assert abs(norm2 - 1.0) < 1e-6, norm2
+    cos = sum(out[d] * u[d] for d in range(dim))
+    assert abs(cos) > 0.99, cos

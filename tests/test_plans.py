@@ -385,3 +385,15 @@ def test_interval_overlap_prefix_sum_is_distributed(spark):
     plan = physical_plan(df)
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_power_iteration_broadcasts_vector_each_round(spark):
+    """Every round's vector/mean is a single-row broadcast
+    (BroadcastNestedLoopJoin); the corpus side must never shuffle into
+    a SortMergeJoin, and the dim-bounded w aggregation must partial-agg
+    before its exchange."""
+    from ngrams_collocations_hadoop_spark.operators import similarity as sim
+    plan = physical_plan(sim.q_power_iteration(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
