@@ -1404,3 +1404,65 @@ SELECT s.event_type, s.hour,
        v IS NULL AS filled
 FROM spine s LEFT JOIN hourly h USING (event_type, hour)
 """
+
+
+# --- EWMA smoothing (exponential moving average, adjust form) -----------
+
+EWMA_ALPHA = 0.25   # smoothing factor; decay = 1 - alpha = 3/4
+EWMA_H = 24         # truncated horizon (hours of history per point)
+
+# The EWMA recursion y_t = a*x_t + (1-a)*y_{t-1} is order-dependent —
+# unrunnable as a distributed aggregate. The truncated adjust form
+#   y_t = sum_{k<min(t,H)} (1-a)^k x_{t-k} / sum_{k<min(t,H)} (1-a)^k
+# is an H-term windowed expression instead. Determinism: the weights
+# (3/4)^k are EXACT binary doubles (3^k < 2^53 for k < 25), computed
+# once in Python and embedded as full-precision literals in BOTH
+# dialects; the numerator is one explicit chained expression, so the
+# float addition ORDER is fixed by the shared text, not by engine
+# aggregation order; x is an exact integer micro-unit sum.
+_EWMA_W = [(1 - EWMA_ALPHA) ** k for k in range(EWMA_H)]
+_EWMA_D = [sum(_EWMA_W[:m]) for m in range(1, EWMA_H + 1)]
+_EWMA_OVER = "OVER (PARTITION BY event_type ORDER BY hour)"
+_EWMA_NUM = " + ".join(
+    [f"{_EWMA_W[0]!r} * xm"]
+    + [f"{w!r} * lag(xm, {k}, 0) {_EWMA_OVER}"
+       for k, w in enumerate(_EWMA_W) if k > 0])
+_EWMA_DEN = ("CASE least(row_number() " + _EWMA_OVER + f", {EWMA_H}) "
+             + " ".join(f"WHEN {m + 1} THEN {d!r}"
+                        for m, d in enumerate(_EWMA_D))
+             + " END")
+_EWMA_EXPR = f"round(({_EWMA_NUM}) / 1e6 / ({_EWMA_DEN}), 6)"
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA over the hourly event series — the standard
+    smoothing/trend feature ahead of anomaly scoring or forecasting
+    (compose with ``q_gap_fill`` first when a dense spine is needed).
+
+    Scale shape: one (type, hour) shuffle for the exact micro-unit
+    hourly sums, then per-type windows (parallel across types; for one
+    unbounded series, partition by (type, epoch) and stitch boundaries
+    with the prefix-offset trick from ``q_interval_overlap``). The H
+    lag() calls share ONE window frame — Catalyst collapses them into
+    a single WindowExec, so the plan sorts each partition once."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.floor(F.col("value") * 1e6)).cast("long")
+                   .alias("xm")))
+    return hourly.selectExpr(
+        "event_type", "hour",
+        "round(xm / 1e6, 6) AS hourly_value",
+        f"{_EWMA_EXPR} AS ewma")
+
+
+ORACLE_EWMA = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS xm
+    FROM {EVENTS_US} events GROUP BY 1, 2)
+SELECT event_type, hour,
+       round(xm / 1e6, 6) AS hourly_value,
+       {_EWMA_EXPR} AS ewma
+FROM hourly
+"""

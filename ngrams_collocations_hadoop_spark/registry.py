@@ -108,6 +108,8 @@ QUERIES: dict[str, QueryFn] = {
     # ================= end of the 50-query r04 window =================
     # --- (2b) new post-window (judge-sweep only; first in line for r05) ---
     "sim_power_iteration": similarity.q_power_iteration,  # PCA top component
+    "rel_ewma": rel.q_ewma,                         # exact windowed smoothing
+    "dedup_link_prediction": dedup.q_dedup_link_prediction,  # AA missed-pair triage
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -288,6 +290,8 @@ ORACLES: dict[str, str] = {
     "text_winnow_fingerprints": textstats.ORACLE_WINNOW_FINGERPRINTS,
     "sim_kmeans_step": similarity.ORACLE_KMEANS_STEP,
     "sim_power_iteration": similarity.ORACLE_POWER_ITERATION,
+    "rel_ewma": rel.ORACLE_EWMA,
+    "dedup_link_prediction": dedup.ORACLE_DEDUP_LINK_PREDICTION,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

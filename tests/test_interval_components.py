@@ -199,3 +199,29 @@ def test_pack_sequences_invariants(spark):
             end = cum + r["n_tokens"] - 1
             assert r["spans_boundary"] == (cum // PACK_CTX != end // PACK_CTX)
             cum += r["n_tokens"]
+
+
+def test_adamic_adar_crafted_graph(spark):
+    """Path 1-2-3: the only wedge is (1,3) through center 2 (deg 2), so
+    AA = 1/ln(2); existing edges never appear. Square 1-2-3-4 with
+    diagonal 1-3: (2,4) has TWO common neighbors (1 and 3, both deg 3),
+    AA = 2/ln(3); (1,3) is an edge, so excluded despite its wedges."""
+    import math
+
+    from ngrams_collocations_hadoop_spark.operators.dedup import adamic_adar
+
+    path = spark.sql("SELECT col1 AS a, col2 AS b FROM VALUES (1L, 2L), "
+                     "(2L, 3L)")
+    out = {(r.doc_a, r.doc_b): (r.n_common, r.aa_score)
+           for r in adamic_adar(path).collect()}
+    assert set(out) == {(1, 3)}
+    assert out[(1, 3)][0] == 1
+    assert abs(out[(1, 3)][1] - 1 / math.log(2)) < 1e-6
+
+    sq = spark.sql("SELECT col1 AS a, col2 AS b FROM VALUES (1L, 2L), "
+                   "(2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)")
+    out = {(r.doc_a, r.doc_b): (r.n_common, r.aa_score)
+           for r in adamic_adar(sq).collect()}
+    assert (1, 3) not in out
+    assert out[(2, 4)][0] == 2
+    assert abs(out[(2, 4)][1] - 2 / math.log(3)) < 1e-6

@@ -397,3 +397,24 @@ def test_power_iteration_broadcasts_vector_each_round(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_ewma_lags_collapse_to_one_window(spark):
+    """The 23 lag() calls plus row_number share one frame spec — the
+    plan must contain exactly ONE Window node per sort of the hourly
+    series, not 24."""
+    from ngrams_collocations_hadoop_spark.operators.relational import q_ewma
+    plan = physical_plan(q_ewma(spark, SF_SMALL))
+    assert plan.count("Window") <= 2, plan.count("Window")
+
+
+def test_link_prediction_no_cartesian_and_partial_agg(spark):
+    """Wedge enumeration must be the z-keyed self-join (no cartesian
+    product) and the AA aggregation must partial-agg before its
+    exchange."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        q_dedup_link_prediction,
+    )
+    plan = physical_plan(q_dedup_link_prediction(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

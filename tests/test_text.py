@@ -254,3 +254,32 @@ def test_gap_fill_spine_and_locf_semantics(spark):
             assert r.value_ff == last.get(r.event_type, 0.0), r
         else:
             last[r.event_type] = r.value_ff
+
+
+def test_ewma_matches_pandas_adjust_form(spark, tmp_path):
+    """For a series shorter than the truncation horizon EWMA_H, the
+    operator must agree with pandas' ewm(alpha, adjust=True) exactly
+    (same weights, full history); values are chosen micro-unit exact."""
+    import datetime
+
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        EWMA_ALPHA, EWMA_H, q_ewma,
+    )
+
+    vals = [1.5, 2.25, 0.75, 4.0, 3.125, 0.0, 2.5]
+    assert len(vals) < EWMA_H
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(hours=i), 1, "a", v, "{}")
+            for i, v in enumerate(vals)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    got = [r.ewma for r in q_ewma(spark, sf).orderBy("hour").collect()]
+    want = pd.Series(vals).ewm(alpha=EWMA_ALPHA, adjust=True).mean()
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-6, (g, w)
