@@ -110,6 +110,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_power_iteration": similarity.q_power_iteration,  # PCA top component
     "rel_ewma": rel.q_ewma,                         # exact windowed smoothing
     "dedup_link_prediction": dedup.q_dedup_link_prediction,  # AA missed-pair triage
+    "stream_outer_join": sw.q_stream_outer_join,    # null-emitting eviction
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -292,6 +293,7 @@ ORACLES: dict[str, str] = {
     "sim_power_iteration": similarity.ORACLE_POWER_ITERATION,
     "rel_ewma": rel.ORACLE_EWMA,
     "dedup_link_prediction": dedup.ORACLE_DEDUP_LINK_PREDICTION,
+    "stream_outer_join": sw.ORACLE_STREAM_OUTER_JOIN,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

@@ -588,3 +588,81 @@ ranked AS (
 SELECT win_start, event_type, n, rank
 FROM ranked WHERE rank <= {STREAM_TOPK}
 """
+
+
+# --- stream-stream LEFT OUTER interval join ------------------------------
+
+OUTER_WM = "15 minutes"          # watermark delay on both sides
+OUTER_WM_SECONDS = 900
+
+
+def stream_pair_join_outer(left: DataFrame, right: DataFrame,
+                           follow_seconds: int = FOLLOW_SECONDS
+                           ) -> DataFrame:
+    """LEFT OUTER form of the watermarked interval join: events with no
+    follow-up within ``follow_seconds`` surface as null-extended rows —
+    the streaming "abandonment detector" (no confirmation after a
+    click, no heartbeat after a start). Unmatched rows can only emit
+    once the watermark PROVES no future match exists, i.e. when the
+    left row's state is evicted at wm > l_ts + follow; rows younger
+    than that at end-of-input stay in state, never emitted."""
+    l = left.select(F.col("user_id").alias("l_user"),
+                    F.col("event_id").alias("l_id"),
+                    F.col("ts").alias("l_ts")).withWatermark("l_ts", OUTER_WM)
+    r = right.select(F.col("user_id").alias("r_user"),
+                     F.col("event_id").alias("r_id"),
+                     F.col("ts").alias("r_ts")).withWatermark("r_ts", OUTER_WM)
+    j = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts")
+           + F.expr(f"INTERVAL {follow_seconds} SECONDS")),
+        "left_outer")
+    return j.select(
+        F.col("l_user").alias("user_id"), "l_id",
+        F.coalesce("r_id", F.lit(-1)).alias("r_id"),
+        F.coalesce(F.col("r_ts").cast("long") - F.col("l_ts").cast("long"),
+                   F.lit(-1)).cast("long").alias("gap_sec"),
+        F.col("r_id").isNull().alias("unmatched"))
+
+
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join run to completion. The oracle
+    reproduces Spark's END-OF-STREAM semantics exactly: the final
+    watermark is max(event time) floored to MILLISECONDS (Spark's
+    event-time stats are ms-resolution) minus the delay, and an
+    unmatched left emits iff it was evictable at that watermark
+    (l_ts + follow < wm — checked empirically: the availableNow run
+    ends with a no-data micro-batch that flushes evictable state).
+    Nulls are coalesced to -1 sentinels so the hash gate never
+    compares engine-specific null encodings."""
+    s1 = _event_stream(spark, sf_dir)
+    s2 = _event_stream(spark, sf_dir)
+    return _run_to_completion(
+        stream_pair_join_outer(s1, s2), "stream_outer_join_out", "append")
+
+
+ORACLE_STREAM_OUTER_JOIN = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+wm AS (
+    SELECT (epoch_us(max(ts)) // 1000) * 1000
+           - {OUTER_WM_SECONDS} * 1000000 AS wm_us
+    FROM ev),
+m AS (
+    SELECT l.user_id, l.event_id AS l_id, l.ts AS l_ts,
+           r.event_id AS r_id,
+           CAST(floor(epoch(r.ts)) AS BIGINT)
+             - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
+    FROM ev l JOIN ev r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL {FOLLOW_SECONDS} SECONDS)
+SELECT user_id, l_id, r_id, gap_sec, FALSE AS unmatched FROM m
+UNION ALL
+SELECT l.user_id, l.event_id AS l_id, -1 AS r_id,
+       CAST(-1 AS BIGINT) AS gap_sec, TRUE AS unmatched
+FROM ev l CROSS JOIN wm
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.l_id = l.event_id)
+  AND epoch_us(l.ts) + {FOLLOW_SECONDS} * 1000000 < wm.wm_us
+"""

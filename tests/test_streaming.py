@@ -159,3 +159,52 @@ def test_stream_merge_to_table_upserts_and_is_idempotent(spark):
     got2 = {r["event_type"]: (r["n"], round(r["sum_value"], 6))
             for r in spark.read.parquet(table).collect()}
     assert got2 == got1
+
+
+def test_stream_outer_join_withholds_young_unmatched(spark, tmp_path):
+    """End-of-stream state flush: an unmatched event old enough that
+    the final watermark proves no match (l_ts + follow < wm) must emit
+    a null-extended row; an unmatched event younger than that must be
+    WITHHELD (still in state when input ends). Matched pairs always
+    emit."""
+    import datetime
+
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        q_stream_outer_join,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user,
+                "click", 1.0, "{}")
+
+    rows = [
+        ev(1, 100, 0),     # old, unmatched -> must emit null row
+        ev(2, 200, 5),     # matched pair (3 follows within 10 min)
+        ev(3, 200, 10),
+        ev(4, 300, 55),    # young, unmatched: 55m + 10m follow
+                           #   >= wm (65m - 15m = 50m) -> withheld
+        ev(5, 400, 65),    # max ts; drives the watermark; withheld too
+    ]
+    import pandas as pd
+
+    # single-FILE parquet: the file-stream source reads through a
+    # symlink to this path and does not recurse into Spark's
+    # directory-style output
+    sf = str(tmp_path)
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = {(r.l_id, r.r_id): r.unmatched
+           for r in q_stream_outer_join(spark, sf).collect()}
+    # matched: 2 -> 3 (and 3 itself is matched as a LEFT? no: 3 has no
+    # follower, it's unmatched; 3 is old enough? l_ts 10m + 10m = 20m
+    # < 50m -> emits null row)
+    assert out[(2, 3)] is False
+    assert out[(1, -1)] is True
+    assert out[(3, -1)] is True
+    assert (4, -1) not in out
+    assert (5, -1) not in out
+    assert len(out) == 3
