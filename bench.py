@@ -47,14 +47,18 @@ def main() -> None:
     from ngrams_collocations_hadoop_spark.registry import QUERIES
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    # Warm-up: run each query once at the smallest sf so the timed runs
-    # measure the engine, not JVM JIT / whole-stage-codegen compilation.
-    for name in names:
-        QUERIES[name](spark, "/root/testdata/sf0.001") \
-            .write.format("noop").mode("overwrite").save()
+    # Per-query: one warm-up at the smallest sf (JIT / codegen), then
+    # the timed runs IMMEDIATELY — interleaved rather than
+    # all-warm-ups-first, so earlier heavy queries' leftover JVM state
+    # (checkpoint blocks, state stores, memory-sink tables) doesn't
+    # pollute later timings; measured r04: colloc_topk 3.6 s polluted
+    # vs 1.6 s clean on identical code.
+    import gc
 
     timings: dict[str, float] = {}
     for name in names:
+        QUERIES[name](spark, "/root/testdata/sf0.001") \
+            .write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):  # best-of-3: the env shows multi-second
             t0 = time.time()  # transient stalls that can eat 2 runs
@@ -62,6 +66,9 @@ def main() -> None:
              .write.format("noop").mode("overwrite").save())
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()
+        gc.collect()  # drop checkpoint/block refs so ContextCleaner
+        #               can reclaim them before the next query
 
     out = {
         "metric": "headline_queries_total",

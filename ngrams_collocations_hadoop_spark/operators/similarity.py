@@ -737,15 +737,27 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange — materialize it once (executor-local, never driver).
     # Production would persist the cluster-assignment table anyway: it
     # is the shared input of SemDeDup, the centroid update, and cluster
-    # analytics.
-    assigned = _kmeans_assign(e).localCheckpoint()
+    # analytics. Unit-normalize HERE, once per vector, so the quadratic
+    # within-cluster stage pays ONE index-ordered dot fold per pair
+    # instead of dot + two norms (measured sf0.1: 4.0 s -> 2.4 s; the
+    # oracle normalizes identically, so threshold membership is still
+    # cross-engine exact).
+    assigned = (_kmeans_assign(e)
+                .withColumn("u", F.expr(
+                    "transform(v, x -> x / sqrt(aggregate(v, 0D, "
+                    "(acc, y) -> acc + CAST(y AS DOUBLE) "
+                    "* CAST(y AS DOUBLE))))"))
+                .localCheckpoint())
     a = assigned.select(F.col("vec_id").alias("id_a"), "cluster_id",
-                        F.col("v").alias("va"))
+                        F.col("u").alias("ua"))
     b = assigned.select(F.col("vec_id").alias("id_b"), "cluster_id",
-                        F.col("v").alias("vb"))
+                        F.col("u").alias("ub"))
+    pair_dot = F.expr(
+        "aggregate(zip_with(ua, ub, (x, y) -> x * y), "
+        "0D, (acc, v) -> acc + v)")
     dup_ids = (a.join(b, on="cluster_id")
                .filter(F.col("id_a") < F.col("id_b"))
-               .withColumn("cos", cosine_expr("va", "vb"))
+               .withColumn("cos", pair_dot)
                .filter(F.col("cos") >= SEMANTIC_DUP_THRESHOLD)
                .select(F.col("id_b").alias("vec_id"))
                .distinct()
@@ -770,15 +782,16 @@ assigned AS (
                                        ORDER BY d2, cid) AS rn
           FROM dists)
     WHERE rn = 1),
+unit AS (
+    SELECT vec_id, cluster_id,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM assigned),
 dups AS (
     SELECT DISTINCT b.vec_id
-    FROM assigned a
-    JOIN assigned b
+    FROM unit a
+    JOIN unit b
       ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v)))
-          >= {SEMANTIC_DUP_THRESHOLD})
+    WHERE list_dot_product(a.u, b.u) >= {SEMANTIC_DUP_THRESHOLD})
 SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
        d.vec_id IS NULL AS keep
 FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
