@@ -1466,3 +1466,61 @@ SELECT event_type, hour,
        {_EWMA_EXPR} AS ewma
 FROM hourly
 """
+
+
+# --- SCD Type-2 history build (gaps-and-islands) ------------------------
+
+SCD2_SENTINEL = "2200-01-01 00:00:00"   # open-ended valid_to (kept
+# inside pandas' ns-timestamp range, unlike the classic 9999-12-31)
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: collapse each user's
+    event stream into versioned attribute intervals — one row per RUN
+    of equal ``event_type``, with ``valid_from``/``valid_to``
+    boundaries, a version number, and an ``is_current`` flag (open
+    intervals carry a far-future sentinel). The warehouse
+    operator every dimension pipeline runs on ingest.
+
+    Scale shape: two user-partitioned windows (run detection needs
+    lag over ALL events; interval close needs lead over run STARTS
+    only — the filter between them is why they cannot fuse), both on
+    the same (user_id × ts) ordering, so the rows shuffle ONCE and
+    both windows reuse the exchange. No global sort, no driver state.
+    Ties on ts break by event_id — deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (ev.select("user_id", "event_type", "ts", "event_id")
+              .withColumn("prev_type", F.lag("event_type").over(w))
+              .filter(F.col("prev_type").isNull()
+                      | (F.col("prev_type") != F.col("event_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (starts
+            .withColumn("valid_to", F.lead("ts").over(w2))
+            .select("user_id", "event_type",
+                    F.col("ts").alias("valid_from"),
+                    F.coalesce("valid_to",
+                               F.lit(SCD2_SENTINEL).cast("timestamp"))
+                    .alias("valid_to"),
+                    F.row_number().over(w2).cast("long").alias("version"),
+                    F.lead("ts").over(w2).isNull().alias("is_current")))
+
+
+ORACLE_SCD2_HISTORY = f"""
+WITH ev AS {EVENTS_US},
+starts AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM ev)
+    WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '{SCD2_SENTINEL}') AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS version,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM starts
+"""

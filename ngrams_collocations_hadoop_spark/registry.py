@@ -111,6 +111,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_ewma": rel.q_ewma,                         # exact windowed smoothing
     "dedup_link_prediction": dedup.q_dedup_link_prediction,  # AA missed-pair triage
     "stream_outer_join": sw.q_stream_outer_join,    # null-emitting eviction
+    "rel_scd2": rel.q_scd2_history,                 # dimension history build
+    "dedup_kcore": dedup.q_dedup_kcore,             # dense-cluster peeling
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -294,6 +296,8 @@ ORACLES: dict[str, str] = {
     "rel_ewma": rel.ORACLE_EWMA,
     "dedup_link_prediction": dedup.ORACLE_DEDUP_LINK_PREDICTION,
     "stream_outer_join": sw.ORACLE_STREAM_OUTER_JOIN,
+    "rel_scd2": rel.ORACLE_SCD2_HISTORY,
+    "dedup_kcore": dedup.ORACLE_DEDUP_KCORE,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

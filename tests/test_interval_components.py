@@ -225,3 +225,23 @@ def test_adamic_adar_crafted_graph(spark):
     assert (1, 3) not in out
     assert out[(2, 4)][0] == 2
     assert abs(out[(2, 4)][1] - 2 / math.log(3)) < 1e-6
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """K4 + a pendant chain hanging off node 4: every clique node has
+    degree 3 inside the clique, so the 3-core is exactly the K4 —
+    but the chain must peel ITERATIVELY (each round exposes the next
+    pendant), which a single degree filter would get wrong."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import k_core
+
+    edges = spark.sql(
+        "SELECT col1 AS a, col2 AS b FROM VALUES "
+        "(1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),"  # K4
+        "(4L,5L),(5L,6L),(6L,7L)")                           # chain
+    out = {r.n: r.core_degree for r in k_core(edges, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # single filter pass would keep node 5 (degree 2 < 3 -> no; use
+    # k=2: chain end 7 has deg 1, peels; then 6 has deg 1, peels; ...)
+    out2 = {r.n: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert set(out2) == {1, 2, 3, 4}

@@ -283,3 +283,40 @@ def test_ewma_matches_pandas_adjust_form(spark, tmp_path):
     want = pd.Series(vals).ewm(alpha=EWMA_ALPHA, adjust=True).mean()
     for g, w in zip(got, want):
         assert abs(g - w) < 1e-6, (g, w)
+
+
+def test_scd2_runs_versions_and_sentinel(spark, tmp_path):
+    """Crafted stream a,a,b,a for one user: three SCD2 versions
+    (a, b, a) with touching validity intervals, versions 1..3, the last
+    open-ended with the sentinel and is_current=True; a second user's
+    single event yields one current row."""
+    import datetime
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_scd2_history,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def ev(eid, user, minutes, typ):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user,
+                typ, 0.0, "{}")
+
+    rows = [ev(1, 1, 0, "a"), ev(2, 1, 10, "a"), ev(3, 1, 20, "b"),
+            ev(4, 1, 30, "a"), ev(5, 2, 5, "x")]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    out = sorted(q_scd2_history(spark, sf).collect(),
+                 key=lambda r: (r.user_id, r.version))
+    u1 = [r for r in out if r.user_id == 1]
+    assert [(r.event_type, r.version, r.is_current) for r in u1] == \
+        [("a", 1, False), ("b", 2, False), ("a", 3, True)]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to.year == 2200
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].version == 1
