@@ -936,3 +936,142 @@ FROM {prev}, UNNEST(range(1, len(vi) + 1)) AS r(i)"""
 
 
 ORACLE_POWER_ITERATION = _power_oracle()
+
+
+# --- product-quantization ANN (ADC scoring over 4-bit codes) ------------
+
+PQ_M = 8         # subspaces (EMB_DIM / PQ_M dims each)
+PQ_K = 16        # centroids per subspace -> 4-bit codes
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def _pq_d2_expr(m: int, v: str, cv: str) -> str:
+    """Sub-vector squared-L2 for subspace m — identical index-ordered
+    fold in Spark; the oracle uses the same index arithmetic."""
+    return (f"aggregate(zip_with(slice({v}, {m * PQ_SUB + 1}, {PQ_SUB}), "
+            f"slice({cv}, {m * PQ_SUB + 1}, {PQ_SUB}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: compress every vector to PQ_M 4-bit
+    codes (argmin sub-vector centroid per subspace), score queries by
+    asymmetric distance computation — the query's exact dot with each
+    sub-centroid is precomputed once (PQ_M·PQ_K values per query) and
+    the per-candidate score is just PQ_M table lookups. The index that
+    makes billion-scale ANN fit in RAM: 4 bytes/vector here vs 256
+    (the completion of the family: brute → LSH → IVF → int8 → PQ).
+
+    Codebooks are one-shot (sub-vectors of the first PQ_K vec_ids —
+    the deterministic-init idiom from k-means/SemDeDup; production
+    would train them with q_kmeans_step per subspace). Scale shape:
+    encoding is ONE groupBy over the corpus×PQ_K broadcast cross join
+    with min_by-style partial aggregation (map-side combine cuts the
+    shuffle to |corpus| rows); scoring joins the tiny
+    query-distance-table broadcast against codes and never touches raw
+    vectors; ranking is WindowGroupLimit top-k. Determinism: argmin is
+    min(named_struct(d2, cid)) — lexicographic, exact tiebreak — and
+    every float fold has fixed index order shared with the oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (e.filter(F.col("vec_id") < PQ_K)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    pairs = e.crossJoin(F.broadcast(cent))
+    codes = pairs.groupBy("vec_id").agg(
+        F.array(*[
+            F.expr(f"min(named_struct('d', {_pq_d2_expr(m, 'v', 'cv')}, "
+                   f"'c', cid)).c")
+            for m in range(PQ_M)]).alias("codes"))
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv")))
+    qtab = (q.crossJoin(F.broadcast(cent))
+            .select("query_id", "cid", F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"aggregate(zip_with(slice(qv, m * {PQ_SUB} + 1, {PQ_SUB}), "
+                f"slice(cv, m * {PQ_SUB} + 1, {PQ_SUB}), "
+                f"(x, y) -> x * y), 0D, (a, t) -> a + t))").alias("dots")))
+    qarr = (qtab.groupBy("query_id")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(cid, dots))), s -> s.dots)").alias("dt")))
+    scored = (codes.crossJoin(F.broadcast(qarr))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("approx", F.expr(
+                  f"aggregate(sequence(1, {PQ_M}), 0D, (acc, m) -> "
+                  f"acc + element_at(element_at(dt, "
+                  f"CAST(element_at(codes, m) AS INT) + 1), m))")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("approx"), F.asc("vec_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", F.col("vec_id").alias("cand_id"),
+                    F.round("approx", 6).alias("approx_dot"), "rank"))
+
+
+def _pq_oracle() -> str:
+    d2 = lambda m: (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+                    f"i -> (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])"
+                    f" * (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])))")
+    code_cols = ", ".join(
+        f"(min(struct_pack(d := {d2(m)}, c := cid))).c" for m in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {PQ_K}),
+codes AS (
+    SELECT vec_id, [{code_cols}] AS codes
+    FROM e CROSS JOIN cent GROUP BY vec_id),
+qtab AS (
+    SELECT q.vec_id AS query_id, cid,
+           list_transform(range(0, {PQ_M}), m ->
+               list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   i -> q.v[m * {PQ_SUB} + i] * cv[m * {PQ_SUB} + i])))
+               AS dots
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERY_VECS}),
+qarr AS (SELECT query_id, list(dots ORDER BY cid) AS dt
+         FROM qtab GROUP BY query_id),
+scored AS (
+    SELECT query_id, c.vec_id AS cand_id,
+           list_sum(list_transform(range(1, {PQ_M} + 1),
+               m -> dt[CAST(codes[m] AS INT) + 1][m])) AS approx
+    FROM codes c CROSS JOIN qarr WHERE c.vec_id <> qarr.query_id),
+ranked AS (
+    SELECT query_id, cand_id, approx,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY approx DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM scored)
+SELECT query_id, cand_id, round(approx, 6) AS approx_dot, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+ORACLE_PQ_TOPK = _pq_oracle()
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked recall@k of the PQ ANN against the exact brute-force
+    cosine top-k — the PQ member of the recall-audit family
+    (``q_sim_lsh_recall``, ``q_sim_ivf_recall``), so every approximate
+    index in the repo carries an honest, driver-adjudicated recall
+    row. PQ with one-shot codebooks trades the most accuracy for the
+    most compression; this row is where that trade is VISIBLE."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    found = (q_pq_topk(spark, sf_dir)
+             .select("query_id", "cand_id").withColumn("_hit", F.lit(1)))
+    hits = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+    return (exact.join(found, on=["query_id", "cand_id"], how="left")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 hits.alias("n_found"),
+                 F.round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 .alias("recall")))
+
+
+ORACLE_SIM_PQ_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+pq_side AS ({ORACLE_PQ_TOPK})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(p.cand_id) AS BIGINT) AS n_found,
+       round(count(p.cand_id)::DOUBLE / count(*), 4) AS recall
+FROM exact_side x
+LEFT JOIN pq_side p
+  ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+"""

@@ -113,6 +113,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_outer_join": sw.q_stream_outer_join,    # null-emitting eviction
     "rel_scd2": rel.q_scd2_history,                 # dimension history build
     "dedup_kcore": dedup.q_dedup_kcore,             # dense-cluster peeling
+    "sim_pq_topk": similarity.q_pq_topk,            # 4-bit ADC index
+    "sim_pq_recall": similarity.q_sim_pq_recall,    # honest PQ recall row
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -298,6 +300,8 @@ ORACLES: dict[str, str] = {
     "stream_outer_join": sw.ORACLE_STREAM_OUTER_JOIN,
     "rel_scd2": rel.ORACLE_SCD2_HISTORY,
     "dedup_kcore": dedup.ORACLE_DEDUP_KCORE,
+    "sim_pq_topk": similarity.ORACLE_PQ_TOPK,
+    "sim_pq_recall": similarity.ORACLE_SIM_PQ_RECALL,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

@@ -340,3 +340,37 @@ def test_power_iteration_unit_norm_and_planted_direction(spark, tmp_path):
     assert abs(norm2 - 1.0) < 1e-6, norm2
     cos = sum(out[d] * u[d] for d in range(dim))
     assert abs(cos) > 0.99, cos
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """Each codebook seed vector (vec_id < PQ_K) has sub-distance 0 to
+    its own sub-centroid in every subspace, so it must encode to its
+    own cid 8 times — pinning both the argmin and the (d2, cid)
+    tiebreak orientation. Top-1 neighbor approx score must also be
+    finite and the rank column dense per query."""
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators import similarity as sim
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    from .conftest import SF_SMALL
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (e.filter(F.col("vec_id") < sim.PQ_K)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    codes = (e.filter(F.col("vec_id") < sim.PQ_K)
+             .crossJoin(F.broadcast(cent))
+             .groupBy("vec_id")
+             .agg(F.array(*[
+                 F.expr(f"min(named_struct('d', "
+                        f"{sim._pq_d2_expr(m, 'v', 'cv')}, 'c', cid)).c")
+                 for m in range(sim.PQ_M)]).alias("codes")))
+    for r in codes.collect():
+        assert list(r.codes) == [r.vec_id] * sim.PQ_M, r
+
+    out = sim.q_pq_topk(spark, SF_SMALL).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q

@@ -418,3 +418,17 @@ def test_link_prediction_no_cartesian_and_partial_agg(spark):
     plan = physical_plan(q_dedup_link_prediction(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pq_scoring_never_touches_raw_vectors(spark):
+    """PQ shape: codebook and query-distance table are broadcast
+    (small sides), encoding partial-aggs before its exchange, and
+    ranking is WindowGroupLimit — no SortMergeJoin anywhere."""
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        q_pq_topk,
+    )
+    plan = physical_plan(q_pq_topk(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan
+    assert "WindowGroupLimit" in plan
