@@ -21,14 +21,19 @@ from ..sources.tables import load_table
 
 def asof_join(left: DataFrame, right: DataFrame, by: str,
               left_ts: str, right_ts: str,
-              payload_cols: list[str]) -> DataFrame:
+              payload_cols: list[str],
+              inclusive: bool = True) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     ``right[right_ts] <= left[left_ts]`` and the same ``by`` key
-    (inclusive; left rows with no prior right row get NULL payloads).
+    (left rows with no prior right row get NULL payloads). With
+    ``inclusive=False`` the bound is STRICT (<) — the point-in-time /
+    no-leakage form: a feature row stamped at exactly the label's
+    timestamp must NOT be visible to it.
 
-    Ties on (by, ts) between left and right resolve right-first
-    (inclusive semantics). Multiple right rows on the same (by, ts)
-    must be pre-deduplicated by the caller for determinism.
+    Ties on (by, ts) between left and right resolve right-first when
+    inclusive (right row visible at its own instant), left-first when
+    strict. Multiple right rows on the same (by, ts) must be
+    pre-deduplicated by the caller for determinism.
     """
     l_tagged = left.select(
         F.col(by).alias("_by"),
@@ -48,9 +53,11 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
         ).alias("_left"),
         F.struct(*payload_cols).alias("_payload"),
     )
-    # right sorts before left at equal ts (_is_right desc) → inclusive <=
+    # inclusive: right sorts before left at equal ts (_is_right desc)
+    # so the left row sees it; strict: left first, so it does not.
+    tie = F.desc("_is_right") if inclusive else F.asc("_is_right")
     w = (Window.partitionBy("_by")
-         .orderBy(F.asc("_ts"), F.desc("_is_right"))
+         .orderBy(F.asc("_ts"), tie)
          .rowsBetween(Window.unboundedPreceding, 0))
     merged = (
         l_tagged.unionByName(r_tagged)
@@ -84,4 +91,67 @@ o AS (
 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.odate
 FROM ev e
 ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.odate
+"""
+
+
+# --- point-in-time dimension enrichment (leakage-safe feature join) -----
+
+def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of the event stream against the SCD2
+    dimension history (``q_scd2_history``): each event is enriched with
+    the segment version that was valid STRICTLY BEFORE its timestamp —
+    the leakage-safe lookup a feature store must guarantee (an
+    attribute change stamped at the label's own instant is the label's
+    CONSEQUENCE, not its feature). First events carry the 'none'/0
+    sentinel.
+
+    Scale shape: the same union-merge as ``asof_join`` (one shuffle +
+    sort per user, no range explosion), with the strict tie order —
+    at equal timestamps the event sorts BEFORE the dimension start it
+    itself triggered. The oracle is an INDEPENDENT formulation (max
+    prior version via join + QUALIFY), so the merge trick is checked
+    against plain relational semantics, not against itself."""
+    from .relational import q_scd2_history
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "event_type")
+    dim = q_scd2_history(spark, sf_dir).select(
+        "user_id", F.col("event_type").alias("seg_type"),
+        "valid_from", "version")
+    # asof_join contract: one right row per (by, ts). Two same-instant
+    # events with different types can start two runs at one
+    # valid_from; keep the max version (what any strictly-later event
+    # observes, and the oracle's QUALIFY pick) so the merge stays
+    # deterministic under any partitioning.
+    wd = Window.partitionBy("user_id", "valid_from")         .orderBy(F.desc("version"))
+    dim = (dim.withColumn("_rn", F.row_number().over(wd))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+    out = asof_join(ev, dim, by="user_id", left_ts="ts",
+                    right_ts="valid_from",
+                    payload_cols=["seg_type", "version"],
+                    inclusive=False)
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.coalesce("seg_type", F.lit("none")).alias("prev_seg"),
+        F.coalesce("version", F.lit(0)).cast("long").alias("prev_version"))
+
+
+ORACLE_PIT_ENRICH = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+starts AS (
+    SELECT user_id, event_type AS seg_type, ts AS valid_from,
+           CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS BIGINT) AS version
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM ev)
+    WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT e.event_id, e.user_id, e.event_type,
+       coalesce(s.seg_type, 'none') AS prev_seg,
+       coalesce(s.version, 0) AS prev_version
+FROM ev e LEFT JOIN starts s
+  ON s.user_id = e.user_id AND s.valid_from < e.ts
+QUALIFY row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY s.version DESC NULLS LAST) = 1
 """

@@ -1495,3 +1495,88 @@ wins AS (
     FROM sh)
 SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wins
 """
+
+
+# --- near-containment detection (overlap coefficient) -------------------
+
+CONTAIN_THRESHOLD = 0.8   # |A∩B| / min(|A|,|B|)
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs: documents whose token-set OVERLAP
+    coefficient |A∩B| / min(|A|,|B|) clears the gate — the quote/
+    wrapper/boilerplate-inclusion case Jaccard structurally misses
+    (a small doc inside a big one has tiny Jaccard but containment
+    ≈ 1), so MinHash-Jaccard dedup never surfaces it.
+
+    Scale shape: candidates come from the WINNOWING index
+    (``q_winnow_fingerprints``) — any shared run of
+    WINNOW_W+SHINGLE_N-1 tokens guarantees a shared fingerprint, and
+    containment implies long shared runs — so candidate generation is
+    a fingerprint-keyed equi-join (sub-quadratic), never an all-pairs
+    scan. A boilerplate fingerprint shared by thousands of docs is the
+    skew hazard: cap fingerprint document-frequency before the
+    self-join at scale (same hub treatment as link prediction). Exact
+    verify runs only on deduped candidates; both the jaccard and the
+    overlap coefficient are emitted so the asymmetry is visible."""
+    fps = q_winnow_fingerprints(spark, sf_dir)
+    cand = (fps.alias("x").join(fps.alias("y"), on="fp")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.array_distinct(F.split("text", " ")).alias("toks")))
+    pairs = (cand
+             .join(toks.select(F.col("doc_id").alias("doc_a"),
+                               F.col("toks").alias("toks_a")), on="doc_a")
+             .join(toks.select(F.col("doc_id").alias("doc_b"),
+                               F.col("toks").alias("toks_b")), on="doc_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    overlap = inter / F.least(F.size("toks_a"), F.size("toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    return (pairs.withColumn("overlap", overlap)
+            .filter(F.col("overlap") >= CONTAIN_THRESHOLD)
+            .select("doc_a", "doc_b",
+                    F.round("overlap", 6).alias("overlap"),
+                    F.round(jac, 6).alias("jaccard")))
+
+
+ORACLE_CONTAINMENT = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= {SHINGLE_N}
+           THEN list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
+                i -> CAST(('0x' || substring(md5(array_to_string(
+                     toks[i:i+{SHINGLE_N - 1}], ' ')), 1, 12)) AS BIGINT))
+           ELSE [] END AS sh
+    FROM d),
+wins AS (
+    SELECT doc_id,
+           CASE WHEN len(sh) >= 1
+           THEN list_transform(range(1, greatest(len(sh) - {WINNOW_W - 2}, 2)),
+                i -> list_min(sh[i:i+{WINNOW_W - 1}]))
+           ELSE [] END AS wins
+    FROM sh),
+fps AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wins),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents)
+SELECT doc_a, doc_b, round(overlap, 6) AS overlap,
+       round(jaccard, 6) AS jaccard
+FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(a.toks, b.toks))::DOUBLE
+             / least(len(a.toks), len(b.toks)) AS overlap,
+           len(list_intersect(a.toks, b.toks))::DOUBLE
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM cand JOIN t a ON a.doc_id = cand.doc_a
+    JOIN t b ON b.doc_id = cand.doc_b)
+WHERE overlap >= {CONTAIN_THRESHOLD}
+"""

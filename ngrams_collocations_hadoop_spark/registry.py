@@ -115,6 +115,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_kcore": dedup.q_dedup_kcore,             # dense-cluster peeling
     "sim_pq_topk": similarity.q_pq_topk,            # 4-bit ADC index
     "sim_pq_recall": similarity.q_sim_pq_recall,    # honest PQ recall row
+    "rel_pit_enrich": asof.q_pit_enrich,            # leakage-safe PIT join
+    "text_containment": textstats.q_containment,    # overlap coeff pairs
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -302,6 +304,8 @@ ORACLES: dict[str, str] = {
     "dedup_kcore": dedup.ORACLE_DEDUP_KCORE,
     "sim_pq_topk": similarity.ORACLE_PQ_TOPK,
     "sim_pq_recall": similarity.ORACLE_SIM_PQ_RECALL,
+    "rel_pit_enrich": asof.ORACLE_PIT_ENRICH,
+    "text_containment": textstats.ORACLE_CONTAINMENT,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

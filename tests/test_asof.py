@@ -44,3 +44,36 @@ def test_asof_join_semantics(spark):
         "exact": 100,   # inclusive: right at equal ts matches
     }
     assert out.count() == 5  # left row count preserved
+
+
+def test_pit_enrich_no_leakage_at_exact_instant(spark, tmp_path):
+    """An event that itself starts a new segment run must see the
+    PREVIOUS version, not the one its own timestamp created — the
+    no-leakage property that distinguishes strict PIT from inclusive
+    as-of. First events get the none/0 sentinel."""
+    import datetime
+
+    from ngrams_collocations_hadoop_spark.operators.asof import (
+        q_pit_enrich,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def ev(eid, user, minutes, typ):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user,
+                typ, 0.0, "{}")
+
+    rows = [ev(1, 1, 0, "a"), ev(2, 1, 10, "a"), ev(3, 1, 20, "b"),
+            ev(4, 1, 30, "a")]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    out = {r.event_id: (r.prev_seg, r.prev_version)
+           for r in q_pit_enrich(spark, sf).collect()}
+    assert out[1] == ("none", 0)   # nothing strictly before
+    assert out[2] == ("a", 1)      # inside run 1
+    assert out[3] == ("a", 1)      # starts run 2 -> sees run 1 only
+    assert out[4] == ("b", 2)      # starts run 3 -> sees run 2 only

@@ -320,3 +320,30 @@ def test_scd2_runs_versions_and_sentinel(spark, tmp_path):
     assert u1[2].valid_to.year == 2200
     u2 = [r for r in out if r.user_id == 2]
     assert len(u2) == 1 and u2[0].is_current and u2[0].version == 1
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """A short doc fully contained in a long one must surface with
+    overlap 1.0 even though its Jaccard is far below the dedup
+    threshold; an unrelated doc pair must not appear."""
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        SHINGLE_N, WINNOW_W, q_containment,
+    )
+
+    run = " ".join(f"core{i}" for i in range(WINNOW_W + SHINGLE_N + 10))
+    big = run + " " + " ".join(f"extra{i}" for i in range(60))
+    docs = [
+        (1, big, "en", "s", 0),
+        (2, run, "en", "s", 0),                     # contained in 1
+        (3, " ".join(f"other{i}" for i in range(40)), "en", "s", 0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(f"{sf}/documents.parquet")
+    out = {(r.doc_a, r.doc_b): (r.overlap, r.jaccard)
+           for r in q_containment(spark, sf).collect()}
+    assert set(out) == {(1, 2)}
+    ov, jac = out[(1, 2)]
+    assert ov == 1.0
+    assert jac < 0.5
