@@ -1524,3 +1524,66 @@ SELECT user_id, event_type, ts AS valid_from,
            AS is_current
 FROM starts
 """
+
+
+# --- sketch re-aggregation (HLL union across rollup grains) -------------
+
+HLL_LGK = 12   # 2^12 registers -> rsd ~1.6%; bounds below use 5%
+
+
+def q_sketch_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch RE-AGGREGATION pattern: distinct-user sketches are
+    built once at day grain (``hll_sketch_agg``, Datasketches binary
+    state) and rolled up to per-type totals by UNIONING SKETCHES
+    (``hll_union_agg``) — never re-scanning raw events. At 100 TB this
+    is how distinct-count dashboards work: fine-grain sketch tables
+    persist, every coarser grain is a cheap merge of kilobyte states.
+
+    Checked in-query, ``rel_approx_sketches``-style (approximate values
+    have no cross-engine twin, and the post-union estimate drops the
+    HIP estimator, so merged ≠ direct by design):
+    - exact columns (day count, exact distinct users) oracle-computed;
+    - ``reagg_within_rsd`` / ``direct_within_rsd``: each estimate
+      within max(5%·exact, 2) of exact (3× the lgK=12 rsd);
+    - ``reagg_close_to_direct``: the two estimates within
+      max(3%·exact, 2) of each other — a broken union (double counting
+      or dropped sketch) explodes this long before it trips the rsd."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LGK})")
+                  .alias("sk")))
+    per_type = (daily.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                     F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+                     .alias("_est_m")))
+    # the exact side exists only to CHECK the sketches; it is the very
+    # shuffle-every-key plan the sketches replace at 100 TB
+    direct = (ev.groupBy("event_type")
+              .agg(F.expr(f"hll_sketch_estimate("
+                          f"hll_sketch_agg(user_id, {HLL_LGK}))")
+                   .alias("_est_d"),
+                   F.countDistinct("user_id").cast("long")
+                   .alias("exact_users")))
+    j = per_type.join(direct, "event_type")
+    bound = F.greatest(F.col("exact_users") * 0.05, F.lit(2.0))
+    close = F.greatest(F.col("exact_users") * 0.03, F.lit(2.0))
+    return j.select(
+        "event_type", "n_days", "exact_users",
+        (F.abs(F.col("_est_m") - F.col("exact_users")) <= bound)
+        .alias("reagg_within_rsd"),
+        (F.abs(F.col("_est_d") - F.col("exact_users")) <= bound)
+        .alias("direct_within_rsd"),
+        (F.abs(F.col("_est_m") - F.col("_est_d")) <= close)
+        .alias("reagg_close_to_direct"))
+
+
+ORACLE_SKETCH_REAGG = f"""
+WITH ev AS {EVENTS_US}
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS reagg_within_rsd,
+       TRUE AS direct_within_rsd,
+       TRUE AS reagg_close_to_direct
+FROM ev GROUP BY event_type
+"""

@@ -117,6 +117,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_pq_recall": similarity.q_sim_pq_recall,    # honest PQ recall row
     "rel_pit_enrich": asof.q_pit_enrich,            # leakage-safe PIT join
     "text_containment": textstats.q_containment,    # overlap coeff pairs
+    "rel_sketch_reagg": rel.q_sketch_reagg,         # HLL union rollup
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -306,6 +307,7 @@ ORACLES: dict[str, str] = {
     "sim_pq_recall": similarity.ORACLE_SIM_PQ_RECALL,
     "rel_pit_enrich": asof.ORACLE_PIT_ENRICH,
     "text_containment": textstats.ORACLE_CONTAINMENT,
+    "rel_sketch_reagg": rel.ORACLE_SKETCH_REAGG,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

@@ -96,3 +96,35 @@ def test_bloom_prefilter_no_false_negatives_and_selective(spark):
     n_exact = exact.count()
     n_surv = li.crossJoin(F.broadcast(bm)).filter(cond).count()
     assert n_exact <= n_surv < n_probe // 2, (n_exact, n_surv, n_probe)
+
+
+def test_sketch_reagg_union_counts_union_not_sum(spark, tmp_path):
+    """Two days with HEAVILY overlapping user sets: the sketch union
+    must estimate |A ∪ B| (~120), not |A| + |B| (200) — a double-
+    counting merge bug clears the rsd bound on neither column."""
+    import datetime
+
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_sketch_reagg,
+    )
+
+    rows = []
+    eid = 0
+    for day, users in ((1, range(0, 100)), (2, range(20, 120))):
+        for u in users:
+            rows.append((eid, datetime.datetime(2024, 5, day, 12), u,
+                         "t", 1.0, "{}"))
+            eid += 1
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = q_sketch_reagg(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 2 and r.exact_users == 120
+    assert r.reagg_within_rsd and r.direct_within_rsd
+    assert r.reagg_close_to_direct
