@@ -1423,12 +1423,16 @@ EWMA_H = 24         # truncated horizon (hours of history per point)
 _EWMA_W = [(1 - EWMA_ALPHA) ** k for k in range(EWMA_H)]
 _EWMA_D = [sum(_EWMA_W[:m]) for m in range(1, EWMA_H + 1)]
 _EWMA_OVER = "OVER (PARTITION BY event_type ORDER BY hour)"
+# E-notation forces BOTH parsers to read the literals as DOUBLE — a
+# bare 19-digit decimal would parse as DECIMAL, and Spark's
+# precision-loss rounding on DECIMAL x BIGINT would then diverge from
+# DuckDB's exact DECIMAL arithmetic before the final division.
 _EWMA_NUM = " + ".join(
-    [f"{_EWMA_W[0]!r} * xm"]
-    + [f"{w!r} * lag(xm, {k}, 0) {_EWMA_OVER}"
+    [f"{_EWMA_W[0]!r}E0 * xm"]
+    + [f"{w!r}E0 * lag(xm, {k}, 0) {_EWMA_OVER}"
        for k, w in enumerate(_EWMA_W) if k > 0])
 _EWMA_DEN = ("CASE least(row_number() " + _EWMA_OVER + f", {EWMA_H}) "
-             + " ".join(f"WHEN {m + 1} THEN {d!r}"
+             + " ".join(f"WHEN {m + 1} THEN {d!r}E0"
                         for m, d in enumerate(_EWMA_D))
              + " END")
 _EWMA_EXPR = f"round(({_EWMA_NUM}) / 1e6 / ({_EWMA_DEN}), 6)"

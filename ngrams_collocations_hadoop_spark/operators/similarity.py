@@ -743,10 +743,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle normalizes identically, so threshold membership is still
     # cross-engine exact).
     assigned = (_kmeans_assign(e)
-                .withColumn("u", F.expr(
-                    "transform(v, x -> x / sqrt(aggregate(v, 0D, "
-                    "(acc, y) -> acc + CAST(y AS DOUBLE) "
-                    "* CAST(y AS DOUBLE))))"))
+                .withColumn("nrm", F.expr(
+                    "sqrt(aggregate(v, 0D, (acc, y) -> acc "
+                    "+ CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"))
+                .withColumn("u", F.expr("transform(v, x -> x / nrm)"))
+                .drop("nrm")
                 .localCheckpoint())
     a = assigned.select(F.col("vec_id").alias("id_a"), "cluster_id",
                         F.col("u").alias("ua"))

@@ -169,23 +169,37 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
 """
 
 
+# THE split rule — one definition, three consumers (split export,
+# contamination check, KL drift). Content-hash bucket 0-9; < SPLIT_TRAIN_BUCKETS
+# -> train. Spark and DuckDB forms parse the same md5 prefix to the
+# same integer, so the assignment is engine-identical.
+SPLIT_TRAIN_BUCKETS = 8
+
+
+def split_is_train() -> F.Column:
+    return (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
+            .cast("long") % 10) < SPLIT_TRAIN_BUCKETS
+
+
+SPLIT_IS_TRAIN_SQL = ("CAST(('0x' || substring(md5(text), 1, 6)) "
+                      f"AS BIGINT) % 10 < {SPLIT_TRAIN_BUCKETS}")
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash split (a training-data staple): the
     assignment depends only on the document text (stable across runs,
     cluster layouts, and engines — md5 is identical everywhere), not on
     row order or RNG state. ~80/20 by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
-              .cast("long") % 10)
     return docs.select(
         "doc_id", "lang",
-        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("test"))
+        F.when(split_is_train(), F.lit("train")).otherwise(F.lit("test"))
         .alias("split"))
 
 
-ORACLE_TRAIN_TEST_SPLIT = """
+ORACLE_TRAIN_TEST_SPLIT = f"""
 SELECT doc_id, lang,
-       CASE WHEN CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 10 < 8
+       CASE WHEN {SPLIT_IS_TRAIN_SQL}
             THEN 'train' ELSE 'test' END AS split
 FROM documents
 """
@@ -578,10 +592,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the shingle width contribute nothing (train) / are absent from
     the output (test), consistently in both engines."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    bucket = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
-              .cast("long") % 10)
     sh = (docs
-          .withColumn("split", F.when(bucket < 8, F.lit("train"))
+          .withColumn("split", F.when(split_is_train(), F.lit("train"))
                       .otherwise(F.lit("test")))
           .withColumn("toks", F.split("text", " "))
           .select("doc_id", "split", F.explode_outer(F.expr(
@@ -609,8 +621,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONTAMINATION = f"""
 WITH d AS (
     SELECT doc_id,
-           CASE WHEN CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT)
-                     % 10 < 8
+           CASE WHEN {SPLIT_IS_TRAIN_SQL}
                 THEN 'train' ELSE 'test' END AS split,
            string_split(text, ' ') AS toks
     FROM documents),
@@ -1387,10 +1398,8 @@ def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized exact aggregation (1e-15 units — terms are ≤1e-2)
     so the result hashes identically across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
-              .cast("long") % 10)
     tok = docs.select(
-        "lang", (bucket < 8).alias("is_train"),
+        "lang", split_is_train().alias("is_train"),
         F.explode(F.split("text", " ")).alias("w"))
     counts = tok.groupBy("lang", "w").agg(
         F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("ctr"),
@@ -1414,8 +1423,7 @@ def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_KL_DRIFT = f"""
 WITH tok AS (
     SELECT lang,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 10 < 8
-               AS is_train,
+           {SPLIT_IS_TRAIN_SQL} AS is_train,
            unnest(string_split(text, ' ')) AS w
     FROM documents),
 counts AS (
@@ -1476,8 +1484,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(F.array_distinct(F.expr(wins))).alias("fp")))
 
 
-ORACLE_WINNOW_FINGERPRINTS = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared winnowing CTE text (d -> shingle hashes -> window minima):
+# both the fingerprint query and the containment candidate generator
+# must use BYTE-IDENTICAL selection or their candidate sets drift.
+_WINNOW_CTES_SQL = f"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
     SELECT doc_id,
            CASE WHEN len(toks) >= {SHINGLE_N}
@@ -1492,7 +1502,10 @@ wins AS (
            THEN list_transform(range(1, greatest(len(sh) - {WINNOW_W - 2}, 2)),
                 i -> list_min(sh[i:i+{WINNOW_W - 1}]))
            ELSE [] END AS wins
-    FROM sh)
+    FROM sh)"""
+
+ORACLE_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_CTES_SQL}
 SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wins
 """
 
@@ -1544,22 +1557,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CONTAINMENT = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
-    SELECT doc_id,
-           CASE WHEN len(toks) >= {SHINGLE_N}
-           THEN list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
-                i -> CAST(('0x' || substring(md5(array_to_string(
-                     toks[i:i+{SHINGLE_N - 1}], ' ')), 1, 12)) AS BIGINT))
-           ELSE [] END AS sh
-    FROM d),
-wins AS (
-    SELECT doc_id,
-           CASE WHEN len(sh) >= 1
-           THEN list_transform(range(1, greatest(len(sh) - {WINNOW_W - 2}, 2)),
-                i -> list_min(sh[i:i+{WINNOW_W - 1}]))
-           ELSE [] END AS wins
-    FROM sh),
+WITH {_WINNOW_CTES_SQL},
 fps AS MATERIALIZED (
     SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wins),
 cand AS (
