@@ -1591,3 +1591,86 @@ SELECT event_type,
        TRUE AS reagg_close_to_direct
 FROM ev GROUP BY event_type
 """
+
+
+# --- CUSUM change-point detection ---------------------------------------
+
+# Standard CUSUM tuning, derived per type from the series' own
+# moments: slack k = sigma/2 (ignore half-sigma noise), alarm h =
+# 4*sigma. Both are integers derived from exact sums, never a float
+# stddev aggregation.
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over the hourly per-type series:
+    S_t = max(0, S_{t-1} + (x_t − μ − k)), alarm when S_t > h. The
+    sequential-recursion form is undistributable, but the classic
+    identity S_t = C_t − min_{s≤t} C_s (C = plain prefix sum of the
+    deviations) turns it into TWO per-type window scans — the same
+    dissolve-the-recursion move as the EWMA truncation and the
+    interval-overlap prefix sum.
+
+    Determinism: the series is exact integer milli-units; μ and σ come
+    from exact integer moment sums (σ = floor(sqrt((Σx²−(Σx)²/n)/n)),
+    one fixed derivation), so k = σ/2, h = 4σ and BOTH prefix scans
+    are integer-exact — no float accumulates anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.floor(F.col("value") * 1000)).cast("long")
+                   .alias("xm")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.sum("xm").cast("decimal(38,0)").alias("sx"),
+                  F.sum(F.col("xm").cast("decimal(38,0)")
+                        * F.col("xm")).alias("sxx"),
+                  F.count(F.lit(1)).alias("n"))
+             .selectExpr(
+                 "event_type",
+                 "CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mu",
+                 "CAST(floor(sqrt((CAST(sxx AS DOUBLE) "
+                 "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)) "
+                 "AS BIGINT) AS sd"))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = (hourly.join(F.broadcast(stats), "event_type")
+         .withColumn("dev", F.col("xm") - F.col("mu")
+                     - F.expr("sd div 2")))
+    c = d.withColumn("c", F.sum("dev").over(w))
+    s = c.withColumn("s", F.col("c")
+                     - F.least(F.min("c").over(w), F.lit(0)))
+    return s.select(
+        "event_type", "hour",
+        F.round(F.col("s") / 1000.0, 6).alias("cusum"),
+        (F.col("s") > 4 * F.col("sd")).alias("alarm"))
+
+
+ORACLE_CUSUM = f"""
+WITH ev AS {EVENTS_US},
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS xm
+    FROM ev GROUP BY 1, 2),
+stats AS (
+    SELECT event_type,
+           CAST(floor(CAST(sum(CAST(xm AS HUGEINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS mu,
+           CAST(floor(sqrt((CAST(sum(CAST(xm AS HUGEINT) * xm) AS DOUBLE)
+                - CAST(sum(CAST(xm AS HUGEINT)) AS DOUBLE)
+                  * CAST(sum(CAST(xm AS HUGEINT)) AS DOUBLE) / count(*))
+               / count(*))) AS BIGINT) AS sd
+    FROM hourly GROUP BY event_type),
+d AS (
+    SELECT h.event_type, hour, xm - mu - (sd // 2) AS dev, sd
+    FROM hourly h JOIN stats USING (event_type)),
+c AS (
+    SELECT event_type, hour, sd,
+           sum(dev) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM d),
+s AS (
+    SELECT event_type, hour, sd,
+           c - least(min(c) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+    FROM c)
+SELECT event_type, hour, round(s / 1000.0, 6) AS cusum,
+       s > 4 * sd AS alarm
+FROM s
+"""

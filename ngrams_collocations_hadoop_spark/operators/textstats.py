@@ -1578,3 +1578,54 @@ FROM (
     JOIN t b ON b.doc_id = cand.doc_b)
 WHERE overlap >= {CONTAIN_THRESHOLD}
 """
+
+
+# --- weighted sampling without replacement (A-ES priority keys) ---------
+
+WEIGHTED_SAMPLE_K = 20   # kept per language
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k per language, via
+    Efraimidis-Spirakis priority keys: key_i = u_i^(1/w_i) with u_i a
+    content-stable uniform — the top-k keys ARE a weight-proportional
+    sample. The curation form of "sample the corpus proportional to
+    doc length/quality" that a uniform hash sample (``q_group_sample``)
+    cannot express.
+
+    Scale shape: keys are map-side expressions, selection is the same
+    WindowGroupLimit top-k as every other bounded-per-group operator —
+    shuffle bytes bounded by groups × k. Determinism: u_i is an
+    md5-derived 48-bit rational (never 0), pow/division are single
+    fixed expressions shared with the oracle — no RNG state anywhere,
+    so the sample is reproducible across runs, engines, and
+    partitionings (the property production resampling jobs need for
+    audit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = ("((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), "
+         "16, 10) AS BIGINT) + 1) / CAST(281474976710656 AS DOUBLE))")
+    key = f"pow({u}, 1.0 / CAST(n_chars AS DOUBLE))"
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("key"), F.asc("doc_id"))
+    return (docs.withColumn("key", F.expr(key))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+            .select("lang", "doc_id", F.col("n_chars").alias("weight"),
+                    F.round("key", 9).alias("priority"), "rank"))
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           pow(((('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                 + 1) / CAST(281474976710656 AS DOUBLE)),
+               1.0 / CAST(n_chars AS DOUBLE)) AS key
+    FROM documents),
+ranked AS (
+    SELECT lang, doc_id, n_chars, key,
+           CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM keyed)
+SELECT lang, doc_id, n_chars AS weight, round(key, 9) AS priority, rank
+FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
+"""

@@ -118,6 +118,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_pit_enrich": asof.q_pit_enrich,            # leakage-safe PIT join
     "text_containment": textstats.q_containment,    # overlap coeff pairs
     "rel_sketch_reagg": rel.q_sketch_reagg,         # HLL union rollup
+    "rel_cusum": rel.q_cusum,                       # change-point detector
+    "text_weighted_sample": textstats.q_weighted_sample,  # A-ES priorities
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -308,6 +310,8 @@ ORACLES: dict[str, str] = {
     "rel_pit_enrich": asof.ORACLE_PIT_ENRICH,
     "text_containment": textstats.ORACLE_CONTAINMENT,
     "rel_sketch_reagg": rel.ORACLE_SKETCH_REAGG,
+    "rel_cusum": rel.ORACLE_CUSUM,
+    "text_weighted_sample": textstats.ORACLE_WEIGHTED_SAMPLE,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

@@ -128,3 +128,46 @@ def test_sketch_reagg_union_counts_union_not_sum(spark, tmp_path):
     assert r.n_days == 2 and r.exact_users == 120
     assert r.reagg_within_rsd and r.direct_within_rsd
     assert r.reagg_close_to_direct
+
+
+def test_cusum_flags_injected_level_shift(spark, tmp_path):
+    """A flat series with a sustained level shift in its second half
+    must alarm after the shift and never before it — and the
+    prefix-sum formulation must equal the sequential recursion
+    S_t = max(0, S_{t-1} + dev_t) computed in plain Python."""
+    import datetime
+
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_cusum,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [100.0 + (i % 3) for i in range(48)] + \
+           [160.0 + (i % 3) for i in range(48)]
+    rows = [(i, t0 + datetime.timedelta(hours=i), 1, "t", v, "{}")
+            for i, v in enumerate(vals)]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = sorted(q_cusum(spark, sf).collect(), key=lambda r: r.hour)
+    first_alarm = next(i for i, r in enumerate(out) if r.alarm)
+    assert first_alarm >= 48, first_alarm      # never before the shift
+    assert any(r.alarm for r in out[48:])      # fires after it
+
+    # sequential-recursion equivalence
+    import math
+
+    xm = [int(v * 1000) for v in vals]
+    n = len(xm)
+    mu = math.floor(sum(xm) / n)
+    sd = math.floor(math.sqrt((sum(x * x for x in xm)
+                               - sum(xm) ** 2 / n) / n))
+    s_seq, seq = 0, []
+    for x in xm:
+        s_seq = max(0, s_seq + (x - mu - sd // 2))
+        seq.append(round(s_seq / 1000.0, 6))
+    assert [r.cusum for r in out] == seq
