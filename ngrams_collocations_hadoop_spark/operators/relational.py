@@ -1674,3 +1674,64 @@ SELECT event_type, hour, round(s / 1000.0, 6) AS cusum,
        s > 4 * sd AS alarm
 FROM s
 """
+
+
+# --- retention cohort matrix --------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis: users grouped by first-activity week
+    (the cohort), activity counted per week-offset from that cohort —
+    the (cohort_week, week_offset) → distinct-users matrix every
+    product-analytics stack computes, plus retention as a fraction of
+    the cohort's size.
+
+    Scale shape: first-seen is one user-keyed aggregate; the activity
+    join is user-keyed (same key — exchange reuse); the matrix
+    aggregate is bounded by weeks² cells. Cohort sizes re-join
+    broadcast (weeks rows). Retention = distinct users, so doubled
+    events don't inflate it."""
+    ev = _t(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = (ev.join(first, "user_id")
+           .select("user_id", "cohort_week",
+                   (F.floor((F.date_trunc("week", "ts").cast("long")
+                             - F.col("cohort_week").cast("long"))
+                            / (7 * 86400))).cast("long")
+                   .alias("week_offset")))
+    matrix = (act.groupBy("cohort_week", "week_offset")
+              .agg(F.countDistinct("user_id").cast("long")
+                   .alias("active_users")))
+    sizes = (first.groupBy("cohort_week")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("cohort_size")))
+    return (matrix.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "active_users",
+                    "cohort_size",
+                    F.round(F.col("active_users")
+                            / F.col("cohort_size"), 6).alias("retention")))
+
+
+ORACLE_RETENTION_COHORTS = f"""
+WITH ev AS {EVENTS_US},
+first AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM ev GROUP BY user_id),
+act AS (
+    SELECT e.user_id, cohort_week,
+           CAST(floor((epoch(date_trunc('week', e.ts))
+                       - epoch(cohort_week)) / (7 * 86400)) AS BIGINT)
+               AS week_offset
+    FROM ev e JOIN first USING (user_id)),
+matrix AS (
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM act GROUP BY 1, 2),
+sizes AS (
+    SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS cohort_size
+    FROM first GROUP BY 1)
+SELECT cohort_week, week_offset, active_users, cohort_size,
+       round(active_users / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM matrix JOIN sizes USING (cohort_week)
+"""

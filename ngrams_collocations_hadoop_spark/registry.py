@@ -123,6 +123,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_sketch_reagg": rel.q_sketch_reagg,         # HLL union rollup
     "rel_cusum": rel.q_cusum,                       # change-point detector
     "text_weighted_sample": textstats.q_weighted_sample,  # A-ES priorities
+    "rel_retention_cohorts": rel.q_retention_cohorts,  # cohort matrix
+    "stream_scd2_enrich": sw.q_stream_scd2_enrich,  # versioned-dim join
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -315,6 +317,8 @@ ORACLES: dict[str, str] = {
     "rel_sketch_reagg": rel.ORACLE_SKETCH_REAGG,
     "rel_cusum": rel.ORACLE_CUSUM,
     "text_weighted_sample": textstats.ORACLE_WEIGHTED_SAMPLE,
+    "rel_retention_cohorts": rel.ORACLE_RETENTION_COHORTS,
+    "stream_scd2_enrich": sw.ORACLE_STREAM_SCD2_ENRICH,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

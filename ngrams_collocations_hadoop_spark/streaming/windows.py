@@ -666,3 +666,68 @@ FROM ev l CROSS JOIN wm
 WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.l_id = l.event_id)
   AND epoch_us(l.ts) + {FOLLOW_SECONDS} * 1000000 < wm.wm_us
 """
+
+
+# --- stream enrichment against the versioned (SCD2) dimension -----------
+
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join against the VERSIONED dimension: each
+    streamed event picks the SCD2 segment interval covering its event
+    time (valid_from <= ts < valid_to) — the enrichment shape when the
+    dimension has history, where joining the CURRENT snapshot
+    (`q_stream_enrich`'s shape) would backfill new attributes onto old
+    events. Aggregated per (segment VERSION, event type) — how deep
+    into their churn sequence users are when each activity happens
+    (the covering segment's type necessarily equals the event's own
+    type here, since the dimension derives from the same stream, so
+    version is the informative attribute).
+
+    The static side is re-planned per micro-batch, so a dimension
+    update between batches is picked up automatically — the standard
+    Spark pattern for slowly-changing enrichment. The interval
+    condition makes this a broadcast range join per batch: the dim is
+    versions-sized (small), the stream side never shuffles."""
+    from ..operators.relational import q_scd2_history
+
+    dim = q_scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("seg_type"),
+        "valid_from", "valid_to", "version")
+    stream = _event_stream(spark, sf_dir)
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("ts") < F.col("valid_to")))
+    agg = (joined.groupBy("version", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1e6)).cast("long")
+                .alias("sum_value_micro")))
+    return _run_to_completion(agg, "stream_scd2_enrich_out", "complete")
+
+
+ORACLE_STREAM_SCD2_ENRICH = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+starts AS (
+    SELECT user_id, event_type AS seg_type, ts AS valid_from, event_id
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM ev)
+    WHERE prev_type IS NULL OR prev_type <> event_type),
+dim AS (
+    SELECT user_id, seg_type, valid_from,
+           coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from, event_id),
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY valid_from, event_id) AS BIGINT) AS version
+    FROM starts)
+SELECT d.version, e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM ev e JOIN dim d
+  ON e.user_id = d.user_id
+ AND d.valid_from <= e.ts AND e.ts < d.valid_to
+GROUP BY 1, 2
+"""

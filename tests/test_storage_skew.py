@@ -171,3 +171,38 @@ def test_cusum_flags_injected_level_shift(spark, tmp_path):
         s_seq = max(0, s_seq + (x - mu - sd // 2))
         seq.append(round(s_seq / 1000.0, 6))
     assert [r.cusum for r in out] == seq
+
+
+def test_retention_cohorts_two_cohort_fixture(spark, tmp_path):
+    """Two cohorts a week apart: users 1-2 start week 0 (user 2 churns
+    after week 0), user 3 starts week 1. Matrix must show cohort A
+    retaining 1/2 in its week 1 and cohort B fully active at offset
+    0 — offsets are cohort-relative, not calendar."""
+    import datetime
+
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_retention_cohorts,
+    )
+
+    mon = datetime.datetime(2024, 1, 1)      # a Monday
+    wk = datetime.timedelta(days=7)
+    rows = [
+        (1, mon, 1, "t", 1.0, "{}"),
+        (2, mon + datetime.timedelta(days=1), 2, "t", 1.0, "{}"),
+        (3, mon + wk, 1, "t", 1.0, "{}"),             # user 1 returns
+        (4, mon + wk + datetime.timedelta(days=2), 3, "t", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = {(r.cohort_week.date().isoformat(), r.week_offset):
+           (r.active_users, r.cohort_size, r.retention)
+           for r in q_retention_cohorts(spark, sf).collect()}
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 3
