@@ -19,7 +19,7 @@ spark.sparkContext.setLogLevel("ERROR")
 import duckdb, pandas as pd
 import __spark_entry__ as E
 con = duckdb.connect()
-for t in ["events", "orders", "customer", "documents"]:
+for t in ["events", "orders", "customer", "documents", "lineitem"]:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM "
         f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
@@ -29,7 +29,11 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              "stream_sliding", "stream_enrich", "stream_pair_join",
              "colloc_hebrew_topk", "mm_image_dims", "mm_resize",
              "text_pack_sequences", "rel_approx_sketches",
-             "stream_merge_sink", "text_dup_span_positions"]:
+             "stream_merge_sink", "text_dup_span_positions",
+             "rel_ewma", "rel_cusum", "rel_scd2", "rel_gap_fill",
+             "rel_interval_overlap", "rel_retention_cohorts",
+             "rel_pit_enrich", "stream_outer_join",
+             "stream_scd2_enrich", "rel_sketch_reagg"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
