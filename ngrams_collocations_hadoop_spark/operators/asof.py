@@ -155,3 +155,67 @@ FROM ev e LEFT JOIN starts s
 QUALIFY row_number() OVER (PARTITION BY e.event_id
                            ORDER BY s.version DESC NULLS LAST) = 1
 """
+
+
+# --- last-touch attribution ---------------------------------------------
+
+ATTRIB_WINDOW_DAYS = 7
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every ``purchase`` event credits the
+    user's most recent ``click`` within the lookback window — the
+    join that prices marketing channels. Same union-merge as
+    ``asof_join`` (inclusive bound: a click at the purchase instant
+    counts), then a window-bound filter; purchases with no qualifying
+    click report the unattributed sentinel, because "no touch" is the
+    number the channel report actually needs."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+    # asof_join contract: one right row per (by, ts) — keep the max
+    # click_id among same-instant clicks (the oracle's DESC tiebreak)
+    wt = Window.partitionBy("user_id", "click_ts") \
+        .orderBy(F.desc("click_id"))
+    clicks = (clicks.withColumn("_rn", F.row_number().over(wt))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    out = asof_join(purchases, clicks, by="user_id", left_ts="ts",
+                    right_ts="click_ts",
+                    payload_cols=["click_id", "click_ts"])
+    in_window = (F.col("click_ts").isNotNull()
+                 & (F.col("click_ts") >= F.col("ts")
+                    - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS")))
+    return out.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.when(in_window, F.col("click_id")).otherwise(F.lit(-1))
+        .cast("long").alias("attributed_click"),
+        F.when(in_window,
+               F.col("ts").cast("long") - F.col("click_ts").cast("long"))
+        .otherwise(F.lit(-1)).cast("long").alias("lag_sec"))
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM ev WHERE event_type = 'click'),
+best AS (
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.click_ts <= p.ts
+    QUALIFY row_number() OVER (PARTITION BY p.event_id
+        ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC) = 1)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN click_ts IS NOT NULL
+             AND click_ts >= ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAYS
+            THEN click_id ELSE -1 END AS attributed_click,
+       CASE WHEN click_ts IS NOT NULL
+             AND click_ts >= ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAYS
+            THEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(click_ts)) AS BIGINT)
+            ELSE -1 END AS lag_sec
+FROM best
+"""

@@ -1629,3 +1629,55 @@ ranked AS (
 SELECT lang, doc_id, n_chars AS weight, round(key, 9) AS priority, rank
 FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
 """
+
+
+# --- character-entropy quality signal -----------------------------------
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the cheap gibberish/boilerplate detector (natural text sits near
+    ~4 bits; base64 blobs higher, repeated padding near 0).
+
+    Shape: one (doc, char) count shuffle bounded by docs × alphabet;
+    the entropy sum is floor-quantized per term (1e-12 units) and
+    summed exactly, so the scalar hashes identically across engines.
+    The ln/len inputs are integers — the only float math is one fixed
+    derived expression per term."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch"))
+    counts = (chars.filter(F.col("ch") != "")
+              .groupBy("doc_id", "ch")
+              .agg(F.count(F.lit(1)).alias("c")))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    term = ("floor((CAST(c AS DOUBLE) / n) "
+            "* (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE))) * 1e12)")
+    ent = (counts.join(totals, "doc_id")
+           .groupBy("doc_id")
+           .agg(F.sum(F.expr(term).cast("decimal(38,0)")).alias("se"),
+                F.max("n").cast("long").alias("n_chars_counted")))
+    return ent.selectExpr(
+        "doc_id", "n_chars_counted",
+        "round(CAST(se AS DOUBLE) / 1e12 / ln(2), 6) AS entropy_bits")
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+    FROM documents),
+counts AS (
+    SELECT doc_id, ch, count(*) AS c FROM chars
+    WHERE ch <> '' GROUP BY doc_id, ch),
+totals AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id),
+ent AS (
+    SELECT c.doc_id,
+           sum(CAST(floor((CAST(c AS DOUBLE) / n)
+               * (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+               * 1e12) AS DECIMAL(38,0))) AS se,
+           CAST(max(n) AS BIGINT) AS n_chars_counted
+    FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id)
+SELECT doc_id, n_chars_counted,
+       round(CAST(se AS DOUBLE) / 1e12 / ln(2), 6) AS entropy_bits
+FROM ent
+"""

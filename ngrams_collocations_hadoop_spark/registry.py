@@ -125,6 +125,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_weighted_sample": textstats.q_weighted_sample,  # A-ES priorities
     "rel_retention_cohorts": rel.q_retention_cohorts,  # cohort matrix
     "stream_scd2_enrich": sw.q_stream_scd2_enrich,  # versioned-dim join
+    "rel_attribution": asof.q_attribution,          # last-touch credit
+    "text_char_entropy": textstats.q_char_entropy,  # gibberish detector
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -319,6 +321,8 @@ ORACLES: dict[str, str] = {
     "text_weighted_sample": textstats.ORACLE_WEIGHTED_SAMPLE,
     "rel_retention_cohorts": rel.ORACLE_RETENTION_COHORTS,
     "stream_scd2_enrich": sw.ORACLE_STREAM_SCD2_ENRICH,
+    "rel_attribution": asof.ORACLE_ATTRIBUTION,
+    "text_char_entropy": textstats.ORACLE_CHAR_ENTROPY,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

@@ -77,3 +77,42 @@ def test_pit_enrich_no_leakage_at_exact_instant(spark, tmp_path):
     assert out[2] == ("a", 1)      # inside run 1
     assert out[3] == ("a", 1)      # starts run 2 -> sees run 1 only
     assert out[4] == ("b", 2)      # starts run 3 -> sees run 2 only
+
+
+def test_attribution_window_and_last_touch(spark, tmp_path):
+    """Purchase credits the LATEST click inside the lookback window:
+    a newer click wins over an older one, a click outside the window
+    leaves the purchase unattributed, and a click AFTER the purchase
+    never counts."""
+    import datetime
+
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.asof import (
+        ATTRIB_WINDOW_DAYS, q_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 6, 10, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = [
+        # user 1: two clicks before purchase -> latest (id 2) credited
+        (1, t0 - 3 * day, 1, "click", 0.0, "{}"),
+        (2, t0 - 1 * day, 1, "click", 0.0, "{}"),
+        (3, t0, 1, "purchase", 9.0, "{}"),
+        # user 2: click outside the window -> unattributed
+        (4, t0 - (ATTRIB_WINDOW_DAYS + 2) * day, 2, "click", 0.0, "{}"),
+        (5, t0, 2, "purchase", 9.0, "{}"),
+        # user 3: click only AFTER the purchase -> unattributed
+        (6, t0 + day, 3, "click", 0.0, "{}"),
+        (7, t0, 3, "purchase", 9.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = {r.purchase_id: (r.attributed_click, r.lag_sec)
+           for r in q_attribution(spark, sf).collect()}
+    assert out[3] == (2, 86400)
+    assert out[5] == (-1, -1)
+    assert out[7] == (-1, -1)

@@ -368,3 +368,25 @@ def test_weighted_sample_huge_weight_always_selected(spark, tmp_path):
     assert 99 in ids
     assert all(0.0 < r.priority <= 1.0 for r in out)
     assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+
+
+def test_char_entropy_extremes(spark, tmp_path):
+    """Zero entropy for a single repeated character; exactly 1 bit for
+    a two-character 50/50 doc; uniform-alphabet doc = log2(k) bits."""
+    docs = [
+        (1, "aaaaaaaa", "en", "s", 8),
+        (2, "abababab", "en", "s", 8),
+        (3, "abcdefgh", "en", "s", 8),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(f"{sf}/documents.parquet")
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_char_entropy,
+    )
+    out = {r.doc_id: r.entropy_bits
+           for r in q_char_entropy(spark, sf).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - 1.0) < 1e-6
+    assert abs(out[3] - 3.0) < 1e-6
