@@ -196,3 +196,103 @@ FROM placed GROUP BY shard
 
 
 ORACLE_EXPORT_MANIFEST = _oracle_export_manifest()
+
+
+# --- composed incremental-ingest pipeline -------------------------------
+# new batch -> exact dedup vs corpus -> incremental LSH near-dedup ->
+# quality gate -> shard layout. The continuous-crawl dual of
+# q_training_prep: per-ingest cost tracks the BATCH (the incremental
+# band join never generates old x old candidates), yet the decisions
+# are corpus-aware.
+
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summarize, per export shard, what survives ingesting the new
+    batch (``doc_id % NEW_BATCH_MOD == 0``): exact duplicates of any
+    corpus doc (or lower-id batch doc) drop first; near-duplicates
+    drop by the incremental-LSH pair list (matching an old doc, or the
+    higher id of a new×new pair — keep-first); survivors pass the
+    shared quality bar and land in md5 shards. ONE lazy DAG; every
+    stage is the registry operator's expressions verbatim.
+
+    Scale shape: exact dedup is a fingerprint-keyed join (new side
+    tiny); near-dedup inherits the batch-sized band join of
+    ``q_dedup_incremental_lsh``; quality is map-side; the shard
+    summary is an N_SHARDS-bounded aggregate."""
+    from .dedup import NEW_BATCH_MOD, q_dedup_incremental_lsh
+    from .textstats import N_SHARDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    newfp = (fp.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+             .select(F.col("doc_id").alias("nid"), "fp"))
+    exact_drop = (newfp.join(fp, on="fp")
+                  .filter((F.col("doc_id") != F.col("nid"))
+                          & ((F.col("doc_id") % NEW_BATCH_MOD != 0)
+                             | (F.col("doc_id") < F.col("nid"))))
+                  .select(F.col("nid").alias("doc_id")).distinct())
+    pairs = q_dedup_incremental_lsh(spark, sf_dir)
+    near_drop = (pairs.select(
+        F.when(F.col("doc_match") % NEW_BATCH_MOD == 0, F.col("doc_match"))
+        .otherwise(F.col("doc_new")).alias("doc_id")).distinct())
+    dropped = exact_drop.union(near_drop).distinct()
+    kept = (_quality_survivors(spark, sf_dir)
+            .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+            .join(dropped, on="doc_id", how="left_anti"))
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 4), 16, 10).cast("long") % N_SHARDS)
+    return (kept.withColumn("shard", shard)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+
+
+def _oracle_ingest() -> str:
+    from .dedup import NEW_BATCH_MOD
+    from .textstats import N_SHARDS
+
+    return f"""
+WITH {_MINHASH_LSH_PAIRS_SQL},
+dq AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
+       FROM documents),
+q AS (
+    SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT doc_id, tokens,
+               round(least(((length(text) - len(tokens) + 1)::DOUBLE
+                            / len(tokens)) / 10, 1.0) * 0.3
+                     + (1 - len(list_filter(tokens, t -> list_contains(
+                           {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
+                           / len(tokens)) * 0.3
+                     + (len(list_distinct(tokens))::DOUBLE
+                        / len(tokens)) * 0.4, 6) AS score
+        FROM dq)
+    WHERE score >= {QUALITY_THRESHOLD}),
+exact_drop AS (
+    SELECT DISTINCT n.doc_id
+    FROM documents n JOIN documents o ON md5(o.text) = md5(n.text)
+    WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND o.doc_id <> n.doc_id
+      AND (o.doc_id % {NEW_BATCH_MOD} <> 0 OR o.doc_id < n.doc_id)),
+near_drop AS (
+    SELECT DISTINCT
+           CASE WHEN doc_a % {NEW_BATCH_MOD} = 0
+                 AND doc_b % {NEW_BATCH_MOD} = 0
+                THEN greatest(doc_a, doc_b)
+                WHEN doc_a % {NEW_BATCH_MOD} = 0 THEN doc_a
+                ELSE doc_b END AS doc_id
+    FROM lsh_pairs
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+      AND (doc_a % {NEW_BATCH_MOD} = 0 OR doc_b % {NEW_BATCH_MOD} = 0)),
+kept AS (
+    SELECT q.doc_id, n_tokens FROM q
+    WHERE q.doc_id % {NEW_BATCH_MOD} = 0
+      AND q.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+      AND q.doc_id NOT IN (SELECT doc_id FROM near_drop))
+SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+           % {N_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1
+"""
+
+
+ORACLE_INGEST_PIPELINE = _oracle_ingest()

@@ -127,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_scd2_enrich": sw.q_stream_scd2_enrich,  # versioned-dim join
     "rel_attribution": asof.q_attribution,          # last-touch credit
     "text_char_entropy": textstats.q_char_entropy,  # gibberish detector
+    "pipeline_ingest": pipeline.q_ingest_pipeline,  # incremental crawl
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -323,6 +324,7 @@ ORACLES: dict[str, str] = {
     "stream_scd2_enrich": sw.ORACLE_STREAM_SCD2_ENRICH,
     "rel_attribution": asof.ORACLE_ATTRIBUTION,
     "text_char_entropy": textstats.ORACLE_CHAR_ENTROPY,
+    "pipeline_ingest": pipeline.ORACLE_INGEST_PIPELINE,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

@@ -115,3 +115,45 @@ def test_cache_counts_variant_identical(spark):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
+
+
+def test_ingest_pipeline_accounting(spark):
+    """The shard summary's doc count must equal: quality-passing new
+    docs minus (exact-dropped ∪ near-dropped) quality-passers — i.e.
+    the composition drops exactly what its stages say it drops, no
+    double counting across shards."""
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        NEW_BATCH_MOD, q_dedup_incremental_lsh,
+    )
+    from ngrams_collocations_hadoop_spark.operators.pipeline import (
+        _quality_survivors, q_ingest_pipeline,
+    )
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    from .conftest import SF_SMALL
+
+    total = sum(r.n_docs for r in
+                q_ingest_pipeline(spark, SF_SMALL).collect())
+
+    q_new = {r.doc_id for r in _quality_survivors(spark, SF_SMALL)
+             .filter(F.col("doc_id") % NEW_BATCH_MOD == 0).collect()}
+    docs = load_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", F.md5("text").alias("fp")).collect()
+    by_fp = {}
+    for r in docs:
+        by_fp.setdefault(r.fp, []).append(r.doc_id)
+    exact = set()
+    for ids in by_fp.values():
+        for i in ids:
+            if i % NEW_BATCH_MOD == 0 and any(
+                    (j % NEW_BATCH_MOD != 0 or j < i)
+                    and j != i for j in ids):
+                exact.add(i)
+    near = set()
+    for r in q_dedup_incremental_lsh(spark, SF_SMALL).collect():
+        if r.doc_match % NEW_BATCH_MOD == 0:
+            near.add(r.doc_match)
+        else:
+            near.add(r.doc_new)
+    assert total == len(q_new - exact - near)
