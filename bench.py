@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "pipeline_training_prep",  # flagship composition (quality->dedup->pack)
     "dedup_semantic",        # k-means assign + within-cluster pairs
     "text_dsir_weights",     # LM aggregates + token-join scoring
+    "sim_pq_topk",           # PQ encode + ADC scoring (ANN family)
+    "pipeline_ingest",       # incremental-ingest composition
 ]
 
 
