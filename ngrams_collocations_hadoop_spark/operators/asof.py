@@ -136,17 +136,15 @@ def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("version", F.lit(0)).cast("long").alias("prev_version"))
 
 
-ORACLE_PIT_ENRICH = """
+from .relational import SCD2_STARTS_SQL as _SCD2_STARTS_SQL
+
+ORACLE_PIT_ENRICH = f"""
 WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
 starts AS (
     SELECT user_id, event_type AS seg_type, ts AS valid_from,
            CAST(row_number() OVER (PARTITION BY user_id
                 ORDER BY ts, event_id) AS BIGINT) AS version
-    FROM (SELECT user_id, event_type, ts, event_id,
-                 lag(event_type) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS prev_type
-          FROM ev)
-    WHERE prev_type IS NULL OR prev_type <> event_type)
+    FROM ({_SCD2_STARTS_SQL}) runs)
 SELECT e.event_id, e.user_id, e.event_type,
        coalesce(s.seg_type, 'none') AS prev_seg,
        coalesce(s.version, 0) AS prev_version

@@ -151,7 +151,7 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     `text_shard_assign` plan (map-side hash + shard-partitioned
     manifest aggregation). One lazy DAG, nothing materialized between
     stages."""
-    from .textstats import N_SHARDS, q_dsir_weights
+    from .textstats import q_dsir_weights, shard_col
 
     w = q_dsir_weights(spark, sf_dir)
     rankw = (Window.partitionBy("lang")
@@ -160,10 +160,7 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = (w.withColumn("rn", F.row_number().over(rankw))
            .withColumn("n_lang", F.count(F.lit(1)).over(langw))
            .filter(F.col("rn") * 2 <= F.col("n_lang")))
-    placed = sel.withColumn(
-        "shard",
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                16, 10).cast("long") % N_SHARDS))
+    placed = sel.withColumn("shard", shard_col())
     return (placed.groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -173,7 +170,7 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_export_manifest() -> str:
-    from .textstats import N_SHARDS, ORACLE_DSIR_WEIGHTS
+    from .textstats import ORACLE_DSIR_WEIGHTS, SHARD_SQL
 
     return f"""
 WITH dsir AS ({ORACLE_DSIR_WEIGHTS}),
@@ -184,9 +181,7 @@ ranked AS (
            count(*) OVER (PARTITION BY lang) AS n_lang
     FROM dsir),
 placed AS (
-    SELECT doc_id, n_tokens,
-           ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
-             % {N_SHARDS} AS shard
+    SELECT doc_id, n_tokens, {SHARD_SQL} AS shard
     FROM ranked WHERE rn * 2 <= n_lang)
 SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -219,7 +214,7 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_dedup_incremental_lsh``; quality is map-side; the shard
     summary is an N_SHARDS-bounded aggregate."""
     from .dedup import NEW_BATCH_MOD, q_dedup_incremental_lsh
-    from .textstats import N_SHARDS
+    from .textstats import shard_col
 
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
@@ -238,9 +233,7 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (_quality_survivors(spark, sf_dir)
             .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
             .join(dropped, on="doc_id", how="left_anti"))
-    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                                1, 4), 16, 10).cast("long") % N_SHARDS)
-    return (kept.withColumn("shard", shard)
+    return (kept.withColumn("shard", shard_col())
             .groupBy("shard")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("n_tokens")))
@@ -248,7 +241,7 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ingest() -> str:
     from .dedup import NEW_BATCH_MOD
-    from .textstats import N_SHARDS
+    from .textstats import SHARD_SQL
 
     return f"""
 WITH {_MINHASH_LSH_PAIRS_SQL},
@@ -287,8 +280,7 @@ kept AS (
     WHERE q.doc_id % {NEW_BATCH_MOD} = 0
       AND q.doc_id NOT IN (SELECT doc_id FROM exact_drop)
       AND q.doc_id NOT IN (SELECT doc_id FROM near_drop))
-SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
-           % {N_SHARDS} AS shard,
+SELECT {SHARD_SQL} AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM kept GROUP BY 1

@@ -1510,15 +1510,20 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lead("ts").over(w2).isNull().alias("is_current")))
 
 
-ORACLE_SCD2_HISTORY = f"""
-WITH ev AS {EVENTS_US},
-starts AS (
+# Shared SCD2 run-detection CTE body (expects an `ev` CTE in scope).
+# Three oracles consume it (SCD2 history, PIT enrichment, streaming
+# SCD2 enrichment) — one definition so the run rule cannot drift.
+SCD2_STARTS_SQL = """
     SELECT user_id, event_type, ts, event_id
     FROM (SELECT user_id, event_type, ts, event_id,
                  lag(event_type) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_type
           FROM ev)
-    WHERE prev_type IS NULL OR prev_type <> event_type)
+    WHERE prev_type IS NULL OR prev_type <> event_type"""
+
+ORACLE_SCD2_HISTORY = f"""
+WITH ev AS {EVENTS_US},
+starts AS ({SCD2_STARTS_SQL})
 SELECT user_id, event_type, ts AS valid_from,
        coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                 TIMESTAMP '{SCD2_SENTINEL}') AS valid_to,
@@ -1618,7 +1623,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.floor(F.col("value") * 1000)).cast("long")
                    .alias("xm")))
     stats = (hourly.groupBy("event_type")
-             .agg(F.sum("xm").cast("decimal(38,0)").alias("sx"),
+             .agg(F.sum(F.col("xm").cast("decimal(38,0)")).alias("sx"),
                   F.sum(F.col("xm").cast("decimal(38,0)")
                         * F.col("xm")).alias("sxx"),
                   F.count(F.lit(1)).alias("n"))

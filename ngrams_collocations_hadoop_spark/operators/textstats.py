@@ -1186,6 +1186,17 @@ GROUP BY doc_id, lang
 N_SHARDS = 8
 
 
+# THE shard rule — one definition, three consumers (shard assignment,
+# export manifest, ingest pipeline): md5 of doc_id -> one of N_SHARDS.
+def shard_col() -> F.Column:
+    return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 4), 16, 10).cast("long") % N_SHARDS)
+
+
+SHARD_SQL = (f"('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT"
+             f" % {N_SHARDS}")
+
+
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment for training export: every doc
     hashes to one of N_SHARDS shards (md5 of doc_id — content-stable,
@@ -1204,11 +1215,7 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.size(F.split("text", " ")).cast("long")
                     .alias("n_tokens"))
-            .withColumn(
-                "shard",
-                (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                                    1, 4), 16, 10).cast("long")
-                 % N_SHARDS)))
+            .withColumn("shard", shard_col()))
     w = Window.partitionBy("shard").orderBy("doc_id")
     return (docs
             .withColumn("pos", F.row_number().over(w).cast("long"))
@@ -1223,8 +1230,7 @@ ORACLE_SHARD_ASSIGN = f"""
 WITH d AS (
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
-             % {N_SHARDS} AS shard
+           {SHARD_SQL} AS shard
     FROM documents)
 SELECT doc_id, shard,
        CAST(row_number() OVER w AS BIGINT) AS pos,
@@ -1598,9 +1604,13 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle bytes bounded by groups × k. Determinism: u_i is an
     md5-derived 48-bit rational (never 0), pow/division are single
     fixed expressions shared with the oracle — no RNG state anywhere,
-    so the sample is reproducible across runs, engines, and
-    partitionings (the property production resampling jobs need for
-    audit)."""
+    so the sample is reproducible across runs and partitionings (the
+    property production resampling jobs need for audit). The raw pow()
+    key stays internal: Java Math.pow is only 1-ulp-accurate vs
+    libm's correctly-rounded pow, so the hashed output carries the
+    SELECTION (ids + ranks), not the float key — a 1-ulp flip could
+    move a rounded key but is vanishingly unlikely to reorder two
+    keys, whose gaps are ~1/n, not ~ulp."""
     docs = load_table(spark, sf_dir, "documents")
     u = ("((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), "
          "16, 10) AS BIGINT) + 1) / CAST(281474976710656 AS DOUBLE))")
@@ -1611,7 +1621,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
             .select("lang", "doc_id", F.col("n_chars").alias("weight"),
-                    F.round("key", 9).alias("priority"), "rank"))
+                    "rank"))
 
 
 ORACLE_WEIGHTED_SAMPLE = f"""
@@ -1626,7 +1636,7 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY lang
                 ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
     FROM keyed)
-SELECT lang, doc_id, n_chars AS weight, round(key, 9) AS priority, rank
+SELECT lang, doc_id, n_chars AS weight, rank
 FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
 """
 

@@ -53,7 +53,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CUSUM, weighted sample, retention cohorts, stream SCD2 enrich,
 # attribution, char entropy, ingest pipeline): those were added after
 # the window filled, have local strict-sweep + test evidence only
-# (151/151 strict local sweep at sf0.01), and are queued FIRST for
+# (full strict local sweep green at sf0.01), and are queued FIRST for
 # the r05 window.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---

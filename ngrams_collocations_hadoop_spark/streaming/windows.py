@@ -706,20 +706,19 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(agg, "stream_scd2_enrich_out", "complete")
 
 
-ORACLE_STREAM_SCD2_ENRICH = """
+from ..operators.relational import SCD2_SENTINEL as _SCD2_SENTINEL
+from ..operators.relational import SCD2_STARTS_SQL as _SCD2_STARTS_SQL
+
+ORACLE_STREAM_SCD2_ENRICH = f"""
 WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
 starts AS (
     SELECT user_id, event_type AS seg_type, ts AS valid_from, event_id
-    FROM (SELECT user_id, event_type, ts, event_id,
-                 lag(event_type) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS prev_type
-          FROM ev)
-    WHERE prev_type IS NULL OR prev_type <> event_type),
+    FROM ({_SCD2_STARTS_SQL}) runs),
 dim AS (
     SELECT user_id, seg_type, valid_from,
            coalesce(lead(valid_from) OVER (PARTITION BY user_id
                     ORDER BY valid_from, event_id),
-                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+                    TIMESTAMP '{_SCD2_SENTINEL}') AS valid_to,
            CAST(row_number() OVER (PARTITION BY user_id
                 ORDER BY valid_from, event_id) AS BIGINT) AS version
     FROM starts)

@@ -352,8 +352,8 @@ def test_containment_catches_what_jaccard_misses(spark, tmp_path):
 def test_weighted_sample_huge_weight_always_selected(spark, tmp_path):
     """Efraimidis-Spirakis property: as w -> inf, u^(1/w) -> 1, so a
     doc with an astronomically larger weight must always be in the
-    sample regardless of its hash draw; all priorities lie in (0, 1]
-    and ranks are dense per language."""
+    sample regardless of its hash draw; ranks are dense per
+    language."""
     docs = [(i, "x " * 20, "en", "s", 50 + i) for i in range(40)]
     docs.append((99, "y " * 20, "en", "s", 10**9))  # whale weight
     sf = str(tmp_path)
@@ -366,7 +366,6 @@ def test_weighted_sample_huge_weight_always_selected(spark, tmp_path):
     out = q_weighted_sample(spark, sf).collect()
     ids = {r.doc_id for r in out}
     assert 99 in ids
-    assert all(0.0 < r.priority <= 1.0 for r in out)
     assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
 
 
