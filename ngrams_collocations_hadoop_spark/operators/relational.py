@@ -1740,3 +1740,103 @@ SELECT cohort_week, week_offset, active_users, cohort_size,
        round(active_users / CAST(cohort_size AS DOUBLE), 6) AS retention
 FROM matrix JOIN sizes USING (cohort_week)
 """
+
+
+# --- sliding-window distinct counting -----------------------------------
+
+SLIDE_DISTINCT_H = 24   # trailing window width, hours
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type over a TRAILING 24-hour window,
+    evaluated at every hour that has activity. COUNT(DISTINCT) does
+    not decompose over sliding windows (set unions aren't subtractable,
+    so no window-aggregate works); the distributed form inverts the
+    problem: each (type, user, active-hour) CONTRIBUTES to the 24
+    window positions it can be seen from, and after deduplicating
+    (type, user, window-hour) the count is a plain per-key aggregate.
+
+    Scale shape: dedup to (type, user, hour) first (one shuffle,
+    activity-bounded), then a map-side ×W fan-out and one
+    distinct-count shuffle — total volume W × active-(type,user,hour)
+    triples, independent of raw event counts. W is the knob: for big
+    windows over fine grains, coarsen the contribution grain first.
+    Only hours with actual activity are reported (the fan-out creates
+    candidate hours, which the semi-join against real hours prunes) —
+    matching the oracle's per-active-hour evaluation."""
+    ev = _t(spark, sf_dir, "events")
+    tuh = (ev.select("event_type", "user_id",
+                     F.date_trunc("hour", "ts").alias("h"))
+           .distinct())
+    hours = tuh.select("event_type", "h").distinct()
+    contrib = (tuh.select(
+        "event_type", "user_id",
+        F.explode(F.expr(
+            f"sequence(h, h + INTERVAL {SLIDE_DISTINCT_H - 1} HOURS, "
+            f"INTERVAL 1 HOUR)")).alias("wh"))
+        .dropDuplicates(["event_type", "user_id", "wh"]))
+    return (contrib
+            .join(hours.select("event_type", F.col("h").alias("wh")),
+                  on=["event_type", "wh"], how="left_semi")
+            .groupBy("event_type", F.col("wh").alias("hour"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("distinct_users_24h")))
+
+
+ORACLE_SLIDING_DISTINCT = f"""
+WITH ev AS {EVENTS_US},
+tuh AS (
+    SELECT DISTINCT event_type, user_id, date_trunc('hour', ts) AS h
+    FROM ev),
+hours AS (SELECT DISTINCT event_type, h FROM tuh)
+SELECT hours.event_type, hours.h AS hour,
+       CAST(count(DISTINCT t.user_id) AS BIGINT) AS distinct_users_24h
+FROM hours JOIN tuh t
+  ON t.event_type = hours.event_type
+ AND t.h <= hours.h
+ AND t.h > hours.h - INTERVAL {SLIDE_DISTINCT_H} HOURS
+GROUP BY 1, 2
+"""
+
+
+# --- one-pass data profiler ---------------------------------------------
+
+PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of every lineitem column in ONE scan:
+    row count, null count, and exact distinct cardinality per column,
+    melted to one row per column — the ingest-gate report a pipeline
+    runs before trusting a new drop of data.
+
+    Scale shape: a single wide aggregate; the exact multi-column
+    COUNT(DISTINCT)s share one Expand pass (Catalyst's
+    RewriteDistinctAggregates), so the scan happens once regardless of
+    column count. At 100 TB swap exact ndv for approx_count_distinct
+    per column — identical query shape, fixed-size state
+    (the `rel_sketch_reagg` machinery). Output carries only integers,
+    so the profile hashes identically everywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for col in PROFILE_COLS:
+        aggs.append(F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"_null_{col}"))
+        aggs.append(F.countDistinct(col).cast("long").alias(f"_ndv_{col}"))
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', _null_{col}, _ndv_{col}" for col in PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        f"(column_name, n_nulls, n_distinct)",
+        "CAST(_n AS BIGINT) AS n_rows")
+
+
+ORACLE_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{col}' AS column_name, "
+    f"CAST(count(*) - count({col}) AS BIGINT) AS n_nulls, "
+    f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+    f"CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
+    for col in PROFILE_COLS)

@@ -130,6 +130,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_attribution": asof.q_attribution,          # last-touch credit
     "text_char_entropy": textstats.q_char_entropy,  # gibberish detector
     "pipeline_ingest": pipeline.q_ingest_pipeline,  # incremental crawl
+    "rel_sliding_distinct": rel.q_sliding_distinct,  # window set-union count
+    "rel_profile": rel.q_profile,                   # one-pass ingest gate
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -327,6 +329,8 @@ ORACLES: dict[str, str] = {
     "rel_attribution": asof.ORACLE_ATTRIBUTION,
     "text_char_entropy": textstats.ORACLE_CHAR_ENTROPY,
     "pipeline_ingest": pipeline.ORACLE_INGEST_PIPELINE,
+    "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
+    "rel_profile": rel.ORACLE_PROFILE,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

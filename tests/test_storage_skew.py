@@ -206,3 +206,30 @@ def test_retention_cohorts_two_cohort_fixture(spark, tmp_path):
     assert out[("2024-01-01", 1)] == (1, 2, 0.5)
     assert out[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+def test_sliding_distinct_counts_window_union(spark, tmp_path):
+    """Three hours of activity: user A in h0 and h2, user B in h1.
+    With a 24h trailing window every active hour sees the union of all
+    users so far; a repeat visit (A in h2) must NOT double count."""
+    import datetime
+
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_sliding_distinct,
+    )
+
+    t0 = datetime.datetime(2024, 4, 1, 0, 30)
+    hr = datetime.timedelta(hours=1)
+    rows = [(1, t0, 10, "t", 1.0, "{}"),
+            (2, t0 + hr, 20, "t", 1.0, "{}"),
+            (3, t0 + 2 * hr, 10, "t", 1.0, "{}")]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = sorted((r.hour, r.distinct_users_24h)
+                 for r in q_sliding_distinct(spark, sf).collect())
+    assert [n for _, n in out] == [1, 2, 2]
