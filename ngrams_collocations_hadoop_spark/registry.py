@@ -47,14 +47,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # gap fill, bloom prefilter, zipf, KL drift, winnowing) +
 # 10 green-in-r01-only + 3 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03, EXCEPT the
-# "(2b) post-window new" block right after the marker (18 queries:
+# "(2b) post-window new" block right after the marker (20 queries:
 # power iteration, EWMA, link prediction, stream outer join, SCD2,
 # k-core, PQ top-k + recall, PIT enrich, containment, sketch reagg,
 # CUSUM, weighted sample, retention cohorts, stream SCD2 enrich,
-# attribution, char entropy, ingest pipeline): those were added after
-# the window filled, have local strict-sweep + test evidence only
-# (full strict local sweep green at sf0.01), and are queued FIRST for
-# the r05 window.
+# attribution, char entropy, ingest pipeline, sliding distinct,
+# profiler): those were added after the window filled, have local
+# strict-sweep + test evidence only (full strict local sweep green at
+# sf0.01), and are queued FIRST for the r05 window.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
     "sim_embedding_covariance": similarity.q_embedding_covariance,
