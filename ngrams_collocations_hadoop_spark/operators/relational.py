@@ -1840,3 +1840,63 @@ ORACLE_PROFILE = "\nUNION ALL\n".join(
     f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
     f"CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
     for col in PROFILE_COLS)
+
+
+# --- snapshot diff (CDC between two table versions) ---------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of the orders table
+    (old = keys with ``o_orderkey % 10 != 0``; new = keys ``% 7 != 0``
+    with URGENT orders re-priced +10% — deterministic stand-ins for
+    yesterday's and today's loads): emit one row per differing key,
+    classified INSERT / DELETE / UPDATE — the audit diff every
+    warehouse runs after a reload, and the input of an incremental
+    downstream refresh.
+
+    Scale shape: ONE full-outer join on the key with md5 row-hash
+    comparison — change detection never compares column-by-column
+    across the wire; the hash is computed map-side and only keys +
+    hashes shuffle. Unchanged rows (the overwhelming majority at
+    100 TB) drop before any wide row is materialized."""
+    o = _t(spark, sf_dir, "orders")
+    rh = F.md5(F.concat_ws("|", F.col("o_custkey").cast("string"),
+                           F.col("o_orderpriority"),
+                           F.round("o_totalprice", 4).cast("string")))
+    old = (o.filter(F.col("o_orderkey") % 10 != 0)
+           .select(F.col("o_orderkey").alias("k"), rh.alias("h_old")))
+    new = (o.filter(F.col("o_orderkey") % 7 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderpriority") == "1-URGENT",
+                              F.round(F.col("o_totalprice") * 1.1, 4))
+                       .otherwise(F.col("o_totalprice")))
+           .select(F.col("o_orderkey").alias("k"), rh.alias("h_new")))
+    j = old.join(new, on="k", how="full_outer")
+    return (j.withColumn(
+        "change",
+        F.when(F.col("h_old").isNull(), F.lit("INSERT"))
+        .when(F.col("h_new").isNull(), F.lit("DELETE"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("UPDATE")))
+        .filter(F.col("change").isNotNull())
+        .select(F.col("k").alias("o_orderkey"), "change"))
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+    SELECT o_orderkey AS k,
+           md5(concat_ws('|', o_custkey::VARCHAR, o_orderpriority,
+                         round(o_totalprice, 4)::VARCHAR)) AS h
+    FROM orders WHERE o_orderkey % 10 <> 0),
+new AS (
+    SELECT o_orderkey AS k,
+           md5(concat_ws('|', o_custkey::VARCHAR, o_orderpriority,
+               round(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN round(o_totalprice * 1.1, 4)
+                          ELSE o_totalprice END, 4)::VARCHAR)) AS h
+    FROM orders WHERE o_orderkey % 7 <> 0)
+SELECT coalesce(old.k, new.k) AS o_orderkey,
+       CASE WHEN old.k IS NULL THEN 'INSERT'
+            WHEN new.k IS NULL THEN 'DELETE'
+            WHEN old.h <> new.h THEN 'UPDATE' END AS change
+FROM old FULL OUTER JOIN new ON old.k = new.k
+WHERE old.k IS NULL OR new.k IS NULL OR old.h <> new.h
+"""
