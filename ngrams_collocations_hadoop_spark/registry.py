@@ -47,12 +47,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # gap fill, bloom prefilter, zipf, KL drift, winnowing) +
 # 10 green-in-r01-only + 3 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03, EXCEPT the
-# "(2b) post-window new" block right after the marker (21 queries:
+# "(2b) post-window new" block right after the marker (22 queries:
 # power iteration, EWMA, link prediction, stream outer join, SCD2,
 # k-core, PQ top-k + recall, PIT enrich, containment, sketch reagg,
 # CUSUM, weighted sample, retention cohorts, stream SCD2 enrich,
 # attribution, char entropy, ingest pipeline, sliding distinct,
-# profiler, snapshot diff): those were added after the window filled, have local
+# profiler, snapshot diff, clustering coeff): those were added after the window filled, have local
 # strict-sweep + test evidence only (full strict local sweep green at
 # sf0.01), and are queued FIRST for the r05 window.
 QUERIES: dict[str, QueryFn] = {
@@ -133,6 +133,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_sliding_distinct": rel.q_sliding_distinct,  # window set-union count
     "rel_profile": rel.q_profile,                   # one-pass ingest gate
     "rel_snapshot_diff": rel.q_snapshot_diff,       # CDC table compare
+    "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,  # cc(v)
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -333,6 +334,7 @@ ORACLES: dict[str, str] = {
     "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
     "rel_profile": rel.ORACLE_PROFILE,
     "rel_snapshot_diff": rel.ORACLE_SNAPSHOT_DIFF,
+    "dedup_clustering_coeff": dedup.ORACLE_DEDUP_CLUSTERING_COEFF,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,

@@ -245,3 +245,33 @@ def test_kcore_peels_chain_keeps_clique(spark):
     # k=2: chain end 7 has deg 1, peels; then 6 has deg 1, peels; ...)
     out2 = {r.n: r.core_degree for r in k_core(edges, k=2).collect()}
     assert set(out2) == {1, 2, 3, 4}
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """Triangle: cc = 1 for all three nodes. Path 1-2-3: middle node
+    has deg 2, no triangle -> cc 0; endpoints deg 1 are excluded.
+    Square + one diagonal: the diagonal splits it into TWO triangles,
+    so diagonal endpoints see 2 triangles over deg 3 (cc = 2/3), the
+    other corners 1 over deg 2 (cc = 1)."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        clustering_coefficient,
+    )
+
+    tri = spark.sql("SELECT col1 AS doc_a, col2 AS doc_b FROM VALUES "
+                    "(1L,2L),(2L,3L),(1L,3L)")
+    out = {r.doc_id: r.clustering_coeff
+           for r in clustering_coefficient(tri).collect()}
+    assert out == {1: 1.0, 2: 1.0, 3: 1.0}
+
+    path = spark.sql("SELECT col1 AS doc_a, col2 AS doc_b FROM VALUES "
+                     "(1L,2L),(2L,3L)")
+    out = {r.doc_id: r.clustering_coeff
+           for r in clustering_coefficient(path).collect()}
+    assert out == {2: 0.0}
+
+    sq = spark.sql("SELECT col1 AS doc_a, col2 AS doc_b FROM VALUES "
+                   "(1L,2L),(2L,3L),(3L,4L),(1L,4L),(1L,3L)")
+    out = {r.doc_id: r.clustering_coeff
+           for r in clustering_coefficient(sq).collect()}
+    assert out[1] == round(2 / 3, 6) and out[3] == round(2 / 3, 6)
+    assert out[2] == 1.0 and out[4] == 1.0
