@@ -730,3 +730,68 @@ FROM ev e JOIN dim d
  AND d.valid_from <= e.ts AND e.ts < d.valid_to
 GROUP BY 1, 2
 """
+
+
+# --- stream-stream FULL OUTER interval join ------------------------------
+
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER form of the watermarked interval join — both
+    "abandoned" lefts (no follow-up within the window) AND "orphan"
+    rights (no predecessor within the window) surface as null-extended
+    rows once the watermark proves their partner cannot arrive. The
+    eviction bounds differ per side and the oracle reproduces both:
+    a LEFT row waits until wm > l_ts + follow (a matching right could
+    be up to follow later), while a RIGHT row is safe as soon as
+    wm reaches r_ts (its matches are strictly EARLIER events, which
+    the watermark already excludes). Same ms-floored end-of-stream
+    watermark and -1 sentinels as ``q_stream_outer_join``."""
+    l = _event_stream(spark, sf_dir).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts")).withWatermark("l_ts", OUTER_WM)
+    r = _event_stream(spark, sf_dir).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts")).withWatermark("r_ts", OUTER_WM)
+    j = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts")
+           + F.expr(f"INTERVAL {FOLLOW_SECONDS} SECONDS")),
+        "full_outer")
+    out = j.select(
+        F.coalesce("l_user", "r_user").alias("user_id"),
+        F.coalesce("l_id", F.lit(-1)).alias("l_id"),
+        F.coalesce("r_id", F.lit(-1)).alias("r_id"),
+        F.coalesce(F.col("r_ts").cast("long") - F.col("l_ts").cast("long"),
+                   F.lit(-1)).cast("long").alias("gap_sec"))
+    return _run_to_completion(out, "stream_full_outer_out", "append")
+
+
+ORACLE_STREAM_FULL_OUTER_JOIN = f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+wm AS (
+    SELECT (epoch_us(max(ts)) // 1000) * 1000
+           - {OUTER_WM_SECONDS} * 1000000 AS wm_us
+    FROM ev),
+m AS (
+    SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           CAST(floor(epoch(r.ts)) AS BIGINT)
+             - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
+    FROM ev l JOIN ev r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL {FOLLOW_SECONDS} SECONDS)
+SELECT user_id, l_id, r_id, gap_sec FROM m
+UNION ALL
+SELECT l.user_id, l.event_id, -1, CAST(-1 AS BIGINT)
+FROM ev l CROSS JOIN wm
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.l_id = l.event_id)
+  AND epoch_us(l.ts) + {FOLLOW_SECONDS} * 1000000 < wm.wm_us
+UNION ALL
+SELECT r.user_id, -1, r.event_id, CAST(-1 AS BIGINT)
+FROM ev r CROSS JOIN wm
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.r_id = r.event_id)
+  AND epoch_us(r.ts) < wm.wm_us
+"""
