@@ -1900,3 +1900,63 @@ SELECT coalesce(old.k, new.k) AS o_orderkey,
 FROM old FULL OUTER JOIN new ON old.k = new.k
 WHERE old.k IS NULL OR new.k IS NULL OR old.h <> new.h
 """
+
+
+# --- rolling trend slope (windowed least squares) -----------------------
+
+SLOPE_H = 24   # trailing points per fit
+
+# Least-squares slope over a FIXED trailing window has constant
+# x-weights: with x_k = -k (k = 0 newest), slope = sum_k m_k*y_{t-k}
+# / (2*D) where m_k = (H-1) - 2k (integers) and D = H(H^2-1)/12.
+# Everything stays integer until ONE final division — no quantization
+# needed at all.
+_SLOPE_M = [(SLOPE_H - 1) - 2 * k for k in range(SLOPE_H)]
+_SLOPE_2D = SLOPE_H * (SLOPE_H * SLOPE_H - 1) // 6
+_SLOPE_NUM = " + ".join(
+    [f"{_SLOPE_M[0]} * xm"]
+    + [f"({m}) * lag(xm, {k}, 0) {_EWMA_OVER}"
+       for k, m in enumerate(_SLOPE_M) if k > 0])
+
+
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type trend slope of the hourly series: ordinary least
+    squares over the trailing SLOPE_H observed points, emitted once a
+    full window exists — the trend feature ahead of forecasting or
+    alerting (CUSUM says "something shifted"; this says how fast).
+    Slope is per OBSERVED series step; compose with ``q_gap_fill``
+    first when calendar-hour slopes are needed.
+
+    Determinism is structural here: fixed x-positions make the fit a
+    constant INTEGER combination of the exact micro-unit values
+    (weights (H-1)-2k, denominator H(H²-1)/6·1e6), so both engines
+    compute identical integers and divide once."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.floor(F.col("value") * 1e6)).cast("long")
+                   .alias("xm")))
+    return (hourly.selectExpr(
+        "event_type", "hour",
+        f"row_number() {_EWMA_OVER} AS rn",
+        f"({_SLOPE_NUM}) AS num")
+        .filter(F.col("rn") >= SLOPE_H)
+        .selectExpr(
+            "event_type", "hour",
+            f"round(num / {_SLOPE_2D} / 1e6, 6) AS slope_per_step"))
+
+
+ORACLE_ROLLING_SLOPE = f"""
+WITH ev AS {EVENTS_US},
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS xm
+    FROM ev GROUP BY 1, 2),
+fitted AS (
+    SELECT event_type, hour,
+           row_number() {_EWMA_OVER} AS rn,
+           ({_SLOPE_NUM}) AS num
+    FROM hourly)
+SELECT event_type, hour, round(num / {_SLOPE_2D} / 1e6, 6) AS slope_per_step
+FROM fitted WHERE rn >= {SLOPE_H}
+"""

@@ -233,3 +233,28 @@ def test_sliding_distinct_counts_window_union(spark, tmp_path):
     out = sorted((r.hour, r.distinct_users_24h)
                  for r in q_sliding_distinct(spark, sf).collect())
     assert [n for _, n in out] == [1, 2, 2]
+
+
+def test_rolling_slope_recovers_linear_trend(spark, tmp_path):
+    """A perfectly linear hourly series (value = 5 + 0.25*t) must
+    yield slope exactly 0.25 at every full-window point, and no rows
+    before the window fills."""
+    import datetime
+
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        SLOPE_H, q_rolling_slope,
+    )
+
+    t0 = datetime.datetime(2024, 2, 1)
+    rows = [(i, t0 + datetime.timedelta(hours=i), 1, "t",
+             5.0 + 0.25 * i, "{}") for i in range(SLOPE_H + 6)]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = q_rolling_slope(spark, sf).collect()
+    assert len(out) == 7   # rows SLOPE_H .. SLOPE_H+6
+    assert all(r.slope_per_step == 0.25 for r in out), out
