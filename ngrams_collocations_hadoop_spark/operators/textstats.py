@@ -1691,3 +1691,87 @@ SELECT doc_id, n_chars_counted,
        round(CAST(se AS DOUBLE) / 1e12 / ln(2), 6) AS entropy_bits
 FROM ent
 """
+
+
+# --- Heaps' law fit (vocabulary growth exponent) ------------------------
+
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per language: regress ln(cumulative vocabulary)
+    on ln(cumulative tokens) as the corpus grows document by document
+    (doc_id order). Natural text gives β ≈ 0.5-0.8; β near 1 means
+    vocabulary grows as fast as the corpus (noise/IDs), β near 0 means
+    a closed template vocabulary — Zipf's companion corpus-health
+    signal (``q_zipf``), and the estimator for "how much new
+    vocabulary will 10× more data buy".
+
+    Shape: first occurrences are one (lang, word) min-aggregate; both
+    growth curves are per-lang prefix sums (partitioned windows); the
+    regression reuses the exact floor-quantized moment machinery from
+    the Zipf fit verbatim — per-lang constant output, never a
+    driver-side fit."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .withColumn("toks", F.split("text", " "))
+    per_doc = docs.select(
+        "lang", "doc_id", F.size("toks").alias("n_tok"))
+    first = (docs.select("lang", "doc_id",
+                         F.explode(F.array_distinct("toks")).alias("w"))
+             .groupBy("lang", "w").agg(F.min("doc_id").alias("fd"))
+             .groupBy("lang", F.col("fd").alias("doc_id"))
+             .agg(F.count(F.lit(1)).alias("new_words")))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pts = (per_doc.join(first, on=["lang", "doc_id"], how="left")
+           .withColumn("cum_tok", F.sum("n_tok").over(w))
+           .withColumn("cum_voc",
+                       F.sum(F.coalesce("new_words", F.lit(0))).over(w))
+           .selectExpr("lang", "ln(CAST(cum_tok AS DOUBLE)) AS x",
+                       "ln(CAST(cum_voc AS DOUBLE)) AS y"))
+
+    def q12(col: str):
+        return (F.sum(F.floor(F.expr(col) * F.lit(1e12))
+                      .cast("decimal(38,0)"))
+                .alias("s" + col.replace(" * ", "")))
+
+    mom = pts.groupBy("lang").agg(
+        q12("x"), q12("y"), q12("x * y"), q12("x * x"), q12("y * y"),
+        F.count(F.lit(1)).alias("n"))
+    return mom.selectExpr(
+        "lang", "CAST(n AS BIGINT) AS n_points",
+        f"round({_Z_SLOPE}, 6) AS heaps_beta",
+        f"round({_Z_INTERCEPT}, 6) AS intercept",
+        f"round({_Z_R2}, 6) AS r2")
+
+
+ORACLE_HEAPS = f"""
+WITH d AS (SELECT lang, doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+per_doc AS (SELECT lang, doc_id, len(toks) AS n_tok FROM d),
+first AS (
+    SELECT lang, fd AS doc_id, count(*) AS new_words
+    FROM (SELECT lang, w, min(doc_id) AS fd
+          FROM (SELECT lang, doc_id, unnest(list_distinct(toks)) AS w
+                FROM d)
+          GROUP BY lang, w)
+    GROUP BY lang, fd),
+pts AS (
+    SELECT lang,
+           ln(CAST(sum(n_tok) OVER lw AS DOUBLE)) AS x,
+           ln(CAST(sum(coalesce(new_words, 0)) OVER lw AS DOUBLE)) AS y
+    FROM per_doc LEFT JOIN first USING (lang, doc_id)
+    WINDOW lw AS (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+mom AS (
+    SELECT lang,
+           sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS sx,
+           sum(CAST(floor(y * 1e12) AS DECIMAL(38,0))) AS sy,
+           sum(CAST(floor(x * y * 1e12) AS DECIMAL(38,0))) AS sxy,
+           sum(CAST(floor(x * x * 1e12) AS DECIMAL(38,0))) AS sxx,
+           sum(CAST(floor(y * y * 1e12) AS DECIMAL(38,0))) AS syy,
+           count(*) AS n
+    FROM pts GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_points,
+       round({_Z_SLOPE}, 6) AS heaps_beta,
+       round({_Z_INTERCEPT}, 6) AS intercept,
+       round({_Z_R2}, 6) AS r2
+FROM mom
+"""

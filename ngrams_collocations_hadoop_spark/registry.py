@@ -47,13 +47,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # gap fill, bloom prefilter, zipf, KL drift, winnowing) +
 # 10 green-in-r01-only + 3 r02 refreshes. Accounting: every query
 # outside this window has a green row in r02 or r03, EXCEPT the
-# "(2b) post-window new" block right after the marker (24 queries:
+# "(2b) post-window new" block right after the marker (25 queries:
 # power iteration, EWMA, link prediction, stream outer join, SCD2,
 # k-core, PQ top-k + recall, PIT enrich, containment, sketch reagg,
 # CUSUM, weighted sample, retention cohorts, stream SCD2 enrich,
 # attribution, char entropy, ingest pipeline, sliding distinct,
 # profiler, snapshot diff, clustering coeff, full-outer stream
-# join, rolling slope): those were added after the window filled, have local
+# join, rolling slope, Heaps fit): those were added after the window filled, have local
 # strict-sweep + test evidence only (full strict local sweep green at
 # sf0.01), and are queued FIRST for the r05 window.
 QUERIES: dict[str, QueryFn] = {
@@ -137,6 +137,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,  # cc(v)
     "stream_full_outer_join": sw.q_stream_full_outer_join,  # both-side nulls
     "rel_rolling_slope": rel.q_rolling_slope,       # windowed OLS trend
+    "text_heaps": textstats.q_heaps,                # vocab growth exponent
     # --- (4) recent green rows, oldest evidence first ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
@@ -340,6 +341,7 @@ ORACLES: dict[str, str] = {
     "dedup_clustering_coeff": dedup.ORACLE_DEDUP_CLUSTERING_COEFF,
     "stream_full_outer_join": sw.ORACLE_STREAM_FULL_OUTER_JOIN,
     "rel_rolling_slope": rel.ORACLE_ROLLING_SLOPE,
+    "text_heaps": textstats.ORACLE_HEAPS,
     "text_curriculum_buckets": textstats.ORACLE_CURRICULUM_BUCKETS,
     "dedup_exact": dedup.ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": dedup.ORACLE_DEDUP_FINGERPRINT,
