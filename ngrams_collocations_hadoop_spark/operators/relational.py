@@ -1361,11 +1361,17 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the distinct types (both tiny); the LOCF window partitions
     by event_type (at 100 TB with unbounded history, partition by
     (type, coarse epoch) and stitch epoch boundaries with the same
-    prefix-offset trick as q_interval_overlap)."""
+    prefix-offset trick as q_interval_overlap).
+
+    Determinism: the hourly totals are exact integer micro-unit sums
+    (the ``q_ewma`` idiom) — a grouped DOUBLE sum is partial-agg-order
+    dependent and a round-to-4 boundary flip would flap the hashed
+    gate; the float is derived once, after the LOCF carry."""
     ev = _t(spark, sf_dir, "events")
     hourly = (ev.groupBy("event_type",
                          F.date_trunc("hour", "ts").alias("hour"))
-              .agg(F.round(F.sum("value"), 4).alias("v")))
+              .agg(F.sum(F.floor(F.col("value") * 1e6)).cast("long")
+                   .alias("vm")))
     bounds = ev.groupBy().agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"))
@@ -1376,10 +1382,12 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("event_type").orderBy("hour")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (spine.join(hourly, ["event_type", "hour"], "left")
-            .withColumn("filled", F.col("v").isNull())
+            .withColumn("filled", F.col("vm").isNull())
+            .withColumn("vm_ff",
+                        F.coalesce(F.last("vm", ignorenulls=True).over(w),
+                                   F.lit(0)))
             .select("event_type", "hour",
-                    F.coalesce(F.last("v", ignorenulls=True).over(w),
-                               F.lit(0.0)).alias("value_ff"),
+                    F.expr("round(vm_ff / 1e6, 6)").alias("value_ff"),
                     "filled"))
 
 
@@ -1387,7 +1395,7 @@ ORACLE_GAP_FILL = f"""
 WITH e AS (SELECT * FROM {EVENTS_US} AS t),
 hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS hour,
-           round(sum(value), 4) AS v
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS vm
     FROM e GROUP BY 1, 2),
 b AS (SELECT date_trunc('hour', min(ts)) AS h0,
              date_trunc('hour', max(ts)) AS h1 FROM e),
@@ -1395,14 +1403,17 @@ spine AS (
     SELECT t.event_type, h.hour
     FROM (SELECT DISTINCT event_type FROM e) t,
          (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-          FROM b) h)
-SELECT s.event_type, s.hour,
-       coalesce(last_value(v IGNORE NULLS) OVER (
-           PARTITION BY s.event_type ORDER BY s.hour
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
-           AS value_ff,
-       v IS NULL AS filled
-FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+          FROM b) h),
+ff AS (
+    SELECT s.event_type, s.hour,
+           coalesce(last_value(vm IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS vm_ff,
+           vm IS NULL AS filled
+    FROM spine s LEFT JOIN hourly h USING (event_type, hour))
+SELECT event_type, hour, round(vm_ff / 1e6, 6) AS value_ff, filled
+FROM ff
 """
 
 

@@ -827,7 +827,17 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated in DECIMAL(38,0), and the re-normalization divides by
     max(|w|) then by an integer-exact √norm², both as single derived
     float expressions with identical text in Spark and the unrolled
-    DuckDB oracle. Floats never accumulate; they are only derived."""
+    DuckDB oracle. Floats never accumulate; they are only derived.
+
+    Overflow headroom: the raw projection s is ≲ dim·|cq|·|vi| ≈ 1e20,
+    so sum(s·c) would clear DECIMAL(38,0) at ~1e9 rows (Spark nulls,
+    DuckDB raises — divergent failure modes). s is therefore floored
+    down by 1e10 (one shared-text derived expression — the same
+    round-to-nearest DOUBLE in both engines, so the same integer
+    everywhere) before the second pass: s·c stays ≤ ~3e19 and the
+    corpus sum fits DECIMAL(38,0) to ~4e18 rows. Direction is
+    unaffected — w is normalized by max|w| — and s keeps ~33 bits of
+    per-row precision, far beyond what 3 iterations resolve."""
     e = load_table(spark, sf_dir, "embeddings") \
         .select(F.col("embedding").cast("array<double>").alias("v"))
     # exact per-dimension mean: integer micro-sums + count
@@ -854,9 +864,10 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(POWER_ITERATIONS):
         s = (cq.crossJoin(F.broadcast(vi))
              .select("cq", F.expr(
-                 "aggregate(zip_with(cq, vi, (c, u) -> "
+                 "CAST(floor(CAST(aggregate(zip_with(cq, vi, (c, u) -> "
                  "CAST(c AS DECIMAL(38,0)) * u), "
-                 "CAST(0 AS DECIMAL(38,0)), (a, t) -> a + t)").alias("s")))
+                 "CAST(0 AS DECIMAL(38,0)), (a, t) -> a + t) AS DOUBLE) "
+                 "/ 1e10) AS DECIMAL(38,0))").alias("s")))
         w = (s.select(F.col("s"), F.posexplode("cq").alias("pos", "c"))
              .groupBy("pos")
              .agg(F.sum(F.col("s") * F.col("c")).alias("w")))
@@ -908,8 +919,10 @@ v0 AS (SELECT list_transform(range(1, {EMB_DIM} + 1),
     for t in range(POWER_ITERATIONS):
         body += f""",
 s{t} AS (
-    SELECT cq, list_sum(list_transform(range(1, len(cq) + 1),
-        i -> CAST(cq[i] AS HUGEINT) * vi[i])) AS s
+    SELECT cq, CAST(floor(CAST(list_sum(list_transform(
+        range(1, len(cq) + 1),
+        i -> CAST(cq[i] AS HUGEINT) * vi[i])) AS DOUBLE)
+        / 1e10) AS HUGEINT) AS s
     FROM cq CROSS JOIN {prev}),
 w{t} AS (
     SELECT CAST(i - 1 AS BIGINT) AS pos,

@@ -1605,16 +1605,19 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived 48-bit rational (never 0), pow/division are single
     fixed expressions shared with the oracle — no RNG state anywhere,
     so the sample is reproducible across runs and partitionings (the
-    property production resampling jobs need for audit). The raw pow()
-    key stays internal: Java Math.pow is only 1-ulp-accurate vs
-    libm's correctly-rounded pow, so the hashed output carries the
-    SELECTION (ids + ranks), not the float key — a 1-ulp flip could
-    move a rounded key but is vanishingly unlikely to reorder two
-    keys, whose gaps are ~1/n, not ~ulp."""
+    property production resampling jobs need for audit). The ranking
+    key is the QUANTIZED log-key floor(ln(u)/w * 1e15) — u^(1/w) DESC
+    and ln(u)/w DESC are the same order (ln is monotone), but the
+    integer form sidesteps Java Math.pow's 2-ulp slack vs libm's
+    correctly-rounded pow: near-ties collapse onto EQUAL integers and
+    break by doc_id identically in both engines (key gaps are ~1/n on
+    the u scale, ≫ the 1e-15 grid, so a 1-ulp ln flip at a floor
+    boundary cannot reorder distinct keys)."""
     docs = load_table(spark, sf_dir, "documents")
     u = ("((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), "
          "16, 10) AS BIGINT) + 1) / CAST(281474976710656 AS DOUBLE))")
-    key = f"pow({u}, 1.0 / CAST(n_chars AS DOUBLE))"
+    key = (f"CAST(floor(ln({u}) / CAST(n_chars AS DOUBLE) * 1e15) "
+           "AS BIGINT)")
     w = Window.partitionBy("lang").orderBy(
         F.desc("key"), F.asc("doc_id"))
     return (docs.withColumn("key", F.expr(key))
@@ -1627,9 +1630,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WEIGHTED_SAMPLE = f"""
 WITH keyed AS (
     SELECT lang, doc_id, n_chars,
-           pow(((('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT
-                 + 1) / CAST(281474976710656 AS DOUBLE)),
-               1.0 / CAST(n_chars AS DOUBLE)) AS key
+           CAST(floor(
+               ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                   + 1) / CAST(281474976710656 AS DOUBLE))
+               / CAST(n_chars AS DOUBLE) * 1e15) AS BIGINT) AS key
     FROM documents),
 ranked AS (
     SELECT lang, doc_id, n_chars, key,

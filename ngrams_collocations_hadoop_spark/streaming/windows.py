@@ -740,10 +740,13 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rights (no predecessor within the window) surface as null-extended
     rows once the watermark proves their partner cannot arrive. The
     eviction bounds differ per side and the oracle reproduces both:
-    a LEFT row waits until wm > l_ts + follow (a matching right could
-    be up to follow later), while a RIGHT row is safe as soon as
-    wm reaches r_ts (its matches are strictly EARLIER events, which
-    the watermark already excludes). Same ms-floored end-of-stream
+    a LEFT row waits until wm > l_ts + follow, STRICTLY (a matching
+    right could be up to follow later), while a RIGHT row is safe as
+    soon as wm REACHES r_ts — emit iff r_ts <= wm, non-strict (its
+    matches are strictly EARLIER events, which the watermark already
+    excludes). Both boundaries are pinned at exact equality by
+    crafted-fixture tests (``test_stream_full_outer_right_eviction_
+    boundary`` probes wm and wm+1ms). Same ms-floored end-of-stream
     watermark and -1 sentinels as ``q_stream_outer_join``."""
     l = _event_stream(spark, sf_dir).select(
         F.col("user_id").alias("l_user"),
@@ -793,5 +796,5 @@ UNION ALL
 SELECT r.user_id, -1, r.event_id, CAST(-1 AS BIGINT)
 FROM ev r CROSS JOIN wm
 WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.r_id = r.event_id)
-  AND epoch_us(r.ts) < wm.wm_us
+  AND epoch_us(r.ts) <= wm.wm_us
 """

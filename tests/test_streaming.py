@@ -208,3 +208,57 @@ def test_stream_outer_join_withholds_young_unmatched(spark, tmp_path):
     assert (4, -1) not in out
     assert (5, -1) not in out
     assert len(out) == 3
+
+
+def test_stream_full_outer_right_eviction_boundary(spark, tmp_path):
+    """Pins the RIGHT-side withhold/emit boundary of the FULL OUTER
+    interval join (the left side is pinned by the test above): an
+    orphan right event emits its null-extended row iff r_ts <= final
+    watermark, NON-strict (probed empirically: exactly-at-wm emits,
+    wm+1ms is withheld) — one probe sits exactly AT the watermark
+    (must emit) and one 1 ms above it (must stay withheld). A Spark
+    minor-version change in eviction strictness fails here first,
+    instead of surfacing as an unexplained sweep mismatch."""
+    import datetime
+
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        q_stream_full_outer_join,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes, ms=0):
+        return (eid,
+                t0 + datetime.timedelta(minutes=minutes, milliseconds=ms),
+                user, "click", 1.0, "{}")
+
+    # watermark = max ts (65m) - 15m delay = 50m; follow window = 10m
+    rows = [
+        ev(1, 100, 0),    # orphan both ways; old -> both null rows emit
+        ev(2, 200, 5),    # matched pair as LEFT of (2,3); as RIGHT it
+                          #   has no predecessor -> also a right orphan
+        ev(3, 200, 10),
+        ev(4, 600, 49),   # right orphan just below wm -> must emit
+        ev(5, 700, 50),   # right orphan exactly AT wm -> emits (<=)
+        ev(7, 900, 50, 1),  # right orphan at wm + 1ms -> withheld
+        ev(6, 800, 65),   # max ts; drives the watermark; withheld
+    ]
+    import pandas as pd
+
+    sf = str(tmp_path)
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = {(r.l_id, r.r_id)
+           for r in q_stream_full_outer_join(spark, sf).collect()}
+    assert (2, 3) in out            # the matched pair
+    assert (1, -1) in out           # left-null: 0m + 10m < 50m
+    assert (3, -1) in out           # left-null: 10m + 10m < 50m
+    assert (-1, 1) in out           # right orphan, 0m < 50m
+    assert (-1, 2) in out           # right orphan, 5m < 50m
+    assert (-1, 4) in out           # below wm -> emits
+    assert (-1, 5) in out           # boundary probe: 50m == wm -> emits
+    assert (-1, 7) not in out       # boundary probe: wm + 1ms -> held
+    assert (-1, 6) not in out       # young; withheld
+    assert len(out) == 7
