@@ -77,16 +77,20 @@ def clean_unigrams(uni_raw: DataFrame, stop: DataFrame) -> DataFrame:
     return cleaned.join(F.broadcast(stop), on=["lang", "word"], how="left_anti")
 
 
-def clean_bigrams(big_raw: DataFrame, stop: DataFrame) -> DataFrame:
+def clean_bigrams(big_raw: DataFrame, stop: DataFrame,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """(lang, token1, token2, year, occurrences) -> (lang, decade, w1, w2, occ).
 
     A bigram is dropped when EITHER side cleans to empty or is a stopword
-    for the record's language (reference Job1.java:189).
+    for the record's language (reference Job1.java:189). ``carry`` names
+    extra input columns to pass through untouched (the quirk surface
+    carries ``doc_id`` as its map-task surrogate).
     """
     cleaned = (
         big_raw
         .filter(F.col("occurrences") > 0)
         .select(
+            *carry,
             "lang",
             decade(F.col("year")).alias("decade"),
             clean_token(F.col("token1")).alias("w1"),
@@ -163,6 +167,51 @@ def totals_quirk(c1_df: DataFrame,
     partials = (c1_df.withColumn(
                     "_rid", F.pmod(F.xxhash64("lang", "decade", "word"),
                                    F.lit(reducers)))
+                .groupBy("lang", "decade", "_rid")
+                .agg(F.sum("c1").alias("n_partial")))
+    w = Window.partitionBy("lang", "decade").orderBy(F.desc("_rid"))
+    return (partials.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("lang", "decade",
+                    F.col("n_partial").alias("n_total")))
+
+
+# --- deterministic quirk surface (driver-adjudicable bit-parity) ---------
+#
+# The spark_partition_id / xxhash64 forms above reproduce the bugs
+# faithfully but are partitioning- or engine-dependent — fine for the
+# in-session parity tests, unusable under the driver's cross-engine
+# hash gate. These twins emulate the same two bug CLASSES with
+# content-derived surrogates both engines can compute identically:
+# a map task = a doc_id block (input splits are contiguous record
+# blocks), a reducer id = an md5 bucket of the reduce key (standing in
+# for Hadoop's HashPartitioner).
+
+QUIRK_MAPTASKS = 4   # input-split count surrogate for quirk 1
+
+_QUIRK_RID_SQL = (f"CAST(conv(substring(md5(concat(lang, '|', "
+                  f"CAST(decade AS STRING), '|', word)), 1, 4), 16, 10) "
+                  f"AS BIGINT) % {QUIRK_REDUCERS}")
+
+
+def bigram_counts_quirk_det(big_with_doc: DataFrame) -> DataFrame:
+    """Quirk 1 (Job1.java:282-292) with a deterministic map-task
+    surrogate: fragment each bigram's c12 per doc_id block instead of
+    per physical input partition — same fragmentation semantics (rows
+    of one bigram spanning blocks never re-sum), reproducible in SQL."""
+    return (big_with_doc
+            .withColumn("_maptask", F.col("doc_id") % QUIRK_MAPTASKS)
+            .groupBy("lang", "decade", "w1", "w2", "_maptask")
+            .agg(F.sum("occ").alias("c12"))
+            .drop("_maptask"))
+
+
+def totals_quirk_det(c1_df: DataFrame) -> DataFrame:
+    """Quirk 2 (Job2.java:185) with a deterministic reducer surrogate:
+    bucket words by an md5 hash of the reduce key, sum c1 per bucket,
+    keep the highest bucket id present per (lang, decade) — the
+    last-cache-file-wins overwrite, reproducible in both engines."""
+    partials = (c1_df.withColumn("_rid", F.expr(_QUIRK_RID_SQL))
                 .groupBy("lang", "decade", "_rid")
                 .agg(F.sum("c1").alias("n_partial")))
     w = Window.partitionBy("lang", "decade").orderBy(F.desc("_rid"))
@@ -283,6 +332,30 @@ def q_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K,
            quirk_mode: bool = False) -> DataFrame:
     return top_collocations(q_scored(spark, sf_dir,
                                      quirk_mode=quirk_mode), k)
+
+
+def q_topk_quirk(spark: SparkSession, sf_dir: str,
+                 k: int = TOP_K) -> DataFrame:
+    """The flagship Top-K under DETERMINISTIC quirk emulation — the
+    driver-adjudicable form of the reference's two bugs (SURVEY.md §4):
+    fragmented per-map-task c12 partials (quirk 1, map task = doc_id
+    block) and a single-reducer N (quirk 2, reducer = md5 bucket of
+    the reduce key, last file wins). The output projection (lang,
+    decade, bigram, llr, rank) collapses fragment identity: fragments
+    of one bigram that round to the same llr yield IDENTICAL output
+    rows, so rank assignment among them cannot flap the hash.
+
+    ``q_topk(quirk_mode=True)`` remains the physically-faithful form
+    (real input partitions via spark_partition_id); this one trades
+    that fidelity for a cross-engine-reproducible surrogate."""
+    stop = stopwords_df(spark)
+    uni = clean_unigrams(unigram_records(spark, sf_dir), stop)
+    big = clean_bigrams(bigram_records(spark, sf_dir, keep_doc=True),
+                        stop, carry=("doc_id",))
+    c1_df = unigram_counts(uni)
+    scored = score_collocations(bigram_counts_quirk_det(big), c1_df,
+                                totals_quirk_det(c1_df))
+    return top_collocations(scored, k)
 
 
 def q_hebrew_topk(spark: SparkSession, sf_dir: str,

@@ -24,14 +24,52 @@ from .sources.ngram_source import (
 
 
 def ngram_ctes(uni_sql: str = UNIGRAM_RECORDS_SQL,
-               big_sql: str = BIGRAM_RECORDS_SQL) -> str:
+               big_sql: str = BIGRAM_RECORDS_SQL,
+               quirk: bool = False) -> str:
     """The shared WITH-clause body for all collocation-pipeline oracles:
     raw records -> cleaned/filtered streams -> counts -> scored. The
     record-source CTEs are parameterizable (the Hebrew variant swaps in
-    the transliterated corpus; everything downstream is identical)."""
+    the transliterated corpus; everything downstream is identical).
+    ``quirk=True`` swaps c12/totals for the deterministic quirk
+    emulation (fragmented per-doc-block c12, last-md5-bucket-wins N —
+    ``operators.collocations.bigram_counts_quirk_det`` /
+    ``totals_quirk_det``); big_sql must then carry doc_id."""
     uni_word = clean_token_sql("token")
     w1 = clean_token_sql("token1")
     w2 = clean_token_sql("token2")
+    big_doc = "b.doc_id, " if quirk else ""
+    raw_doc = "doc_id, " if quirk else ""
+    if quirk:
+        from .operators.collocations import QUIRK_MAPTASKS, QUIRK_REDUCERS
+        c12_cte = f"""c12 AS (
+    SELECT lang, decade, w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+    FROM big GROUP BY lang, decade, w1, w2, doc_id % {QUIRK_MAPTASKS}
+),"""
+        totals_cte = f"""totals AS (
+    SELECT lang, decade, CAST(n_partial AS BIGINT) AS n_total
+    FROM (
+        SELECT lang, decade, n_partial,
+               row_number() OVER (PARTITION BY lang, decade
+                                  ORDER BY rid DESC) AS rn
+        FROM (
+            SELECT lang, decade,
+                   ('0x' || substring(md5(lang || '|' ||
+                        CAST(decade AS VARCHAR) || '|' || word),
+                        1, 4))::BIGINT % {QUIRK_REDUCERS} AS rid,
+                   sum(c1) AS n_partial
+            FROM c1 GROUP BY 1, 2, 3
+        ) p
+    ) r WHERE rn = 1
+),"""
+    else:
+        c12_cte = """c12 AS (
+    SELECT lang, decade, w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+    FROM big GROUP BY lang, decade, w1, w2
+),"""
+        totals_cte = """totals AS (
+    SELECT lang, decade, CAST(sum(occ) AS BIGINT) AS n_total
+    FROM uni GROUP BY lang, decade
+),"""
     return f"""
 uni_raw AS ({uni_sql}),
 big_raw AS ({big_sql}),
@@ -49,9 +87,9 @@ uni AS (
                       WHERE s.lang = u.lang AND s.word = u.word)
 ),
 big AS (
-    SELECT b.lang, b.decade, b.w1, b.w2, b.occ
+    SELECT {big_doc}b.lang, b.decade, b.w1, b.w2, b.occ
     FROM (
-        SELECT lang, {decade_sql('year')} AS decade,
+        SELECT {raw_doc}lang, {decade_sql('year')} AS decade,
                {w1} AS w1, {w2} AS w2,
                CAST(occurrences AS BIGINT) AS occ
         FROM big_raw WHERE occurrences > 0
@@ -66,14 +104,8 @@ c1 AS (
     SELECT lang, decade, word, CAST(sum(occ) AS BIGINT) AS c1
     FROM uni GROUP BY lang, decade, word
 ),
-c12 AS (
-    SELECT lang, decade, w1, w2, CAST(sum(occ) AS BIGINT) AS c12
-    FROM big GROUP BY lang, decade, w1, w2
-),
-totals AS (
-    SELECT lang, decade, CAST(sum(occ) AS BIGINT) AS n_total
-    FROM uni GROUP BY lang, decade
-),
+{c12_cte}
+{totals_cte}
 scored AS (
     SELECT *
     FROM (
@@ -179,6 +211,15 @@ ranked AS (
 )
 SELECT lang, decade, bigram, llr, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def colloc_topk_quirk_sql(k: int = TOP_K) -> str:
+    """The flagship oracle under deterministic quirk emulation:
+    identical pipeline SQL with the c12/totals CTEs swapped for the
+    fragmented-partial / last-bucket-wins forms (bigram records carry
+    doc_id so the map-task surrogate is computable)."""
+    return colloc_topk_sql(k, ngram_ctes(
+        big_sql=bigram_records_sql(keep_doc=True), quirk=True))
 
 
 def colloc_hebrew_topk_sql(k: int = TOP_K) -> str:

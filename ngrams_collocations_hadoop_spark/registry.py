@@ -30,90 +30,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ordered by adjudication need, not by topic:
 #   1. queries whose implementation changed this round (need a fresh row);
 #   2. queries new this round;
-#   3. queries whose newest green row is the OLDEST (refresh rotation) —
-#      fill the remaining window slots with these;
-#   4. everything with a recent green row goes behind the window, oldest
-#      evidence first, so the next rotation pulls from the front of the
-#      tail.
-# r04 window: 13 changed (covariance determinism fix; equi-depth
-# de-risk; shingle guard -> dup_spans/contamination; resize oracle ->
-# mm_resize; connected-components fix -> components/keep_one/pipeline;
-# quirk-mode plumbing -> colloc_scored/topk; _kmeans_assign refactor ->
-# sim_kmeans_step) + 24 new (span positions/
-# removal, merge sink, incremental LSH, filtered ANN, group sample,
-# components-star, IVF recall, semantic dedup, DSIR weights, shard
-# assign, BPE pairs, MAD outliers, stream top-k, CDC chunks,
-# LP communities, export manifest, grouping sets, interval overlap,
-# gap fill, bloom prefilter, zipf, KL drift, winnowing) +
-# 10 green-in-r01-only + 3 r02 refreshes. Accounting: every query
-# outside this window has a green row in r02 or r03, EXCEPT the
-# "(2b) post-window new" block right after the marker (25 queries:
-# power iteration, EWMA, link prediction, stream outer join, SCD2,
-# k-core, PQ top-k + recall, PIT enrich, containment, sketch reagg,
-# CUSUM, weighted sample, retention cohorts, stream SCD2 enrich,
-# attribution, char entropy, ingest pipeline, sliding distinct,
-# profiler, snapshot diff, clustering coeff, full-outer stream
-# join, rolling slope, Heaps fit): those were added after the window filled, have local
-# strict-sweep + test evidence only (full strict local sweep green at
-# sf0.01), and are queued FIRST for the r05 window.
+#   3. queries with NO official row in any round, then queries whose
+#      newest green row is the OLDEST (refresh rotation) — fill the
+#      remaining window slots with these;
+#   4. everything else behind the window, oldest evidence first, so the
+#      next rotation pulls from the front of the tail.
+# r05 window: 4 changed (gap_fill micro-unit sums; weighted-sample
+# quantized key; power-iteration overflow rescale; full-outer stream
+# join oracle boundary fix) + 2 new (persisted bucketed LSH index,
+# deterministic quirk-mode top-k) + the 22 remaining never-adjudicated
+# "(2b)" queries from r04's accounting + the 20 stalest r02-green rows
+# + the 2 stateful streaming queries (r03; verdict item #7).
+# Accounting after r05: NO query remains unadjudicated; behind the
+# window sit 23 r02-green rows (the refresh queue head for r06 —
+# colloc_topk_sql .. rel_set_ops), then 39 r03-green, then 49
+# r04-green. The registry (161) spans >3 windows, so the r06 window
+# should be ~23 r02 + the stalest r03 block unless implementations
+# change.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
-    "sim_embedding_covariance": similarity.q_embedding_covariance,
-    "rel_equidepth_histogram": rel.q_equidepth_histogram,
-    "text_dup_spans": textstats.q_dup_spans,        # cross-doc span duplication
-    "text_contamination": textstats.q_contamination,
-    "mm_resize": multimodal.q_mm_resize,            # downsample via mapInPandas
-    "dedup_components": dedup.q_dedup_components,
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,
-    "dedup_keep_one": dedup.q_dedup_keep_one,
-    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
-    "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
-    "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
-    "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
-    "sim_kmeans_step": similarity.q_kmeans_step,    # _kmeans_assign refactor
-    # --- (2) new this round ---
-    "text_dup_span_positions": textstats.q_dup_span_positions,  # span intervals
-    "text_dup_span_removal": textstats.q_dup_span_removal,  # the removal pass
-    "stream_merge_sink": sw.q_stream_merge_sink,    # foreachBatch upsert table
-    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,  # batch-vs-index
-    "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,  # hybrid
-    "text_group_sample": textstats.q_group_sample,  # exactly-k per stratum
-    "dedup_components_star": dedup.q_dedup_components_star,  # star contraction
-    "sim_ivf_recall": similarity.q_sim_ivf_recall,  # honest IVF recall row
-    "dedup_semantic": similarity.q_dedup_semantic,  # SemDeDup within clusters
-    "text_dsir_weights": textstats.q_dsir_weights,  # importance resampling
-    "text_shard_assign": textstats.q_shard_assign,  # training-export layout
-    "text_bpe_pairs": textstats.q_bpe_pairs,        # BPE merge-step counts
-    "rel_mad_outliers": rel.q_mad_outliers,         # robust outlier profile
-    "stream_window_topk": sw.q_stream_window_topk,  # streaming leaderboard
-    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,   # content-defined chunks
-    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,  # label prop
-    "pipeline_export": pipeline.q_export_manifest,  # dsir->shard->manifest
-    "rel_grouping_sets": rel.q_grouping_sets,       # explicit set algebra
-    "rel_interval_overlap": rel.q_interval_overlap,  # sweep-line prefix sum
     "rel_gap_fill": rel.q_gap_fill,                 # densify + LOCF
-    "rel_bloom_prefilter": skew.q_bloom_prefilter,  # runtime-filter join
-    "text_zipf": textstats.q_zipf,                  # power-law corpus health
-    "text_kl_drift": textstats.q_kl_drift,          # split distribution shift
-    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,  # MOSS
-    # --- (3) newest green row is r01 (stalest official evidence) ---
-    "text_token_positions": textstats.q_token_positions,
-    "dedup_exact": dedup.q_dedup_exact,
-    "dedup_fingerprint": dedup.q_dedup_fingerprint,
-    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
-    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
-    "sim_cosine_topk": similarity.q_cosine_topk,
-    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
-    "sim_label_centroids": similarity.q_label_centroids,
-    "text_bm25": textstats.q_bm25,
-    "text_token_count": textstats.q_token_count,
-    # --- (3) newest green row is r02 — first 3 of the refresh queue ---
-    "colloc_unigram_counts": co.q_unigram_counts,   # A2 (+P1-P6, J4)
-    "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
-    "colloc_totals": co.q_totals,                   # A4
-    # ================= end of the 50-query r04 window =================
-    # --- (2b) new post-window (judge-sweep only; first in line for r05) ---
+    "text_weighted_sample": textstats.q_weighted_sample,  # A-ES priorities
     "sim_power_iteration": similarity.q_power_iteration,  # PCA top component
+    "stream_full_outer_join": sw.q_stream_full_outer_join,  # both-side nulls
+    # --- (2) new this round ---
+    "dedup_persisted_lsh": dedup.q_dedup_persisted_lsh,  # bucketed index lifecycle
+    "colloc_topk_quirk": co.q_topk_quirk,           # deterministic bit-parity
+    # --- (3a) never officially adjudicated (r04 "(2b)" block) ---
     "rel_ewma": rel.q_ewma,                         # exact windowed smoothing
     "dedup_link_prediction": dedup.q_dedup_link_prediction,  # AA missed-pair triage
     "stream_outer_join": sw.q_stream_outer_join,    # null-emitting eviction
@@ -125,20 +68,43 @@ QUERIES: dict[str, QueryFn] = {
     "text_containment": textstats.q_containment,    # overlap coeff pairs
     "rel_sketch_reagg": rel.q_sketch_reagg,         # HLL union rollup
     "rel_cusum": rel.q_cusum,                       # change-point detector
-    "text_weighted_sample": textstats.q_weighted_sample,  # A-ES priorities
     "rel_retention_cohorts": rel.q_retention_cohorts,  # cohort matrix
     "stream_scd2_enrich": sw.q_stream_scd2_enrich,  # versioned-dim join
     "rel_attribution": asof.q_attribution,          # last-touch credit
     "text_char_entropy": textstats.q_char_entropy,  # gibberish detector
     "pipeline_ingest": pipeline.q_ingest_pipeline,  # incremental crawl
-    "rel_sliding_distinct": rel.q_sliding_distinct,  # window set-union count
+    "rel_sliding_distinct": rel.q_sliding_distinct, # window set-union count
     "rel_profile": rel.q_profile,                   # one-pass ingest gate
     "rel_snapshot_diff": rel.q_snapshot_diff,       # CDC table compare
     "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,  # cc(v)
-    "stream_full_outer_join": sw.q_stream_full_outer_join,  # both-side nulls
     "rel_rolling_slope": rel.q_rolling_slope,       # windowed OLS trend
     "text_heaps": textstats.q_heaps,                # vocab growth exponent
-    # --- (4) recent green rows, oldest evidence first ---
+    # --- (3b) newest green row is r02 (stalest official evidence) ---
+    "rel_json_extract": rel.q_json_extract,
+    "rel_tumbling_window": rel.q_tumbling_window,
+    "rel_sliding_window": rel.q_sliding_window,
+    "rel_sessionize": rel.q_sessionize,
+    "rel_asof_join": asof.q_asof_events_orders,
+    "rel_range_join": interval.q_range_join,
+    "rel_hypertable_rollup": interval.q_hypertable_rollup,
+    "rel_date_math": rel.q_date_math,
+    "rel_string_funcs": rel.q_string_funcs,
+    "rel_merge_upsert": mg.q_merge_upsert,
+    "rel_scalar_subquery": rel.q_scalar_subquery,
+    "rel_global_sort": rel.q_global_sort,
+    "rel_window_range": rel.q_window_range,         # time-RANGE frame
+    "rel_funnel": rel.q_funnel,                     # staged min-ts cascade
+    "rel_anomaly_zscore": rel.q_anomaly_zscore,
+    "rel_event_transitions": rel.q_event_transitions,  # Markov matrix
+    "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
+    "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
+    "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
+    "rel_window_firstlast": rel.q_window_firstlast, # --- (4) newest green row is r03 ---
+    # --- (3c) stateful streaming refresh (r03; VERDICT r04 item #7) ---
+    "stream_stateful_totals": sw.q_stream_stateful_totals,
+    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
+    # ================= end of the 50-query r05 window =================
+    # --- (4) newest green row is r02 — refresh queue head for r06 ---
     "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
     "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
     "colloc_pmi_topk": ng.q_pmi_topk,
@@ -161,31 +127,10 @@ QUERIES: dict[str, QueryFn] = {
     "rel_window_running": rel.q_window_running,
     "rel_window_ranks": rel.q_window_ranks,
     "rel_corr_stats": rel.q_corr_stats,
-    "rel_set_ops": rel.q_set_ops,
-    # --- (4) newest green row is r02 — next in the refresh queue (r05) ---
-    "rel_json_extract": rel.q_json_extract,
-    "rel_tumbling_window": rel.q_tumbling_window,
-    "rel_sliding_window": rel.q_sliding_window,
-    "rel_sessionize": rel.q_sessionize,
-    "rel_asof_join": asof.q_asof_events_orders,
-    "rel_range_join": interval.q_range_join,
-    "rel_hypertable_rollup": interval.q_hypertable_rollup,
-    "rel_date_math": rel.q_date_math,
-    "rel_string_funcs": rel.q_string_funcs,
-    "rel_merge_upsert": mg.q_merge_upsert,
-    "rel_scalar_subquery": rel.q_scalar_subquery,
-    "rel_global_sort": rel.q_global_sort,
-    "rel_window_range": rel.q_window_range,         # time-RANGE frame
-    "rel_funnel": rel.q_funnel,                     # staged min-ts cascade
-    "rel_anomaly_zscore": rel.q_anomaly_zscore,
-    "rel_event_transitions": rel.q_event_transitions,  # Markov matrix
-    "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
-    "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
-    "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
-    "rel_window_firstlast": rel.q_window_firstlast,
+    "rel_set_ops": rel.q_set_ops,                   # --- (4) newest green row is r02 — next in the refresh queue (r05) ---
     # --- (4) newest green row is r03 ---
     "rel_string_agg": rel.q_string_agg,
-    "rel_incremental_agg": rel.q_incremental_agg,  # mergeable-state rollup
+    "rel_incremental_agg": rel.q_incremental_agg,   # mergeable-state rollup
     "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
     "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
     "rel_approx_sketches": rel.q_approx_sketches,
@@ -217,18 +162,67 @@ QUERIES: dict[str, QueryFn] = {
     "mm_frame_sample": multimodal.q_mm_frame_sample,
     "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
     "colloc_hebrew_topk": co.q_hebrew_topk,         # second-corpus (RTL) parity
-    # Structured Streaming (run to completion via AvailableNow)
     "stream_tumbling": sw.q_stream_tumbling,
     "stream_session": sw.q_stream_session,
-    "stream_stateful_totals": sw.q_stream_stateful_totals,
     "stream_dedup": sw.q_stream_dedup,
     "stream_sliding": sw.q_stream_sliding,
     "stream_enrich": sw.q_stream_enrich,
     "stream_pair_join": sw.q_stream_pair_join,
-    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
+    # --- (4) newest green row is r04 ---
+    "sim_embedding_covariance": similarity.q_embedding_covariance,
+    "rel_equidepth_histogram": rel.q_equidepth_histogram,
+    "text_dup_spans": textstats.q_dup_spans,        # cross-doc span duplication
+    "text_contamination": textstats.q_contamination,
+    "mm_resize": multimodal.q_mm_resize,            # downsample via mapInPandas
+    "dedup_components": dedup.q_dedup_components,
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
+    "dedup_keep_one": dedup.q_dedup_keep_one,
+    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
+    "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
+    "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
+    "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
+    "sim_kmeans_step": similarity.q_kmeans_step,    # _kmeans_assign refactor
+    "text_dup_span_positions": textstats.q_dup_span_positions,  # span intervals
+    "text_dup_span_removal": textstats.q_dup_span_removal,  # the removal pass
+    "stream_merge_sink": sw.q_stream_merge_sink,    # foreachBatch upsert table
+    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,  # batch-vs-index
+    "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,  # hybrid
+    "text_group_sample": textstats.q_group_sample,  # exactly-k per stratum
+    "dedup_components_star": dedup.q_dedup_components_star,  # star contraction
+    "sim_ivf_recall": similarity.q_sim_ivf_recall,  # honest IVF recall row
+    "dedup_semantic": similarity.q_dedup_semantic,  # SemDeDup within clusters
+    "text_dsir_weights": textstats.q_dsir_weights,  # importance resampling
+    "text_shard_assign": textstats.q_shard_assign,  # training-export layout
+    "text_bpe_pairs": textstats.q_bpe_pairs,        # BPE merge-step counts
+    "rel_mad_outliers": rel.q_mad_outliers,         # robust outlier profile
+    "stream_window_topk": sw.q_stream_window_topk,  # streaming leaderboard
+    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,   # content-defined chunks
+    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,  # label prop
+    "pipeline_export": pipeline.q_export_manifest,  # dsir->shard->manifest
+    "rel_grouping_sets": rel.q_grouping_sets,       # explicit set algebra
+    "rel_interval_overlap": rel.q_interval_overlap, # sweep-line prefix sum
+    "rel_bloom_prefilter": skew.q_bloom_prefilter,  # runtime-filter join
+    "text_zipf": textstats.q_zipf,                  # power-law corpus health
+    "text_kl_drift": textstats.q_kl_drift,          # split distribution shift
+    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,  # MOSS
+    "text_token_positions": textstats.q_token_positions,
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_fingerprint": dedup.q_dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
+    "sim_cosine_topk": similarity.q_cosine_topk,
+    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
+    "sim_label_centroids": similarity.q_label_centroids,
+    "text_bm25": textstats.q_bm25,
+    "text_token_count": textstats.q_token_count,    # --- (3) newest green row is r02 — first 3 of the refresh queue ---
+    "colloc_unigram_counts": co.q_unigram_counts,   # A2 (+P1-P6, J4)
+    "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
+    "colloc_totals": co.q_totals,                   # A4
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,
+    "colloc_topk_quirk": oracle.colloc_topk_quirk_sql(),
     "colloc_unigram_counts": oracle.colloc_unigram_counts_sql(),
     "colloc_bigram_counts": oracle.colloc_bigram_counts_sql(),
     "colloc_totals": oracle.colloc_totals_sql(),

@@ -74,21 +74,25 @@ def hebrew_unigram_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_records(spark: SparkSession, sf_dir: str,
                    text_sql: str = "text",
                    lang_sql: str = "lang",
-                   where_sql: str = "TRUE") -> DataFrame:
+                   where_sql: str = "TRUE",
+                   keep_doc: bool = False) -> DataFrame:
     """(lang, token1, token2, year, occurrences) — adjacent pairs.
 
     `transform` over a slice pairs ts[i] with ts[i+1] entirely JVM-side
     (Spark SQL array subscripts are 0-based); single-token documents
-    produce no pairs.
-    """
+    produce no pairs. ``keep_doc=True`` carries the source ``doc_id``
+    (the deterministic map-task surrogate of the quirk-emulation
+    surface needs it)."""
     pairs = F.expr(
         "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
         "(x, i) -> struct(x AS token1, ts[i + 1] AS token2))"
     )
+    extra = ["doc_id"] if keep_doc else []
     return (
         _docs_with_tokens(spark, sf_dir, text_sql, lang_sql, where_sql)
-        .select("lang", "year", "occurrences", F.explode(pairs).alias("bg"))
-        .select("lang", F.col("bg.token1").alias("token1"),
+        .select(*extra, "lang", "year", "occurrences",
+                F.explode(pairs).alias("bg"))
+        .select(*extra, "lang", F.col("bg.token1").alias("token1"),
                 F.col("bg.token2").alias("token2"), "year", "occurrences")
     )
 
@@ -115,15 +119,19 @@ def unigram_records_sql(text_sql: str = "text",
 
 def bigram_records_sql(text_sql: str = "text",
                        lang_sql: str = "lang",
-                       where_sql: str = "TRUE") -> str:
+                       where_sql: str = "TRUE",
+                       keep_doc: bool = False) -> str:
+    doc_col = "doc_id," if keep_doc else ""
     return f"""
-    SELECT lang,
+    SELECT {doc_col}
+           lang,
            ts[i] AS token1,
            ts[i + 1] AS token2,
            year,
            occurrences
     FROM (
-        SELECT {lang_sql} AS lang,
+        SELECT doc_id,
+               {lang_sql} AS lang,
                CAST(2000 + doc_id % 30 AS BIGINT) AS year,
                CAST(1 + doc_id % 5 AS BIGINT) AS occurrences,
                string_split({text_sql}, ' ') AS ts

@@ -230,3 +230,24 @@ def test_hebrew_stopwords_are_transliterated_core(spark):
     assert to_hebrew("a1-b2") != "a1-b2"
     assert all(ch not in "abcdefghijklmnopqrstuvwxyz"
                for ch in to_hebrew("abcdefghijklmnopqrstuvwxyz"))
+
+
+def test_deterministic_quirk_topk_diverges_and_is_stable(spark):
+    """The driver-adjudicable quirk surface (doc-block map tasks +
+    md5-bucket reducers) must (a) diverge from the exact flagship the
+    way the reference's bugs do — same bigrams, perturbed llr — and
+    (b) be bit-stable across runs and partitionings (unlike the
+    spark_partition_id form, which is physical-layout-dependent)."""
+    from .conftest import SF_SMALL
+
+    exact = {(r.lang, r.decade, r.bigram): r.llr
+             for r in co.q_topk(spark, SF_SMALL).collect()}
+    q1 = {(r.lang, r.decade, r.bigram, r.rank): r.llr
+          for r in co.q_topk_quirk(spark, SF_SMALL).collect()}
+    q2 = {(r.lang, r.decade, r.bigram, r.rank): r.llr
+          for r in co.q_topk_quirk(spark, SF_SMALL).collect()}
+    assert q1 == q2                       # deterministic
+    assert len(q1) >= len(exact) > 0      # fragments can only add rows
+    # the quirky N / fragmented c12 must actually perturb scores
+    assert any(exact.get((l, d, b)) not in (None, llr)
+               for (l, d, b, _), llr in q1.items())

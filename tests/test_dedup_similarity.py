@@ -374,3 +374,18 @@ def test_pq_seed_vectors_encode_to_themselves(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_persisted_lsh_matches_incremental(spark):
+    """The persisted-index lifecycle must produce EXACTLY the
+    incremental query's pair set — same index contents, different
+    storage layout (bucketed catalog table vs in-query DataFrame)."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        q_dedup_incremental_lsh, q_dedup_persisted_lsh,
+    )
+    a = {(r.doc_new, r.doc_match, r.jaccard)
+         for r in q_dedup_persisted_lsh(spark, SF_SMALL).collect()}
+    b = {(r.doc_new, r.doc_match, r.jaccard)
+         for r in q_dedup_incremental_lsh(spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0

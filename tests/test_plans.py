@@ -432,3 +432,22 @@ def test_pq_scoring_never_touches_raw_vectors(spark):
     assert "SortMergeJoin" not in plan
     assert "partial_min" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_persisted_lsh_index_side_has_no_exchange(spark):
+    """The persisted band-index lifecycle's core claim: the bucketed
+    index table is read straight into the merge join — the ONLY
+    hashpartitioning exchange on the band-join key belongs to the
+    ingest batch side (the index side would be a second one)."""
+    import re
+
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        q_dedup_persisted_lsh,
+    )
+    df = q_dedup_persisted_lsh(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    band_exchanges = set(re.findall(
+        r"Exchange hashpartitioning\(band_id[^\n\[]*\[plan_id=(\d+)",
+        plan))
+    assert len(band_exchanges) == 1, plan
