@@ -24,7 +24,9 @@ from ngrams_collocations_hadoop_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "colloc_topk",           # flagship: full reference pipeline
     "colloc_scored",
-    "colloc_unigram_counts",
+    # colloc_unigram_counts retired r05: fully subsumed by
+    # colloc_scored's subtree (VERDICT r04 item #8 — keep the bench
+    # tight as compositions are added)
     "rel_star_join",         # fact⋈fact + broadcast dims
     "rel_topk_per_group",    # window group limit
     "rel_sessionize",        # window analytics over events
@@ -38,6 +40,7 @@ BENCH_QUERIES = [
     "text_dsir_weights",     # LM aggregates + token-join scoring
     "sim_pq_topk",           # PQ encode + ADC scoring (ANN family)
     "pipeline_ingest",       # incremental-ingest composition
+    "dedup_persisted_lsh",   # bucketed band-index build + batch match
 ]
 
 
