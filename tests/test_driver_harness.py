@@ -33,7 +33,9 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              "rel_ewma", "rel_cusum", "rel_scd2", "rel_gap_fill",
              "rel_interval_overlap", "rel_retention_cohorts",
              "rel_pit_enrich", "stream_outer_join",
-             "stream_scd2_enrich", "rel_sketch_reagg"]:
+             "stream_scd2_enrich", "rel_sketch_reagg",
+             "stream_full_outer_join", "text_weighted_sample",
+             "dedup_persisted_lsh", "colloc_topk_quirk"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
