@@ -25,8 +25,18 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     ``n_buckets`` files by ``bucket_cols``. Two tables bucketed the same
     way join with NO exchange on either side — the co-partitioning the
     reference hand-built with its custom partitioners (Job1.java:85-94),
-    persisted into the storage layout."""
+    persisted into the storage layout.
+
+    The pre-write ``repartition`` uses the same murmur3-pmod hash as
+    ``bucketBy``, so each write task holds exactly one bucket → ONE
+    file per bucket. Without it an N-partition writer emits up to N
+    files per bucket, and a downstream merge join must re-sort every
+    bucket on read; with it the layout satisfies the single-file
+    precondition for sorted-scan propagation (off by default since
+    SPARK-28595 — the scan still reports partitioning, so the
+    exchange elimination never depends on this, only the sort)."""
     spark = df.sparkSession
+    df = df.repartition(n_buckets, *bucket_cols)
     # Idempotence across sessions: the in-memory catalog forgets managed
     # tables on restart but their warehouse directory persists, and
     # saveAsTable refuses to reuse the location. Drop both.
