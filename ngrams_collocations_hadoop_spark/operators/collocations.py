@@ -183,9 +183,12 @@ def totals_quirk(c1_df: DataFrame,
 # in-session parity tests, unusable under the driver's cross-engine
 # hash gate. These twins emulate the same two bug CLASSES with
 # content-derived surrogates both engines can compute identically:
-# a map task = a doc_id block (input splits are contiguous record
-# blocks), a reducer id = an md5 bucket of the reduce key (standing in
-# for Hadoop's HashPartitioner).
+# a map task = a deterministic doc_id stripe (doc_id % M — an
+# INTERLEAVED assignment, not the reference's contiguous byte-range
+# splits; what matters for the bug class is only that one bigram's
+# occurrences span several never-re-summed groups), a reducer id =
+# an md5 bucket of the reduce key (standing in for Hadoop's
+# HashPartitioner).
 
 QUIRK_MAPTASKS = 4   # input-split count surrogate for quirk 1
 
@@ -196,9 +199,9 @@ _QUIRK_RID_SQL = (f"CAST(conv(substring(md5(concat(lang, '|', "
 
 def bigram_counts_quirk_det(big_with_doc: DataFrame) -> DataFrame:
     """Quirk 1 (Job1.java:282-292) with a deterministic map-task
-    surrogate: fragment each bigram's c12 per doc_id block instead of
+    surrogate: fragment each bigram's c12 per doc_id stripe instead of
     per physical input partition — same fragmentation semantics (rows
-    of one bigram spanning blocks never re-sum), reproducible in SQL."""
+    of one bigram spanning stripes never re-sum), reproducible in SQL."""
     return (big_with_doc
             .withColumn("_maptask", F.col("doc_id") % QUIRK_MAPTASKS)
             .groupBy("lang", "decade", "w1", "w2", "_maptask")

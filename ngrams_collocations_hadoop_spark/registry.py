@@ -99,7 +99,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
     "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
     "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
-    "rel_window_firstlast": rel.q_window_firstlast, # --- (4) newest green row is r03 ---
+    "rel_window_firstlast": rel.q_window_firstlast,
     # --- (3c) stateful streaming refresh (r03; VERDICT r04 item #7) ---
     "stream_stateful_totals": sw.q_stream_stateful_totals,
     "stream_dedup_bounded": sw.q_stream_dedup_bounded,
@@ -127,7 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "rel_window_running": rel.q_window_running,
     "rel_window_ranks": rel.q_window_ranks,
     "rel_corr_stats": rel.q_corr_stats,
-    "rel_set_ops": rel.q_set_ops,                   # --- (4) newest green row is r02 — next in the refresh queue (r05) ---
+    "rel_set_ops": rel.q_set_ops,
     # --- (4) newest green row is r03 ---
     "rel_string_agg": rel.q_string_agg,
     "rel_incremental_agg": rel.q_incremental_agg,   # mergeable-state rollup
@@ -214,7 +214,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
     "sim_label_centroids": similarity.q_label_centroids,
     "text_bm25": textstats.q_bm25,
-    "text_token_count": textstats.q_token_count,    # --- (3) newest green row is r02 — first 3 of the refresh queue ---
+    "text_token_count": textstats.q_token_count,
     "colloc_unigram_counts": co.q_unigram_counts,   # A2 (+P1-P6, J4)
     "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
     "colloc_totals": co.q_totals,                   # A4

@@ -247,7 +247,10 @@ def test_deterministic_quirk_topk_diverges_and_is_stable(spark):
     q2 = {(r.lang, r.decade, r.bigram, r.rank): r.llr
           for r in co.q_topk_quirk(spark, SF_SMALL).collect()}
     assert q1 == q2                       # deterministic
-    assert len(q1) >= len(exact) > 0      # fragments can only add rows
+    # NOTE: no row-count relation between the two is an invariant —
+    # fragments ADD rows, but the smaller quirk N can also flip the
+    # llr integer guards and REMOVE bigrams that pass in exact mode.
+    assert len(q1) > 0 and len(exact) > 0
     # the quirky N / fragmented c12 must actually perturb scores
     assert any(exact.get((l, d, b)) not in (None, llr)
                for (l, d, b, _), llr in q1.items())
