@@ -262,3 +262,78 @@ def test_stream_full_outer_right_eviction_boundary(spark, tmp_path):
     assert (-1, 7) not in out       # boundary probe: wm + 1ms -> held
     assert (-1, 6) not in out       # young; withheld
     assert len(out) == 7
+
+
+def test_stream_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Production restart semantics, which the AvailableNow one-shot
+    harness never exercises: a stateful windowed aggregation with a
+    DISK checkpoint resumes from its state store after the query
+    stops. Proof of resume is twofold: (a) the second run's progress
+    counters show it read ONLY the newly arrived file, and (b) the
+    resumed complete-mode table equals the one-shot batch aggregate
+    over ALL the data — i.e. the first file's contribution came out
+    of restored state, not reprocessing."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        tumbling_agg,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(eid, minutes, etype, value):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), 100,
+                etype, value, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch1 = [ev(1, 0, "click", 1.0), ev(2, 30, "click", 2.0),
+              ev(3, 70, "view", 4.0)]
+    batch2 = [ev(4, 80, "click", 8.0), ev(5, 140, "view", 16.0)]
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+
+    def to_pq(rows, path):
+        pdf = pd.DataFrame(rows, columns=cols)
+        # µs precision: ns-unit timestamps would need the nanosAsLong
+        # session shim this raw reader does not apply
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(path, index=False)
+
+    to_pq(batch1, f"{indir}/b1.parquet")
+    schema = spark.read.parquet(indir).schema
+
+    def run_once(qname):
+        stream = (spark.readStream.schema(schema).parquet(indir)
+                  # pyarrow writes TIMESTAMP_NTZ; watermarks need TIMESTAMP
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        q = (tumbling_agg(stream)
+             .writeStream.outputMode("complete")
+             .format("memory").queryName(qname)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        n_in = sum(p["numInputRows"] for p in q.recentProgress)
+        out = {(r.win_start, r.event_type): (r.n, r.sum_value)
+               for r in spark.table(qname).collect()}
+        return n_in, out
+
+    n1, out1 = run_once("ckpt_run1")
+    assert n1 == len(batch1)
+    assert out1[(t0, "click")] == (2, 3.0)
+
+    to_pq(batch2, f"{indir}/b2.parquet")
+    n2, out2 = run_once("ckpt_run2")
+    # (a) resume: only the new file's rows were read
+    assert n2 == len(batch2), (n2, len(batch2))
+    # (b) state carried over: equals the one-shot batch aggregate
+    batch = {(r.win_start, r.event_type): (r.n, r.sum_value)
+             for r in (spark.read.parquet(indir)
+                       .groupBy(F.window("ts", "1 hour"), "event_type")
+                       .agg(F.count(F.lit(1)).alias("n"),
+                            F.round(F.sum("value"), 4).alias("sum_value"))
+                       .select(F.col("window.start").alias("win_start"),
+                               "event_type", "n", "sum_value")).collect()}
+    assert out2 == batch and len(out2) == 4
