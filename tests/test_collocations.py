@@ -254,3 +254,38 @@ def test_deterministic_quirk_topk_diverges_and_is_stable(spark):
     # the quirky N / fragmented c12 must actually perturb scores
     assert any(exact.get((l, d, b)) not in (None, llr)
                for (l, d, b, _), llr in q1.items())
+
+
+def test_quirk_det_aggregation_invariants(spark):
+    """Structural invariants of the deterministic quirk surrogates,
+    on the real fixture: (1) quirk-1 fragments PARTITION the exact
+    c12 — per-bigram fragment sums equal the exact counts exactly;
+    (2) quirk-2's N is one bucket's partial — strictly positive and
+    <= the exact N for every (lang, decade)."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.sources.ngram_source import (
+        bigram_records, unigram_records,
+    )
+
+    stop = stopwords_df(spark)
+    big = co.clean_bigrams(bigram_records(spark, SF_SMALL, keep_doc=True),
+                           stop, carry=("doc_id",))
+    frag = co.bigram_counts_quirk_det(big)
+    refold = {tuple(r[:4]): r[4] for r in
+              (frag.groupBy("lang", "decade", "w1", "w2")
+               .agg(F.sum("c12").alias("c12")).collect())}
+    exact = {tuple(r[:4]): r[4] for r in
+             co.bigram_counts(big.drop("doc_id")).collect()}
+    assert refold == exact
+    assert frag.count() > len(exact)   # fragmentation really happened
+
+    uni = co.clean_unigrams(unigram_records(spark, SF_SMALL), stop)
+    c1 = co.unigram_counts(uni)
+    qn = {(r.lang, r.decade): r.n_total
+          for r in co.totals_quirk_det(c1).collect()}
+    en = {(r.lang, r.decade): r.n_total for r in co.totals(uni).collect()}
+    assert set(qn) == set(en)
+    assert all(0 < qn[k] <= en[k] for k in qn)
+    assert any(qn[k] < en[k] for k in qn)   # genuinely partial somewhere
