@@ -451,3 +451,44 @@ def test_persisted_lsh_index_side_has_no_exchange(spark):
         r"Exchange hashpartitioning\(band_id[^\n\[]*\[plan_id=(\d+)",
         plan))
     assert len(band_exchanges) == 1, plan
+
+
+def test_bench_queries_shuffle_budget(spark):
+    """Shuffle-budget regression guard for the headline (bench)
+    queries: the number of DISTINCT shuffle exchanges in the initial
+    physical plan must not grow. Each bound is the measured count at
+    the time the query's plan was last tuned — a future edit (or a
+    Catalyst behavior change) that silently adds a shuffle, or turns
+    a broadcast join into a shuffled one, fails here with the name of
+    the query instead of as an unattributed bench regression.
+    ReusedExchange nodes don't count (reuse is the point); broadcast
+    exchanges don't count (they're the CHEAP alternative being
+    protected)."""
+    import re
+
+    from ngrams_collocations_hadoop_spark.registry import QUERIES
+
+    budget = {
+        "colloc_topk": 10,
+        "colloc_scored": 9,
+        "rel_star_join": 1,
+        "rel_topk_per_group": 1,
+        "rel_sessionize": 1,
+        "dedup_minhash_lsh": 6,
+        "sim_cosine_topk": 1,
+        "text_quality": 0,          # map-only: any shuffle is a bug
+        "pipeline_training_prep": 3,
+        "dedup_semantic": 4,
+        "text_dsir_weights": 4,
+        "sim_pq_topk": 3,
+        "pipeline_ingest": 14,
+    }
+    pat = re.compile(r"Exchange (hashpartitioning|rangepartitioning|"
+                     r"RoundRobinPartitioning|SinglePartition)")
+    over = {}
+    for name, bound in budget.items():
+        plan = physical_plan(QUERIES[name](spark, SF_SMALL))
+        got = len(pat.findall(plan))
+        if got > bound:
+            over[name] = (got, bound)
+    assert not over, f"shuffle budget exceeded: {over}"
