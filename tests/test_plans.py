@@ -468,6 +468,14 @@ def test_bench_queries_shuffle_budget(spark):
 
     from ngrams_collocations_hadoop_spark.registry import QUERIES
 
+    # Budgets are measured against a COLD cache: cached subtrees left
+    # behind by earlier tests get substituted into these plans as
+    # InMemoryTableScan nodes whose stored plans are printed (with
+    # their exchanges) once per occurrence, and live exchange reuse
+    # can no longer collapse repeated subtrees — inflating the count
+    # for reasons that have nothing to do with the query's own shape.
+    spark.catalog.clearCache()
+
     budget = {
         "colloc_topk": 10,
         "colloc_scored": 9,
