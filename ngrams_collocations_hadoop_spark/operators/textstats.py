@@ -1612,8 +1612,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded pow: near-ties collapse onto EQUAL integers and
     break by doc_id identically in both engines (key gaps are ~1/n on
     the u scale, ≫ the 1e-15 grid, so a 1-ulp ln flip at a floor
-    boundary cannot reorder distinct keys)."""
-    docs = load_table(spark, sf_dir, "documents")
+    boundary cannot reorder distinct keys).
+
+    Zero-weight docs (empty text, n_chars = 0) are excluded BEFORE the
+    key: in Efraimidis-Spirakis a weight-0 item has selection
+    probability 0, and mechanically ln(u)/0 is a division by zero
+    (ANSI Spark throws, DuckDB yields -inf — divergent either way).
+    Real crawl corpora always contain empty documents."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = ("((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), "
          "16, 10) AS BIGINT) + 1) / CAST(281474976710656 AS DOUBLE))")
     key = (f"CAST(floor(ln({u}) / CAST(n_chars AS DOUBLE) * 1e15) "
@@ -1634,7 +1640,7 @@ WITH keyed AS (
                ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT
                    + 1) / CAST(281474976710656 AS DOUBLE))
                / CAST(n_chars AS DOUBLE) * 1e15) AS BIGINT) AS key
-    FROM documents),
+    FROM documents WHERE n_chars > 0),
 ranked AS (
     SELECT lang, doc_id, n_chars, key,
            CAST(row_number() OVER (PARTITION BY lang

@@ -356,6 +356,7 @@ def test_weighted_sample_huge_weight_always_selected(spark, tmp_path):
     language."""
     docs = [(i, "x " * 20, "en", "s", 50 + i) for i in range(40)]
     docs.append((99, "y " * 20, "en", "s", 10**9))  # whale weight
+    docs.append((100, "", "en", "s", 0))  # zero weight: excluded, no 1/0
     sf = str(tmp_path)
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, "
@@ -366,6 +367,7 @@ def test_weighted_sample_huge_weight_always_selected(spark, tmp_path):
     out = q_weighted_sample(spark, sf).collect()
     ids = {r.doc_id for r in out}
     assert 99 in ids
+    assert 100 not in ids  # weight 0 = selection probability 0
     assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
 
 
