@@ -495,11 +495,19 @@ SELECT DISTINCT custkey, 'big_buyer' AS tag FROM big_buyers
 # --- JSON scalar ops on events.props (§2.8) -----------------------------
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over a semi-structured props column.
+
+    The extraction path is TOTAL: real event streams carry malformed
+    JSON and non-numeric values, and ``get_json_object`` + ``try_cast``
+    yield NULL for both (never throw, even under ANSI). The oracle
+    mirrors this with a ``json_valid`` guard + ``TRY_CAST`` — DuckDB's
+    ``json_extract`` hard-errors on malformed input otherwise."""
     e = _t(spark, sf_dir, "events")
     return (
         e.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.expr("try_cast(get_json_object(props, '$.k') AS LONG)")
+             .alias("k"),
         )
         .groupBy("event_type")
         .agg(F.round(F.avg("k"), 6).alias("avg_k"),
@@ -511,7 +519,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_EXTRACT = f"""
 SELECT event_type,
        round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS n
-FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM (SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+             END AS k
       FROM {EVENTS_US} events)
 GROUP BY event_type
 """
@@ -1627,8 +1638,13 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the series is exact integer milli-units; μ and σ come
     from exact integer moment sums (σ = floor(sqrt((Σx²−(Σx)²/n)/n)),
     one fixed derivation), so k = σ/2, h = 4σ and BOTH prefix scans
-    are integer-exact — no float accumulates anywhere."""
-    ev = _t(spark, sf_dir, "events")
+    are integer-exact — no float accumulates anywhere.
+
+    NULL measurements are dropped up front (a sensor gap is no sample):
+    an hour bucket with only NULLs would otherwise produce a NULL xm
+    that NULL-poisons the whole downstream chain (mu/sd/alarm) —
+    detected by the adversarial-corpus fuzz."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     hourly = (ev.groupBy("event_type",
                          F.date_trunc("hour", "ts").alias("hour"))
               .agg(F.sum(F.floor(F.col("value") * 1000)).cast("long")
@@ -1663,7 +1679,7 @@ WITH ev AS {EVENTS_US},
 hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS hour,
            CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS xm
-    FROM ev GROUP BY 1, 2),
+    FROM ev WHERE value IS NOT NULL GROUP BY 1, 2),
 stats AS (
     SELECT event_type,
            CAST(floor(CAST(sum(CAST(xm AS HUGEINT)) AS DOUBLE)

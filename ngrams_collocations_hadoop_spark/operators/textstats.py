@@ -263,12 +263,19 @@ ORACLE_STRATIFIED_SAMPLE = _oracle_stratified()
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set plus
-    a coarse length bucket — the join key for fingerprint-based dedup."""
+    a coarse length bucket — the join key for fingerprint-based dedup.
+
+    NULL text yields a NULL fingerprint: ``concat_ws`` SKIPS null
+    arguments (yielding md5('') — a value that would collide all null
+    docs into one dup group) while the oracle's ``array_to_string``
+    null-propagates, so the null case is made explicit rather than
+    letting the two engines' different null idioms diverge."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_sort(F.array_distinct(F.split("text", " ")))
     return docs.select(
         "doc_id",
-        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+        F.when(F.col("text").isNotNull(),
+               F.md5(F.concat_ws(" ", toks))).alias("fingerprint"),
         F.expr("length(text) div 100").alias("len_bucket"),
     )
 

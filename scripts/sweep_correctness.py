@@ -26,7 +26,14 @@ def canon_text(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
         elif df[c].dtype.kind == "M":
-            df[c] = df[c].astype("datetime64[us]")
+            # Stringify datetimes PER COLUMN: frame-level astype(str)
+            # formats per consolidated block, so a whole-seconds column
+            # can print with or without '.000000' depending on whether
+            # a SIBLING column in the same block has sub-second values
+            # — which differs between the Spark and DuckDB frames'
+            # block layouts. Per-column astype(str) decides from the
+            # column's own values, identical on both sides.
+            df[c] = df[c].astype("datetime64[us]").astype(str)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.astype(str)
 

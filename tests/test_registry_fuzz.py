@@ -30,11 +30,26 @@ from __future__ import annotations
 import random
 
 import duckdb
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
 from .util_diff import canon
+
+
+def _canon_text(df: pd.DataFrame) -> pd.DataFrame:
+    """Strict text canonicalization. Datetime columns are stringified
+    PER COLUMN before the frame-level astype(str): pandas formats
+    datetimes per consolidated block, so a whole-seconds column can
+    gain or lose a '.000000' suffix depending on a sibling column's
+    sub-second values — and the Spark and DuckDB frames consolidate
+    differently (found by this fuzz on rel_funnel)."""
+    df = canon(df)
+    for c in df.columns:
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype(str)
+    return df.astype(str)
 
 VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
          "part", "hash", "the", "a", "emigre", "x1", "sort", "window"]
@@ -195,7 +210,7 @@ def test_registry_vs_oracle_on_adversarial_corpus(spark, tmp_path, seed):
         elif sorted(a.columns) != sorted(b.columns):
             failures[name] = (f"cols spark={sorted(a.columns)} "
                               f"duck={sorted(b.columns)}")
-        elif not canon(a).astype(str).equals(canon(b).astype(str)):
+        elif not _canon_text(a).equals(_canon_text(b)):
             failures[name] = "value mismatch (strict canonical text)"
     con.close()
     assert not failures, f"seed {seed}: {failures}"
