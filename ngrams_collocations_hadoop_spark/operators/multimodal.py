@@ -47,8 +47,11 @@ def _default_meta(payload: bytes) -> dict:
 
 def with_payload(docs: DataFrame) -> DataFrame:
     """Stand-in binary column: utf-8 bytes of `text`. In a real corpus
-    this is the stored image/audio bytes column."""
-    return docs.withColumn("payload", F.encode("text", "utf-8"))
+    this is the stored image/audio bytes column. NULL-text rows are
+    dropped — a missing payload (failed fetch) has no bytes to decode,
+    and the real-corpus scan would filter them the same way."""
+    return (docs.filter(F.col("text").isNotNull())
+            .withColumn("payload", F.encode("text", "utf-8")))
 
 
 def extract_metadata(df: DataFrame,
@@ -60,13 +63,20 @@ def extract_metadata(df: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = pdf["payload"].map(decode)
+            # na_action + nullable Int64: a NULL payload (possible when
+            # callers feed a raw binary column directly) yields NULL
+            # metadata instead of len(None) crashing the worker.
+            metas = pdf["payload"].map(decode, na_action="ignore")
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "source": pdf["source"],
-                "n_bytes": metas.map(lambda m: m["n_bytes"]).astype("int64"),
-                "header_byte": metas.map(lambda m: m["header_byte"]).astype("int64"),
-                "mime": metas.map(lambda m: m["mime"]),
+                "n_bytes": metas.map(
+                    lambda m: m["n_bytes"],
+                    na_action="ignore").astype("Int64"),
+                "header_byte": metas.map(
+                    lambda m: m["header_byte"],
+                    na_action="ignore").astype("Int64"),
+                "mime": metas.map(lambda m: m["mime"], na_action="ignore"),
             })
 
     return (df.select("doc_id", "source", "payload")
@@ -90,9 +100,12 @@ ORACLE_MM_BINARY_STATS = """
 SELECT source, count(*) AS n_docs,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        round(avg(octet_length(encode(text))), 6) AS avg_bytes,
+       -- first BYTE via hex-pair, not ord(): ord gives the codepoint,
+       -- which diverges from payload[0] for multi-byte UTF-8 leads
        CAST(min(CASE WHEN octet_length(encode(text)) > 0
-                THEN ord(text[1]) ELSE -1 END) AS BIGINT) AS min_header
-FROM documents GROUP BY source
+                THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
+                ELSE -1 END) AS BIGINT) AS min_header
+FROM documents WHERE text IS NOT NULL GROUP BY source
 """
 
 
@@ -148,14 +161,19 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs)
 
 
-# The fixture payload is the utf-8 text bytes (ASCII), so per-frame
-# byte features equal character codes over text substrings SQL-side.
+# Per-frame BYTE features are read off the hex rendering of the
+# ENCODED payload (two hex chars per byte): DuckDB cannot substring
+# BLOBs, and character-level substr/ord on `text` would diverge from
+# the byte slicing for any multi-byte UTF-8 character (ord gives the
+# CODEPOINT, not the first byte — found by the adversarial fuzz on a
+# Hebrew token). Hex-pair slicing is byte-exact for any input.
 ORACLE_MM_FRAME_SAMPLE = f"""
 WITH d AS (
-    SELECT doc_id, text, octet_length(encode(text)) AS n
-    FROM documents),
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents WHERE text IS NOT NULL),
 s AS (
-    SELECT doc_id, text, n,
+    SELECT doc_id, h, n,
            unnest(range(0, ((n + {FRAME_SIZE} - 1) // {FRAME_SIZE}
                             + {FRAME_STEP} - 1) // {FRAME_STEP}))
                AS samp
@@ -165,13 +183,13 @@ SELECT doc_id,
        samp * {FRAME_STEP} * {FRAME_SIZE} AS offset,
        least({FRAME_SIZE}, n - samp * {FRAME_STEP} * {FRAME_SIZE})
            AS frame_bytes,
-       ord(substr(text, samp * {FRAME_STEP} * {FRAME_SIZE} + 1, 1))
-           AS first_byte,
-       ord(substr(text,
-                  samp * {FRAME_STEP} * {FRAME_SIZE}
-                  + least({FRAME_SIZE},
-                          n - samp * {FRAME_STEP} * {FRAME_SIZE}), 1))
-           AS last_byte
+       ('0x' || substr(h, samp * {FRAME_STEP} * {FRAME_SIZE} * 2 + 1, 2))
+           ::BIGINT AS first_byte,
+       ('0x' || substr(h,
+                       (samp * {FRAME_STEP} * {FRAME_SIZE}
+                        + least({FRAME_SIZE},
+                                n - samp * {FRAME_STEP} * {FRAME_SIZE})
+                        - 1) * 2 + 1, 2))::BIGINT AS last_byte
 FROM s
 """
 
@@ -288,12 +306,14 @@ ORACLE_MM_RESIZE = f"""
 WITH s AS (
     SELECT doc_id, octet_length(encode(text)) AS n_in,
            hex(encode(text)) AS h
-    FROM documents),
+    FROM documents WHERE text IS NOT NULL),
 b AS (
     SELECT doc_id, n_in,
-           array_to_string(list_transform(
+           -- coalesce: DuckDB array_to_string([]) is NULL, but Spark's
+           -- concat_ws-equivalent path gives '' for an empty payload
+           coalesce(array_to_string(list_transform(
                range(1, n_in + 1, {RESIZE_SCALE}),
-               i -> substr(h, (i - 1) * 2 + 1, 2)), '') AS sub_hex
+               i -> substr(h, (i - 1) * 2 + 1, 2)), ''), '') AS sub_hex
     FROM s)
 SELECT doc_id,
        CAST(n_in AS BIGINT) AS n_bytes_in,

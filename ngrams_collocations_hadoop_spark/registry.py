@@ -47,6 +47,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r04-green. The registry (161) spans >3 windows, so the r06 window
 # should be ~23 r02 + the stalest r03 block unless implementations
 # change.
+# Late-r05 robustness edits (adversarial-corpus fuzz findings, see
+# tests/test_registry_fuzz.py): a set of queries changed on inputs
+# that do NOT occur in the fixture tables — NULL text/value/payload,
+# malformed JSON, non-ASCII payload bytes, exact session-gap
+# timestamps, sub-audit-size sketch groups. Every changed query was
+# strict-verified UNCHANGED at sf0.01 (and the driver re-runs both
+# engines fresh, so rows stay comparable). In the r05 window already:
+# rel_cusum, rel_json_extract, text_weighted_sample. Behind the
+# window (queue these at the FRONT of the r06 rotation with the r02
+# refresh queue): text_fingerprint, dedup_fingerprint, stream_session,
+# rel_incremental_agg, rel_approx_sketches, text_pack_sequences,
+# text_curriculum_buckets, mm_binary_stats, mm_frame_sample,
+# mm_resize.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
     "rel_gap_fill": rel.q_gap_fill,                 # densify + LOCF

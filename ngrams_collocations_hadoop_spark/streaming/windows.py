@@ -151,20 +151,24 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Batch-equivalent sessionization at FULL microsecond precision with the
-# session_window boundary rule (new session when gap >= threshold;
-# Spark merges windows that strictly overlap).
+# session_window boundary rule: new session only when the gap is
+# STRICTLY greater than the threshold. Verified empirically: an event
+# at exactly prev + gap lands in the SAME session (Spark treats the
+# [t, t+gap] extent as closed for merging); prev + gap + 1µs starts a
+# new one. A `>=` here diverges exactly at the boundary — found by the
+# adversarial fuzz, which plants gaps of exactly SESSION_GAP_SECONDS.
 ORACLE_STREAM_SESSION = f"""
 WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
 gapped AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, value, event_id,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id)
-                >= {SESSION_GAP_SECONDS} * 1000000
+                > {SESSION_GAP_SECONDS} * 1000000
                 THEN 1 ELSE 0 END AS new_sess
     FROM ev),
 sess AS (
     SELECT user_id, ts, value,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM gapped)
 SELECT user_id, min(ts) AS session_start,

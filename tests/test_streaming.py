@@ -337,3 +337,28 @@ def test_stream_checkpoint_resume_processes_only_new_files(spark, tmp_path):
                        .select(F.col("window.start").alias("win_start"),
                                "event_type", "n", "sum_value")).collect()}
     assert out2 == batch and len(out2) == 4
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin the session_window merge rule at the gap boundary: an event
+    at exactly prev + gap lands in the SAME session (the [t, t+gap]
+    extent is closed for merging); prev + gap + 1µs starts a new one.
+    ORACLE_STREAM_SESSION encodes this as a STRICT `>` gap break — a
+    `>=` diverges exactly here (found by the adversarial-corpus fuzz,
+    invisible on fixture data whose timestamps never land on the
+    boundary)."""
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+            (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:30:00.000001"),
+            (3, "2024-01-01 00:00:00"), (3, "2024-01-01 00:29:59.999999")]
+    df = (spark.createDataFrame(rows, "user_id long, ts string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = {r.user_id: r.n
+           for r in (df.groupBy("user_id",
+                                F.session_window("ts", "30 minutes"))
+                     .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    assert out[1] == 2   # exactly at the gap: merged
+    assert out[3] == 2   # under the gap: merged
+    out2 = (df.filter("user_id = 2")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))).collect()
+    assert sorted(r.n for r in out2) == [1, 1]  # 1µs over: split
