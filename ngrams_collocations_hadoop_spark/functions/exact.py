@@ -1,0 +1,91 @@
+"""Order-independent float aggregation — the engine's determinism idiom.
+
+A double sum is accumulation-order dependent: Spark adds partial
+aggregates in partition order, DuckDB serially, and window frames may
+sum via segment trees — so `round(sum(x), k)` can land on either side
+of a round boundary depending on who added what first. The driver's
+correctness gate hashes the rounded TEXT, so a 1-ulp flip at a
+boundary is a red row (observed: `rel_star_join` on an adversarial
+corpus whose prices sit on .005 boundaries).
+
+The idiom: quantize each ROW to an integer grid finer than the input's
+decimal precision (`round(x * 1e6)` — exact for any input with ≤ 6
+decimals, which covers every money/value column here), sum the
+integers exactly in any order (DECIMAL(38,0)/HUGEINT so the
+accumulator cannot overflow at any corpus size), and derive the float
+ONCE with a single expression whose text is shared with the DuckDB
+oracle. Per-row quantization uses round-to-nearest, not floor: the
+grid matches the data's decimal precision, so nearest recovers the
+intended decimal exactly (no systematic truncation bias), and a binary
+double is never exactly halfway on the 1e-6 grid, so both engines
+round identically.
+
+For sums of IRRATIONAL per-row terms (logs in BM25 / cross-entropy),
+the same shape applies at a 1e12 grid with floor() — there is no
+"intended decimal" to recover, floor is the established convention of
+the repo's moment sums (zipf/kl/covariance), and the ≤1e-12/row
+truncation is invisible at round-6 output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _grid_round(value_sql: str, scale: int) -> str:
+    """Round a DOUBLE holding 1e6-micro units to a 10^scale output,
+    via floor((v + half)/D)/grid — NOT round(v/1e6, scale): when the
+    exact sum ends in exactly half a grid step (…50 micro at scale 4),
+    the engines' round(x, n) algorithms disagree on the half (observed:
+    Spark 36380.1118 vs DuckDB 36380.1117 from IDENTICAL integer
+    sums). floor arithmetic on the micro value is exact in both
+    engines for |v| < 2^53 and defines the half-case once (half
+    rounds toward +inf). At scale 6 the division is exact as-is."""
+    d = 10 ** (6 - scale)
+    if d == 1:
+        return f"CAST({value_sql} AS DOUBLE) / 1e6"
+    return (f"floor((CAST({value_sql} AS DOUBLE) + {d // 2}) / {d}) "
+            f"/ 1e{scale}")
+
+
+def usum_sql(expr: str, scale: int = 4, unit: str = "1e6",
+             huge: str = "HUGEINT", fn: str = "round") -> str:
+    """DuckDB text of the exact rounded sum (Spark twin: `usum`)."""
+    s = f"sum(CAST({fn}(({expr}) * {unit}) AS {huge}))"
+    return _grid_round(s, scale)
+
+
+def usum(expr: str, scale: int = 4, unit: str = "1e6",
+         fn: str = "round") -> Column:
+    """`round(sum(expr), scale)` computed exactly (see module doc)."""
+    return F.expr(usum_sql(expr, scale, unit, huge="DECIMAL(38,0)", fn=fn))
+
+
+def uavg_sql(expr: str, scale: int = 6, unit: str = "1e6",
+             huge: str = "HUGEINT") -> str:
+    """DuckDB text of the exact rounded average (Spark twin: `uavg`).
+    count(expr) (not count(*)) so NULL rows are excluded exactly as
+    avg() excludes them. The micro-mean S/n is rounded to an integer
+    micro value with the same floor-half idiom as `_grid_round` (the
+    quotient can land exactly on a half), then scaled out."""
+    micro_mean = (f"floor(CAST(sum(CAST(round(({expr}) * {unit}) "
+                  f"AS {huge})) AS DOUBLE) / count({expr}) + 0.5E0)")
+    return _grid_round(micro_mean, scale)
+
+
+def uavg(expr: str, scale: int = 6, unit: str = "1e6") -> Column:
+    """`round(avg(expr), scale)` computed exactly (see module doc)."""
+    return F.expr(uavg_sql(expr, scale, unit, huge="DECIMAL(38,0)"))
+
+
+def uterm(expr: str, unit: str = "1e6", fn: str = "round") -> Column:
+    """Per-row quantized integer term, for window/stream aggregation
+    paths where the sum is applied separately (`F.sum(uterm(..)).over`
+    or streaming state). Pair with `uderive` on the summed column."""
+    return F.expr(f"CAST({fn}(({expr}) * {unit}) AS DECIMAL(38,0))")
+
+
+def uderive(col: str, scale: int = 4, unit: str = "1e6") -> Column:
+    """Final float from an exactly-summed quantized column."""
+    return F.expr(_grid_round(col, scale))

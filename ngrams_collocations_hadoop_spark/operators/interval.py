@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import usum, usum_sql
+
 from ..sources.tables import load_table
 
 # 10-minute follow window = 600 s, equal to the bucket width, so every
@@ -110,7 +112,7 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
     # detection uses grouping() flags, not bucket NULL-ness.
     rolled = (e.rollup("event_type", "day_b", "hour_b")
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.round(F.sum("value"), 4).alias("sum_value"),
+                   usum("value").alias("sum_value"),
                    F.grouping("event_type").alias("g_et"),
                    F.grouping("day_b").alias("g_day"),
                    F.grouping("hour_b").alias("g_hour"))
@@ -147,7 +149,7 @@ SELECT event_type,
        coalesce(strftime(coalesce(hour_b, day_b),
                          '%Y-%m-%d %H:%M:%S'), '') AS bucket_ts,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
+       {usum_sql("value")} AS sum_value
 FROM e
 GROUP BY event_type, ROLLUP(day_b, hour_b)
 """

@@ -153,11 +153,15 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                   clean_token(F.col("bg.t2")).alias("w2"))
           .filter((F.col("w1") != "") & (F.col("w2") != "")))
     joined = db.join(lm, on=["lang", "decade", "w1", "w2"], how="left")
+    # per-term -ln(p) is irrational: floor-quantize each term at 1e12
+    # and sum exactly (order-independent; the ≤1e-12/term truncation is
+    # invisible at the round-6 output) — functions/exact.py idiom.
+    ce = F.expr("round(CAST(sum(CAST(floor((-ln(p)) * 1e12) "
+                "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(p), 6)")
     return (joined.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.count("p").alias("n_scored"),
-                 F.round(F.sum(-F.log("p")) / F.count("p"), 6)
-                 .alias("cross_entropy"))
+                 ce.alias("cross_entropy"))
             .filter(F.col("n_scored") > 0))
 
 

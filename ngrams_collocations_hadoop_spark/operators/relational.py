@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import (uavg, uavg_sql, uderive,
+                               usum, usum_sql, uterm)
 from ..sources.tables import load_table
 
 
@@ -44,15 +46,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                          * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            usum("l_quantity").alias("sum_qty"),
+            usum("l_extendedprice").alias("sum_base_price"),
+            usum("l_extendedprice * (1 - l_discount)")
+            .alias("sum_disc_price"),
+            usum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+            .alias("sum_charge"),
+            uavg("l_quantity").alias("avg_qty"),
+            uavg("l_extendedprice").alias("avg_price"),
+            uavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -60,18 +62,24 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       {sq} AS sum_qty,
+       {sbp} AS sum_base_price,
+       {sdp} AS sum_disc_price,
+       {sc} AS sum_charge,
+       {aq} AS avg_qty,
+       {ap} AS avg_price,
+       {ad} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
-"""
+""".format(sq=usum_sql("l_quantity"),
+           sbp=usum_sql("l_extendedprice"),
+           sdp=usum_sql("l_extendedprice * (1 - l_discount)"),
+           sc=usum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+           aq=uavg_sql("l_quantity"),
+           ap=uavg_sql("l_extendedprice"),
+           ad=uavg_sql("l_discount"))
 
 
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,14 +113,14 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        .agg(usum("l_quantity").alias("sum_qty"),
              F.count(F.lit(1)).alias("n_rows"))
     )
 
 
-ORACLE_ROLLUP = """
+ORACLE_ROLLUP = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+       {usum_sql("l_quantity")} AS sum_qty, count(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -121,12 +129,13 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"))
+        .agg(usum("l_extendedprice").alias("sum_price"))
     )
 
 
-ORACLE_CUBE = """
-SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS sum_price
+ORACLE_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       {usum_sql("l_extendedprice")} AS sum_price
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -138,16 +147,18 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 4))
+        .agg(usum("l_quantity"))
         .withColumnRenamed("O", "qty_o")
         .withColumnRenamed("F", "qty_f")
     )
 
 
-ORACLE_PIVOT = """
+ORACLE_PIVOT = f"""
 SELECT l_returnflag,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f
+       {usum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}
+           AS qty_o,
+       {usum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}
+           AS qty_f
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -171,16 +182,15 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            usum("l_extendedprice * (1 - l_discount)").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
 
 
-ORACLE_STAR_JOIN = """
+ORACLE_STAR_JOIN = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       {usum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -313,11 +323,11 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregates + lag per user over event time."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = e.withColumn("_rs", F.sum(uterm("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
     return e.select(
         "user_id", "event_id",
-        F.round(F.sum("value").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)), 4)
-        .alias("running_value"),
+        uderive("_rs").alias("running_value"),
         F.lag("event_type", 1).over(w).alias("prev_type"),
         F.row_number().over(w).cast("long").alias("seq"),
     )
@@ -325,9 +335,10 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINDOW_RUNNING = f"""
 SELECT user_id, event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-           AS running_value,
+       floor((CAST(sum(CAST(round(value * 1e6) AS HUGEINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) + 50) / 100) / 1e4 AS running_value,
        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -371,13 +382,13 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_small"),
-             F.round(F.sum("l_extendedprice"), 4).alias("small_revenue"))
+             usum("l_extendedprice").alias("small_revenue"))
     )
 
 
-ORACLE_SCALAR_SUBQUERY = """
+ORACLE_SCALAR_SUBQUERY = f"""
 SELECT l_partkey, count(*) AS n_small,
-       round(sum(l_extendedprice), 4) AS small_revenue
+       {usum_sql("l_extendedprice")} AS small_revenue
 FROM lineitem l1
 WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                     WHERE l2.l_partkey = l1.l_partkey)
@@ -537,7 +548,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             usum("value").alias("sum_value"))
         .select(F.col("window.start").alias("win_start"),
                 "event_type", "n", "sum_value")
     )
@@ -545,7 +556,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TUMBLING_WINDOW = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
-       count(*) AS n, round(sum(value), 4) AS sum_value
+       count(*) AS n, {usum_sql("value")} AS sum_value
 FROM {EVENTS_US} events GROUP BY 1, 2
 """
 
@@ -561,7 +572,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             usum("value").alias("sum_value"))
         .select(F.col("window.start").alias("win_start"), "n", "sum_value")
     )
 
@@ -573,7 +584,7 @@ wins AS (
     SELECT b AS win_start, ts, value FROM slid
     UNION ALL
     SELECT b - INTERVAL '30 minutes' AS win_start, ts, value FROM slid)
-SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+SELECT win_start, count(*) AS n, {usum_sql("value")} AS sum_value
 FROM wins GROUP BY win_start
 """
 
@@ -599,7 +610,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             usum("value").alias("sum_value"))
     )
 
 
@@ -619,7 +630,7 @@ sess AS (
     FROM gapped)
 SELECT user_id, session_seq, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 4) AS sum_value
+       {usum_sql("value")} AS sum_value
 FROM sess GROUP BY user_id, session_seq
 """
 
@@ -738,34 +749,75 @@ WINDOW w AS (PARTITION BY o_orderpriority
 """
 
 
+# Shared Spark/DuckDB derivation texts for the moment-sum family.
+# Inputs: _n (pair count), _sx/_sxx (value micro-sums, 1e6/1e12 grids),
+# _sy/_syy (user_id integer sums), _sxy (cross micro-sum). Each stat is
+# one fixed expression over exactly-summed integers — order-independent
+# where the engines' native Welford/co-moment merges are not.
+_VX = ("(CAST(_sxx AS DOUBLE) / 1e12 "
+       "- pow(CAST(_sx AS DOUBLE) / 1e6, 2) / _n) / _n")
+_VY = "(CAST(_syy AS DOUBLE) - pow(CAST(_sy AS DOUBLE), 2) / _n) / _n"
+_CNUM = ("CAST(_sxy AS DOUBLE) / 1e6 "
+         "- CAST(_sx AS DOUBLE) / 1e6 * CAST(_sy AS DOUBLE) / _n")
+_CORR_EXPRS = [
+    "CAST(_n AS BIGINT) AS n",
+    f"round(CASE WHEN ({_VX}) * ({_VY}) > 0E0 "
+    f"THEN ({_CNUM}) / _n / sqrt(({_VX}) * ({_VY})) END, 6) AS corr_vu",
+    f"round(({_CNUM}) / _n, 6) AS covar_pop_vu",
+    f"round(CASE WHEN _n > 1 THEN ({_CNUM}) / (_n - 1) END, 6) "
+    "AS covar_samp_vu",
+    f"round(sqrt(greatest({_VX}, 0E0)), 6) AS stddev_pop_v",
+    f"round(CASE WHEN _n > 1 THEN "
+    f"sqrt(greatest(({_VX}) * _n / (_n - 1), 0E0)) END, 6) "
+    "AS stddev_samp_v",
+    f"round({_VX}, 6) AS var_pop_v",
+    f"round(CASE WHEN _n > 1 THEN ({_VX}) * _n / (_n - 1) END, 6) "
+    "AS var_samp_v",
+]
+
+
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bivariate/statistical aggregate family in one groupBy:
-    corr, covar_pop/samp, stddev_pop/samp, var_pop/samp. All are
-    single-pass mergeable moment sketches — map-side partials, one
-    bounded shuffle (same scale shape as sum/count; the engines differ
-    only in accumulation order, handled by rounding)."""
-    e = load_table(spark, sf_dir, "events")
-    return (e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("value", "user_id"), 6).alias("corr_vu"),
-        F.round(F.covar_pop("value", "user_id"), 6).alias("covar_pop_vu"),
-        F.round(F.covar_samp("value", "user_id"), 6).alias("covar_samp_vu"),
-        F.round(F.stddev_pop("value"), 6).alias("stddev_pop_v"),
-        F.round(F.stddev_samp("value"), 6).alias("stddev_samp_v"),
-        F.round(F.var_pop("value"), 6).alias("var_pop_v"),
-        F.round(F.var_samp("value"), 6).alias("var_samp_v")))
+    corr, covar_pop/samp, stddev_pop/samp, var_pop/samp — all derived
+    from EXACT quantized moment sums (value in 1e6 micro-units, exact
+    for ≤6-decimal inputs; user_id already integer), not the engines'
+    native Welford/co-moment aggregates, whose merge order and update
+    algebra differ between Spark and DuckDB in the low bits. Still one
+    single-pass mergeable partial-agg shuffle — integer sums are the
+    original mergeable sketch. Rows with NULL value are excluded (the
+    pairwise-deletion semantics corr/covar use). Degenerate cases
+    (n = 1, zero variance) yield NULL via explicit CASE guards,
+    matching the native aggregates' NULL contract."""
+    e = load_table(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull())
+    qx = "CAST(round(value * 1e6) AS BIGINT)"
+    moments = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.expr(f"CAST({qx} AS DECIMAL(38,0))")).alias("_sx"),
+        F.sum(F.expr(f"CAST({qx} AS DECIMAL(38,0)) * {qx}")).alias("_sxx"),
+        F.sum(F.expr("CAST(user_id AS DECIMAL(38,0))")).alias("_sy"),
+        F.sum(F.expr("CAST(user_id AS DECIMAL(38,0)) * user_id"))
+        .alias("_syy"),
+        F.sum(F.expr(f"CAST({qx} AS DECIMAL(38,0)) * user_id"))
+        .alias("_sxy"))
+    return moments.selectExpr("event_type", *_CORR_EXPRS)
 
 
-ORACLE_CORR_STATS = """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       round(corr(value, user_id), 6) AS corr_vu,
-       round(covar_pop(value, user_id), 6) AS covar_pop_vu,
-       round(covar_samp(value, user_id), 6) AS covar_samp_vu,
-       round(stddev_pop(value), 6) AS stddev_pop_v,
-       round(stddev_samp(value), 6) AS stddev_samp_v,
-       round(var_pop(value), 6) AS var_pop_v,
-       round(var_samp(value), 6) AS var_samp_v
-FROM events GROUP BY event_type
+ORACLE_CORR_STATS = f"""
+WITH moments AS (
+    SELECT event_type,
+           count(*) AS _n,
+           sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)) AS _sx,
+           sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
+               * CAST(round(value * 1e6) AS BIGINT)) AS _sxx,
+           sum(CAST(user_id AS HUGEINT)) AS _sy,
+           sum(CAST(user_id AS HUGEINT) * user_id) AS _syy,
+           sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
+               * user_id) AS _sxy
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type)
+SELECT event_type, {", ".join(_CORR_EXPRS)}
+FROM moments
 """
 
 
@@ -787,17 +839,20 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     sec = F.col("ts").cast("long")
     w = (Window.partitionBy("user_id").orderBy(sec)
          .rangeBetween(-3600, 0))
+    e = e.withColumn("_ts_sum", F.sum(uterm("value")).over(w))
     return e.select(
         "user_id", "event_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-        F.round(F.sum("value").over(w), 4).alias("sum_trailing_1h"),
-    )
+        uderive(
+            "_ts_sum").alias("sum_trailing_1h"),
+    ).withColumn("_drop", F.lit(None)).drop("_drop")
 
 
 ORACLE_WINDOW_RANGE = f"""
 SELECT user_id, event_id,
        count(*) OVER w AS n_trailing_1h,
-       round(sum(value) OVER w, 4) AS sum_trailing_1h
+       floor((CAST(sum(CAST(round(value * 1e6) AS HUGEINT)) OVER w
+                   AS DOUBLE) + 50) / 100) / 1e4 AS sum_trailing_1h
 FROM {EVENTS_US}
 WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -863,24 +918,50 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type population — the groupBy-stats + self-join-free outlier
     scan (stats via an unbounded window over the group, one exchange,
     no second pass over the raw table). Emits only the flagged rows,
-    so output stays tiny however large the input."""
-    e = _t(spark, sf_dir, "events")
+    so output stays tiny however large the input.
+
+    The group mean/stddev come from EXACT quantized moment sums (1e6
+    micro-units, exact for ≤6-decimal values), derived with one
+    expression text shared with the oracle — the native avg/stddev
+    window aggregates accumulate in engine order, and a low-bit
+    difference flips both the round-6 zscore text and the |z| > 2
+    membership at the boundary. NULL values are excluded (no
+    measurement, no anomaly)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    qx = "CAST(round(value * 1e6) AS BIGINT)"
     w = Window.partitionBy("event_type")
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
-    z = (F.col("value") - mu) / sd
+    e = (e.withColumn("_n", F.count(F.lit(1)).over(w))
+         .withColumn("_sx", F.sum(F.expr(
+             f"CAST({qx} AS DECIMAL(38,0))")).over(w))
+         .withColumn("_sxx", F.sum(F.expr(
+             f"CAST({qx} AS DECIMAL(38,0)) * {qx}")).over(w)))
     return (e.select("event_id", "event_type", "value",
-                     F.round(z, 6).alias("zscore"))
+                     F.expr(_ZSCORE_EXPR).alias("zscore"))
             .filter(F.abs(F.col("zscore")) > 2))
 
 
-ORACLE_ANOMALY_ZSCORE = """
+# Sample stddev from the exact sums; NULL z for n <= 1 or zero variance
+# (matches stddev_samp's NULL / division-undefined contract).
+_ZSCORE_EXPR = (
+    "round(CASE WHEN _n > 1 AND "
+    "(CAST(_sxx AS DOUBLE) / 1e12 "
+    "- pow(CAST(_sx AS DOUBLE) / 1e6, 2) / _n) > 0E0 "
+    "THEN (value - CAST(_sx AS DOUBLE) / 1e6 / _n) "
+    "/ sqrt((CAST(_sxx AS DOUBLE) / 1e12 "
+    "- pow(CAST(_sx AS DOUBLE) / 1e6, 2) / _n) / (_n - 1)) END, 6)")
+
+ORACLE_ANOMALY_ZSCORE = f"""
 SELECT event_id, event_type, value, zscore
 FROM (SELECT event_id, event_type, value,
-             round((value - avg(value) OVER w)
-                   / stddev_samp(value) OVER w, 6) AS zscore
-      FROM events
-      WINDOW w AS (PARTITION BY event_type))
+             {_ZSCORE_EXPR} AS zscore
+      FROM (SELECT event_id, event_type, value,
+                   count(*) OVER w AS _n,
+                   sum(CAST(CAST(round(value * 1e6) AS BIGINT)
+                       AS HUGEINT)) OVER w AS _sx,
+                   sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 1e6) AS BIGINT)) OVER w AS _sxx
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type)))
 WHERE abs(zscore) > 2
 """
 
@@ -1020,11 +1101,11 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric", valueColumnName="val")
     return (long.groupBy("metric")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("val"), 4).alias("total"),
-                 F.round(F.avg("val"), 6).alias("mean")))
+                 usum("val").alias("total"),
+                 uavg("val").alias("mean")))
 
 
-ORACLE_UNPIVOT = """
+ORACLE_UNPIVOT = f"""
 WITH long AS (
     SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val
     FROM lineitem
@@ -1033,7 +1114,7 @@ WITH long AS (
     UNION ALL
     SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
 SELECT metric, CAST(count(*) AS BIGINT) AS n,
-       round(sum(val), 4) AS total, round(avg(val), 6) AS mean
+       {usum_sql("val")} AS total, {uavg_sql("val")} AS mean
 FROM long GROUP BY metric
 """
 
@@ -1092,14 +1173,14 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("o_totalprice"), 4).alias("lo"),
                  F.round(F.max("o_totalprice"), 4).alias("hi"),
-                 F.round(F.sum("o_totalprice"), 4).alias("total")))
+                 usum("o_totalprice").alias("total")))
 
 
 ORACLE_EQUIDEPTH_HISTOGRAM = f"""
 SELECT bin, CAST(count(*) AS BIGINT) AS n,
        round(min(o_totalprice), 4) AS lo,
        round(max(o_totalprice), 4) AS hi,
-       round(sum(o_totalprice), 4) AS total
+       {usum_sql("o_totalprice")} AS total
 FROM (SELECT o_totalprice,
              CAST(ntile({HIST_BINS}) OVER
                   (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
@@ -1303,15 +1384,15 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
             "l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        .agg(usum("l_quantity").alias("sum_qty"),
              F.count(F.lit(1)).alias("n_rows"),
              F.grouping_id().alias("gid"))
     )
 
 
-ORACLE_GROUPING_SETS = """
+ORACLE_GROUPING_SETS = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows,
+       {usum_sql("l_quantity")} AS sum_qty, count(*) AS n_rows,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
             AS BIGINT) AS gid
 FROM lineitem

@@ -444,7 +444,9 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (unit.select("label", F.posexplode("u").alias("pos", "x"))
             .groupBy("label", "pos")
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
-                 F.round(F.avg("x"), 6).alias("centroid"))
+                 F.expr("round(CAST(sum(CAST(floor(x * 1e12) "
+                        "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 "
+                        "/ count(x), 6)").alias("centroid"))
             .withColumn("pos", F.col("pos").cast("long")))
 
 
@@ -459,7 +461,8 @@ comp AS (
     FROM u, UNNEST(range(1, len(uv) + 1)) AS r(i))
 SELECT label, pos,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       round(avg(x), 6) AS centroid
+       round(CAST(sum(CAST(floor(x * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12
+             / count(x), 6) AS centroid
 FROM comp GROUP BY label, pos
 """
 
@@ -677,7 +680,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
-                 F.round(F.avg("x"), 6).alias("centroid_val"))
+                 F.expr("round(CAST(sum(CAST(floor(x * 1e12) "
+                        "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 "
+                        "/ count(x), 6)").alias("centroid_val"))
             .withColumn("pos", F.col("pos").cast("long")))
 
 
@@ -701,7 +706,8 @@ comp AS (
     FROM assigned, UNNEST(range(1, len(v) + 1)) AS r(i))
 SELECT cluster_id, pos,
        CAST(count(*) AS BIGINT) AS n_members,
-       round(avg(x), 6) AS centroid_val
+       round(CAST(sum(CAST(floor(x * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12
+             / count(x), 6) AS centroid_val
 FROM comp GROUP BY cluster_id, pos
 """
 

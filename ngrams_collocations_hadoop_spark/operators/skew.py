@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import usum, usum_sql
+
 
 def salted_join(large: DataFrame, small: DataFrame, keys: list[str],
                 n_salt: int = 16, how: str = "inner") -> DataFrame:
@@ -49,7 +51,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
     stats = (e.groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("type_n"),
-                  F.round(F.sum("value"), 4).alias("type_sum")))
+                  usum("value").alias("type_sum")))
     # force the shuffle-join path: broadcasting the tiny stats side
     # would (correctly) make salting a no-op, which is not what this
     # query exists to demonstrate.
@@ -59,10 +61,10 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "type_n", "type_sum")
 
 
-ORACLE_SALTED_JOIN = """
+ORACLE_SALTED_JOIN = f"""
 WITH stats AS (
     SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
-           round(sum(value), 4) AS type_sum
+           {usum_sql("value")} AS type_sum
     FROM events GROUP BY event_type)
 SELECT event_id, e.event_type, value, type_n, type_sum
 FROM events e JOIN stats USING (event_type)
@@ -147,12 +149,12 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumnRenamed("l_orderkey", "k"), "k", urgent, "k")
     return (hit.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
+                 usum("l_quantity").alias("sum_qty")))
 
 
-ORACLE_BLOOM_PREFILTER = """
+ORACLE_BLOOM_PREFILTER = f"""
 SELECT l_returnflag, count(*) AS n_items,
-       round(sum(l_quantity), 4) AS sum_qty
+       {usum_sql("l_quantity")} AS sum_qty
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')

@@ -460,7 +460,9 @@ def bm25_scores(docs: DataFrame, query_terms=BM25_QUERY_TERMS,
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     return (scored.withColumn("term_score", term_score)
             .groupBy("doc_id")
-            .agg(F.round(F.sum("term_score"), 6).alias("bm25"),
+            .agg(F.expr("round(CAST(sum(CAST(floor(term_score * 1e12) "
+                        "AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 6)")
+                 .alias("bm25"),
                  F.count(F.lit(1)).alias("n_terms_matched")))
 
 
@@ -484,10 +486,12 @@ tf AS (
 df_t AS (
     SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 SELECT doc_id,
-       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       round(CAST(sum(CAST(floor(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                  * (tf * ({BM25_K1} + 1)) /
                  (tf + {BM25_K1} * (1 - {BM25_B}
-                                    + {BM25_B} * dl / avgdl))), 6) AS bm25,
+                                    + {BM25_B} * dl / avgdl)) * 1e12)
+             AS HUGEINT)) AS DOUBLE) / 1e12, 6) AS bm25,
        CAST(count(*) AS BIGINT) AS n_terms_matched
 FROM tf JOIN dl USING (doc_id) JOIN df_t USING (term) CROSS JOIN stats
 GROUP BY doc_id
@@ -1091,7 +1095,10 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.min("quality_score"), 6).alias("min_score"),
                  F.round(F.max("quality_score"), 6).alias("max_score"),
-                 F.round(F.avg("quality_score"), 6).alias("mean_score")))
+                 F.expr("CAST(floor(CAST(sum(CAST(round(quality_score "
+                        "* 1e6) AS DECIMAL(38,0))) AS DOUBLE) "
+                        "/ count(quality_score) + 0.5E0) AS DOUBLE) / 1e6")
+                 .alias("mean_score")))
 
 
 ORACLE_CURRICULUM_BUCKETS = f"""
@@ -1115,7 +1122,9 @@ staged AS (
 SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs,
        round(min(quality_score), 6) AS min_score,
        round(max(quality_score), 6) AS max_score,
-       round(avg(quality_score), 6) AS mean_score
+       CAST(floor(CAST(sum(CAST(round(quality_score * 1e6) AS HUGEINT))
+                  AS DOUBLE) / count(quality_score) + 0.5E0) AS DOUBLE)
+           / 1e6 AS mean_score
 FROM staged GROUP BY lang, stage
 """
 
@@ -1738,8 +1747,14 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth curves are per-lang prefix sums (partitioned windows); the
     regression reuses the exact floor-quantized moment machinery from
     the Zipf fit verbatim — per-lang constant output, never a
-    driver-side fit."""
+    driver-side fit.
+
+    NULL-text docs are excluded: a NULL doc first in a language makes
+    cum_voc = 0 at its point, and ln(0) is NULL in Spark but an ERROR
+    in DuckDB — divergent failure modes. With the filter both curves
+    start >= 1 (an empty text still counts one '' token/word)."""
     docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull()) \
         .withColumn("toks", F.split("text", " "))
     per_doc = docs.select(
         "lang", "doc_id", F.size("toks").alias("n_tok"))
@@ -1774,7 +1789,7 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HEAPS = f"""
 WITH d AS (SELECT lang, doc_id, string_split(text, ' ') AS toks
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
 per_doc AS (SELECT lang, doc_id, len(toks) AS n_tok FROM d),
 first AS (
     SELECT lang, fd AS doc_id, count(*) AS new_words

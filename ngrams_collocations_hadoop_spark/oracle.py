@@ -272,7 +272,8 @@ docbg AS (
 docbg_f AS (SELECT * FROM docbg WHERE w1 <> '' AND w2 <> '')
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(count(p) AS BIGINT) AS n_scored,
-       round(sum(-ln(p)) / count(p), 6) AS cross_entropy
+       round(CAST(sum(CAST(floor((-ln(p)) * 1e12) AS HUGEINT)) AS DOUBLE)
+             / 1e12 / count(p), 6) AS cross_entropy
 FROM docbg_f LEFT JOIN lm USING (lang, decade, w1, w2)
 GROUP BY doc_id HAVING count(p) > 0
 """

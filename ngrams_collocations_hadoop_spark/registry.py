@@ -48,18 +48,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # should be ~23 r02 + the stalest r03 block unless implementations
 # change.
 # Late-r05 robustness edits (adversarial-corpus fuzz findings, see
-# tests/test_registry_fuzz.py): a set of queries changed on inputs
-# that do NOT occur in the fixture tables — NULL text/value/payload,
-# malformed JSON, non-ASCII payload bytes, exact session-gap
-# timestamps, sub-audit-size sketch groups. Every changed query was
-# strict-verified UNCHANGED at sf0.01 (and the driver re-runs both
-# engines fresh, so rows stay comparable). In the r05 window already:
-# rel_cusum, rel_json_extract, text_weighted_sample. Behind the
-# window (queue these at the FRONT of the r06 rotation with the r02
-# refresh queue): text_fingerprint, dedup_fingerprint, stream_session,
-# rel_incremental_agg, rel_approx_sketches, text_pack_sequences,
-# text_curriculum_buckets, mm_binary_stats, mm_frame_sample,
-# mm_resize.
+# tests/test_registry_fuzz.py and scripts/fuzz_sweep.py): two groups
+# of queries changed on hazards that do NOT occur in the fixture
+# tables, all strict-verified green at sf0.01 at HEAD (full
+# 161/161 sweep + 4-seed full-registry fuzz after the edits):
+#   (a) degenerate-input handling — NULL text/value/payload, malformed
+#       JSON, non-ASCII payload bytes, exact session-gap timestamps,
+#       sub-audit-size sketch groups (fingerprints, cusum,
+#       json_extract, weighted_sample, pack/curriculum, mm_*,
+#       stream_session, approx_sketches, heaps);
+#   (b) the order-independent aggregation pass — every
+#       float-sum/avg/moment-then-round output now derives from exact
+#       quantized integer sums via functions/exact.py (pricing_summary,
+#       rollup/cube/pivot, star_join, window_running/range,
+#       scalar_subquery, tumbling/sliding/sessionize, unpivot,
+#       equidepth, grouping_sets, salted/bucketed/bloom joins,
+#       hypertable/range rollups, corr_stats, anomaly_zscore,
+#       incremental_agg, bm25, doc_cross_entropy, centroids,
+#       kmeans_step, all streaming value sums incl. the stateful
+#       operator's integer-micro state).
+# Changed-and-behind-window queries go to the FRONT of the r06
+# rotation together with the r02 refresh queue (most of group (b)
+# IS that queue, so the rotation plan is unchanged in substance).
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
     "rel_gap_fill": rel.q_gap_fill,                 # densify + LOCF

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.exact import usum, usum_sql
+
 
 def write_partitioned(df: DataFrame, path: str,
                       partition_cols: list[str]) -> None:
@@ -83,12 +85,12 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey") == F.col("c_custkey"))
     return (j.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 4).alias("sum_price")))
+                 usum("o_totalprice").alias("sum_price")))
 
 
-ORACLE_BUCKETED_JOIN = """
+ORACLE_BUCKETED_JOIN = f"""
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 4) AS sum_price
+       {usum_sql("o_totalprice")} AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """

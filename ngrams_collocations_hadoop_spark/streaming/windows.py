@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import usum, usum_sql
+
 from ..sources.tables import _ensure_session_confs, normalize_timestamps
 
 SESSION_GAP_SECONDS = 1800
@@ -102,7 +104,7 @@ def tumbling_agg(stream: DataFrame) -> DataFrame:
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             usum("value").alias("sum_value"))
         .select(F.col("window.start").alias("win_start"),
                 "event_type", "n", "sum_value")
     )
@@ -119,9 +121,9 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same semantics as rel_tumbling_window — the streaming plan must agree
 # with the batch oracle.
-ORACLE_STREAM_TUMBLING = """
+ORACLE_STREAM_TUMBLING = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
-       count(*) AS n, round(sum(value), 4) AS sum_value
+       count(*) AS n, {usum_sql("value")} AS sum_value
 FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
 GROUP BY 1, 2
 """
@@ -137,7 +139,7 @@ def session_agg(stream: DataFrame,
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", f"{gap_seconds} seconds"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             usum("value").alias("sum_value"))
         .select("user_id",
                 F.col("session_window.start").alias("session_start"),
                 "n_events", "sum_value")
@@ -172,7 +174,7 @@ sess AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM gapped)
 SELECT user_id, min(ts) AS session_start,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
+       count(*) AS n_events, {usum_sql("value")} AS sum_value
 FROM sess GROUP BY user_id, sid
 """
 
@@ -180,19 +182,27 @@ FROM sess GROUP BY user_id, sid
 # --- custom stateful operator (applyInPandasWithState) ------------------
 
 STATEFUL_OUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATEFUL_STATE_SCHEMA = "n long, total double"
+STATEFUL_STATE_SCHEMA = "n long, total long"
 
 
 def _count_fn(key, pdf_iter, state):
     """Running per-user totals in explicit state — the minimal custom
-    stateful operator shape (arbitrary state, not a built-in agg)."""
-    n, total = state.get if state.exists else (0, 0.0)
+    stateful operator shape (arbitrary state, not a built-in agg).
+
+    The state total is integer MICRO-units, not a float: float state
+    accumulates in batch-arrival order, which need not match the
+    oracle's serial order, and Python ints are exact at any magnitude
+    (the same order-independence idiom as functions/exact.py)."""
+    n, total = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        vals = pdf["value"].dropna()
+        total += int(sum(int(round(v * 1e6)) for v in vals))
     state.update((n, total))
+    # same floor-half derivation as functions/exact.py (python round()
+    # is banker's — would disagree with the SQL twins on exact halves)
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "total_value": [round(total, 4)]})
+                        "total_value": [((total + 50) // 100) / 1e4]})
 
 
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
@@ -224,8 +234,8 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("s.total_value", 4).alias("total_value")))
 
 
-ORACLE_STREAM_STATEFUL = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+ORACLE_STREAM_STATEFUL = f"""
+SELECT user_id, count(*) AS n_events, {usum_sql("value")} AS total_value
 FROM events GROUP BY user_id
 """
 
@@ -268,7 +278,7 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     return (stream.dropDuplicates(["event_id"])
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
+                 usum("value").alias("sum_value")))
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,8 +295,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream(stream), "stream_dedup_out", "complete")
 
 
-ORACLE_STREAM_DEDUP = """
-SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+ORACLE_STREAM_DEDUP = f"""
+SELECT event_type, count(*) AS n, {usum_sql("value")} AS sum_value
 FROM events GROUP BY event_type
 """
 
@@ -302,7 +312,7 @@ def sliding_agg(stream: DataFrame) -> DataFrame:
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             usum("value").alias("sum_value"))
         .select(F.col("window.start").alias("win_start"), "n", "sum_value")
     )
 
@@ -316,7 +326,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same trick as the batch ORACLE_SLIDING_WINDOW: a 1h/30min sliding
 # window is the union of each event's 30-minute bucket and that bucket
 # shifted back 30 minutes.
-ORACLE_STREAM_SLIDING = """
+ORACLE_STREAM_SLIDING = f"""
 WITH slid AS (
     SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value
     FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
@@ -324,7 +334,7 @@ wins AS (
     SELECT b AS win_start, value FROM slid
     UNION ALL
     SELECT b - INTERVAL '30 minutes' AS win_start, value FROM slid)
-SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+SELECT win_start, count(*) AS n, {usum_sql("value")} AS sum_value
 FROM wins GROUP BY win_start
 """
 
@@ -342,7 +352,7 @@ def enrich_agg(stream: DataFrame, dim: DataFrame) -> DataFrame:
         enriched.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             usum("value").alias("sum_value"))
         .select(F.col("window.start").alias("win_start"),
                 "c_mktsegment", "n", "sum_value")
     )
@@ -357,9 +367,9 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_enrich_out", "complete")
 
 
-ORACLE_STREAM_ENRICH = """
+ORACLE_STREAM_ENRICH = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, c_mktsegment,
-       count(*) AS n, round(sum(value), 4) AS sum_value
+       count(*) AS n, {usum_sql("value")} AS sum_value
 FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
@@ -445,7 +455,7 @@ def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, "stream_dedup_bounded_out", "append")
     return (sink.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
+                 usum("value").alias("sum_value")))
 
 
 ORACLE_STREAM_DEDUP_BOUNDED = ORACLE_STREAM_DEDUP

@@ -1,0 +1,258 @@
+"""Adversarial corpus generator for registry-level differential fuzzing.
+
+Generates all ten fixture tables with the hazards the clean driver data
+never exercises — the input classes that real 100 TB corpora are full
+of and that every cross-engine divergence found so far hid behind:
+
+- documents: exact-duplicate and one-token-mutated texts (dense tie
+  structure on a tiny vocabulary), single-token and one-token-repeated
+  docs, EMPTY docs, NULL docs, non-ASCII tokens (accents, Hebrew,
+  emoji — multi-byte UTF-8), double-space/tab whitespace;
+- events: same-user same-timestamp ties, inactivity gaps exactly AT
+  and 1 s over the session boundary, sub-second offsets, NULL values,
+  round-half values (x.5, x.123455), NULL / malformed / missing-key /
+  non-numeric-value JSON props;
+- embeddings: exact-duplicate vectors (cosine = 1 ties), near
+  duplicates, negated vectors (cosine = -1), tiny-norm vectors;
+- TPC-H-ish tables: price ties (many rows at exactly 100.0), zero
+  prices, round-half prices (x.005), NULL acctbal, dangling foreign
+  keys (custkeys/nationkeys with no parent), orders with zero
+  lineitems, shipdates before the order date, order timestamps at
+  date boundaries (midnight, 23:59:59).
+
+Everything is deterministic in the seed (plain random.Random): a
+failing seed reproduces exactly, no shrinking needed. Used by
+tests/test_registry_fuzz.py (quick gate) and scripts/fuzz_sweep.py
+(full-registry campaign).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
+         "part", "hash", "the", "a", "emigre", "x1", "sort", "window"]
+UVOCAB = VOCAB + ["café", "שלום", "\U0001f600", "á"]
+LANGS = ["en", "de"]
+SOURCES = ["cc", "wiki", "books"]
+ETYPES = ["click", "view", "error", "buy"]
+EMB_DIM = 64
+
+SEGS = ["AUTO", "BLDG", "MACH"]
+STATUS = ["O", "F", "P"]
+PRIO = ["1-URGENT", "3-MEDIUM", "5-LOW"]
+RFLAG = ["A", "N", "R"]
+LSTAT = ["O", "F"]
+BRANDS = ["B#1", "B#2"]
+TYPES = ["small brass", "large steel"]
+
+
+def gen_documents(rng: random.Random, n: int = 120) -> pa.Table:
+    bases = [" ".join(rng.choices(UVOCAB, k=rng.randint(3, 30)))
+             for _ in range(6)]
+    rows = []
+    ids = rng.sample(range(0, 100000), n)
+    for i in range(n):
+        mode = rng.randrange(12)
+        if mode < 3:                     # exact duplicate of a base
+            text = rng.choice(bases)
+        elif mode < 6:                   # near-duplicate: mutate one token
+            toks = rng.choice(bases).split(" ")
+            toks[rng.randrange(len(toks))] = rng.choice(UVOCAB)
+            text = " ".join(toks)
+        elif mode == 6:                  # single token
+            text = rng.choice(UVOCAB)
+        elif mode == 7:                  # one token repeated
+            text = " ".join([rng.choice(UVOCAB)] * rng.randint(2, 12))
+        elif mode == 8:                  # empty text
+            text = ""
+        elif mode == 9:                  # NULL text (failed fetch)
+            text = None
+        elif mode == 10:                 # whitespace corners
+            text = "a  b\tc " + rng.choice(UVOCAB)
+        else:
+            text = " ".join(rng.choices(UVOCAB, k=rng.randint(1, 12)))
+        nc = len(text) if text is not None else None
+        rows.append((ids[i], text, rng.choice(LANGS), rng.choice(SOURCES),
+                     nc))
+    cols = list(zip(*rows))
+    return pa.table({"doc_id": pa.array(cols[0], pa.int64()),
+                     "text": pa.array(cols[1], pa.string()),
+                     "lang": pa.array(cols[2], pa.string()),
+                     "source": pa.array(cols[3], pa.string()),
+                     "n_chars": pa.array(cols[4], pa.int64())})
+
+
+def gen_events(rng: random.Random, n: int = 200) -> pa.Table:
+    base = 1704067200_000000  # 2024-01-01 UTC, microseconds
+    rows = []
+    users = [0, 1, 2, 7]
+    cur = {u: base + rng.randint(0, 3600) * 1000000 for u in users}
+    for i in range(n):
+        u = rng.choice(users)
+        mode = rng.randrange(10)
+        if mode < 3:
+            step = rng.randint(1, 600)   # in-session
+        elif mode == 3:
+            step = 1800                  # exactly AT the session gap
+        elif mode == 4:
+            step = 1801                  # just over it
+        elif mode == 5:
+            step = 0                     # tie: same user, same ts
+        else:
+            step = rng.randint(601, 7200)
+        cur[u] += step * 1000000
+        if rng.randrange(8) == 0:
+            cur[u] += rng.randint(1, 999999)  # sub-second offset
+        vmode = rng.randrange(10)
+        if vmode == 0:
+            value = 0.0
+        elif vmode == 1:
+            value = -rng.randint(1, 50) + 0.5
+        elif vmode == 2:
+            value = rng.randint(0, 100) + 0.123455  # round-6 boundary
+        elif vmode in (3, 6, 7):
+            value = None                 # missing measurement
+        else:
+            value = round(rng.uniform(-20, 120), 2)
+        props = rng.choice(['{"k": %d}' % rng.randint(0, 99), '{}',
+                            '{"j": 4}', None, 'not json', '{"k": "x"}'])
+        rows.append((i, cur[u], u, rng.choice(ETYPES), value, props))
+    cols = list(zip(*rows))
+    return pa.table({"event_id": pa.array(cols[0], pa.int64()),
+                     "ts": pa.array(cols[1], pa.timestamp("us")),
+                     "user_id": pa.array(cols[2], pa.int64()),
+                     "event_type": pa.array(cols[3], pa.string()),
+                     "value": pa.array(cols[4], pa.float64()),
+                     "props": pa.array(cols[5], pa.string())})
+
+
+def gen_embeddings(rng: random.Random, n: int = 80,
+                   dim: int = EMB_DIM) -> pa.Table:
+    bases = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(5)]
+    rows = []
+    for i in range(n):
+        mode = rng.randrange(10)
+        if mode < 3:                     # exact duplicate (cosine = 1)
+            v = list(rng.choice(bases))
+        elif mode < 6:                   # near duplicate
+            v = [x + rng.uniform(-0.01, 0.01) for x in rng.choice(bases)]
+        elif mode == 6:                  # negated (cosine = -1)
+            v = [-x for x in rng.choice(bases)]
+        elif mode == 7:                  # tiny norm
+            v = [x * 1e-6 for x in rng.choice(bases)]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, [float(round(x, 6)) for x in v], rng.randrange(4)))
+    cols = list(zip(*rows))
+    return pa.table({"vec_id": pa.array(cols[0], pa.int64()),
+                     "embedding": pa.array(cols[1], pa.list_(pa.float32())),
+                     "label": pa.array(cols[2], pa.int32())})
+
+
+def _price(rng: random.Random) -> float:
+    m = rng.randrange(8)
+    if m == 0:
+        return 0.0
+    if m == 1:
+        return round(rng.uniform(1, 50), 2) + 0.005   # round-half boundary
+    if m == 2:
+        return 100.0                                   # heavy ties
+    return round(rng.uniform(1, 5000), 2)
+
+
+def gen_tpch(rng: random.Random, out: str) -> None:
+    region = [(i, f"R{i}") for i in range(3)]
+    nation = [(i, f"N{i}", rng.randrange(3)) for i in range(5)]
+    ncust, nsupp, npart, nord = 40, 10, 25, 120
+    cust = [(i, f"C{i}", rng.randrange(6),   # nationkey 5 = dangling FK
+             _price(rng) if rng.randrange(10) else None,
+             rng.choice(SEGS)) for i in range(ncust)]
+    supp = [(i, f"S{i}", rng.randrange(5), _price(rng))
+            for i in range(nsupp)]
+    part = [(i, f"P{i}", rng.choice(BRANDS), rng.choice(TYPES),
+             rng.choice([1, 5, 5, 50]), _price(rng)) for i in range(npart)]
+    base_day = 1704067200  # 2024-01-01, seconds
+    orders, lineitem = [], []
+    for o in range(nord):
+        ck = rng.randrange(ncust + 3)          # some dangling custkeys
+        od = (base_day + rng.randrange(0, 120) * 86400
+              + rng.choice([0, 0, 0, 3600, 86399]))  # date boundaries
+        orders.append((o, ck, rng.choice(STATUS), _price(rng),
+                       od * 1000000, rng.choice(PRIO)))
+        for ln in range(rng.randrange(0, 5)):  # 0-line orders exist
+            sd = od + rng.choice([-86400, 0, 86400 * rng.randrange(1, 60)])
+            lineitem.append((o, rng.randrange(npart), rng.randrange(nsupp),
+                             ln + 1, float(rng.choice([0, 1, 1, 25, 50])),
+                             _price(rng),
+                             rng.choice([0.0, 0.05, 0.1]),
+                             rng.choice([0.0, 0.08]),
+                             rng.choice(RFLAG), rng.choice(LSTAT),
+                             sd * 1000000))
+
+    def tab(rows, spec):
+        cols = list(zip(*rows)) if rows else [[] for _ in spec]
+        return pa.table({n: pa.array(c, t)
+                         for (n, t), c in zip(spec, cols)})
+
+    pq.write_table(tab(region, [("r_regionkey", pa.int32()),
+                                ("r_name", pa.string())]),
+                   f"{out}/region.parquet")
+    pq.write_table(tab(nation, [("n_nationkey", pa.int32()),
+                                ("n_name", pa.string()),
+                                ("n_regionkey", pa.int32())]),
+                   f"{out}/nation.parquet")
+    pq.write_table(tab(cust, [("c_custkey", pa.int64()),
+                              ("c_name", pa.string()),
+                              ("c_nationkey", pa.int32()),
+                              ("c_acctbal", pa.float64()),
+                              ("c_mktsegment", pa.string())]),
+                   f"{out}/customer.parquet")
+    pq.write_table(tab(supp, [("s_suppkey", pa.int64()),
+                              ("s_name", pa.string()),
+                              ("s_nationkey", pa.int32()),
+                              ("s_acctbal", pa.float64())]),
+                   f"{out}/supplier.parquet")
+    pq.write_table(tab(part, [("p_partkey", pa.int64()),
+                              ("p_name", pa.string()),
+                              ("p_brand", pa.string()),
+                              ("p_type", pa.string()),
+                              ("p_size", pa.int32()),
+                              ("p_retailprice", pa.float64())]),
+                   f"{out}/part.parquet")
+    pq.write_table(tab(orders, [("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderstatus", pa.string()),
+                                ("o_totalprice", pa.float64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]),
+                   f"{out}/orders.parquet")
+    pq.write_table(tab(lineitem, [("l_orderkey", pa.int64()),
+                                  ("l_partkey", pa.int64()),
+                                  ("l_suppkey", pa.int64()),
+                                  ("l_linenumber", pa.int32()),
+                                  ("l_quantity", pa.float64()),
+                                  ("l_extendedprice", pa.float64()),
+                                  ("l_discount", pa.float64()),
+                                  ("l_tax", pa.float64()),
+                                  ("l_returnflag", pa.string()),
+                                  ("l_linestatus", pa.string()),
+                                  ("l_shipdate", pa.timestamp("us"))]),
+                   f"{out}/lineitem.parquet")
+
+
+ALL_TABLES = ("documents", "events", "embeddings", "region", "nation",
+              "customer", "supplier", "part", "orders", "lineitem")
+
+
+def write_fuzz_corpus(seed: int, out_dir: str) -> str:
+    """Write all ten tables, deterministic in the seed."""
+    rng = random.Random(seed)
+    pq.write_table(gen_documents(rng), f"{out_dir}/documents.parquet")
+    pq.write_table(gen_events(rng), f"{out_dir}/events.parquet")
+    pq.write_table(gen_embeddings(rng), f"{out_dir}/embeddings.parquet")
+    gen_tpch(random.Random(seed + 7000), out_dir)
+    return out_dir
