@@ -1326,46 +1326,75 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     or window; the flagging pass is a map-side comparison. Exact
     percentile sorts within each group's aggregation buffer; for
     groups too large for that, swap in approx_percentile with the same
-    plan (the repo pins that accuracy pattern in q_approx_sketches)."""
-    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    plan (the repo pins that accuracy pattern in q_approx_sketches).
+
+    Determinism: the percentiles run over integer MICRO values. An
+    even-count median interpolates (a+b)/2, which lands exactly on
+    half a 1e-6 grid step — where the engines' round(x, 6) disagree
+    (fuzz-observed .xxxxx75 flap). Doubling through the interpolation
+    keeps everything integer: med_u2 = 2·median, mad_u4 = 4·MAD (two
+    interpolations deep) are exact BIGINTs in both engines, outputs
+    derive with the floor-half idiom, and the outlier test
+    |v−med| > K·MAD becomes the exact integer comparison
+    2·|2q−med_u2| > 3·mad_u4 — no float ever decides membership."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("q"))
     med = (e.groupBy("event_type")
-           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+           .agg(F.expr("CAST(percentile(q, 0.5) * 2 AS BIGINT)")
+                .alias("med_u2")))
     mad = (e.join(F.broadcast(med), on="event_type")
            .groupBy("event_type")
-           .agg(F.first("med").alias("med"),
-                F.expr("percentile(abs(value - med), 0.5)").alias("mad")))
+           .agg(F.first("med_u2").alias("med_u2"),
+                F.expr("CAST(percentile(abs(2 * q - med_u2), 0.5) * 2 "
+                       "AS BIGINT)").alias("mad_u4")))
     return (e.join(F.broadcast(mad), on="event_type")
             .groupBy("event_type")
-            .agg(F.first(F.round("med", 6)).alias("median"),
-                 F.first(F.round("mad", 6)).alias("mad"),
-                 F.round(F.first("mad") * MAD_SIGMA, 6).alias("robust_sigma"),
+            .agg(F.first(F.expr(
+                     "floor((CAST(med_u2 AS DOUBLE) + 1) / 2) / 1e6"))
+                 .alias("median"),
+                 F.first(F.expr(
+                     "floor((CAST(mad_u4 AS DOUBLE) + 2) / 4) / 1e6"))
+                 .alias("mad"),
+                 F.first(F.expr(
+                     "round(CAST(mad_u4 AS DOUBLE) / 4e6 * 1.4826E0, 6)"))
+                 .alias("robust_sigma"),
                  F.count(F.lit(1)).alias("n"),
-                 F.sum((F.abs(F.col("value") - F.col("med"))
-                        > MAD_K * F.col("mad")).cast("long"))
-                 .alias("n_outliers"))
-            .withColumn("outlier_frac",
-                        F.round(F.col("n_outliers") / F.col("n"), 6)))
+                 F.sum(F.expr("CAST(2 * abs(2 * q - med_u2) > 3 * mad_u4 "
+                              "AS LONG)")).alias("n_outliers"))
+            .withColumn("outlier_frac", F.expr(
+                "floor(CAST(n_outliers AS DOUBLE) * 1e6 / n + 0.5E0) "
+                "/ 1e6")))
 
 
-ORACLE_MAD_OUTLIERS = f"""
-WITH med AS (
-    SELECT event_type, quantile_cont(value, 0.5) AS med
-    FROM events GROUP BY event_type),
+ORACLE_MAD_OUTLIERS = """
+WITH ev AS (
+    SELECT event_type, value,
+           CAST(round(value * 1e6) AS BIGINT) AS q
+    FROM events),
+med AS (
+    SELECT event_type, CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med_u2
+    FROM ev GROUP BY event_type),
 mad AS (
-    SELECT e.event_type, any_value(med) AS med,
-           quantile_cont(abs(value - med), 0.5) AS mad
-    FROM events e JOIN med USING (event_type)
+    SELECT e.event_type, any_value(med_u2) AS med_u2,
+           CAST(quantile_cont(abs(2 * q - med_u2), 0.5) * 2 AS BIGINT)
+               AS mad_u4
+    FROM ev e JOIN med USING (event_type)
     GROUP BY e.event_type)
 SELECT e.event_type,
-       round(any_value(mad.med), 6) AS median,
-       round(any_value(mad.mad), 6) AS mad,
-       round(any_value(mad.mad) * {MAD_SIGMA}, 6) AS robust_sigma,
+       floor((CAST(any_value(mad.med_u2) AS DOUBLE) + 1) / 2) / 1e6
+           AS median,
+       floor((CAST(any_value(mad.mad_u4) AS DOUBLE) + 2) / 4) / 1e6
+           AS mad,
+       round(CAST(any_value(mad.mad_u4) AS DOUBLE) / 4e6 * 1.4826E0, 6)
+           AS robust_sigma,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CASE WHEN abs(value - mad.med) > {MAD_K} * mad.mad
+       CAST(sum(CASE WHEN 2 * abs(2 * q - mad.med_u2) > 3 * mad.mad_u4
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       round(sum(CASE WHEN abs(value - mad.med) > {MAD_K} * mad.mad
-                 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS outlier_frac
-FROM events e JOIN mad USING (event_type)
+       floor(CAST(sum(CASE WHEN 2 * abs(2 * q - mad.med_u2)
+                           > 3 * mad.mad_u4 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 1e6 / count(*) + 0.5E0) / 1e6 AS outlier_frac
+FROM ev e JOIN mad USING (event_type)
 GROUP BY e.event_type
 """
 

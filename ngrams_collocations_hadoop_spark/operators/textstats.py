@@ -1339,8 +1339,13 @@ _Z_NUM = f"({_ZN} * {_ZD['xy']} - {_ZD['x']} * {_ZD['y']})"
 _Z_DEN = f"({_ZN} * {_ZD['xx']} - {_ZD['x']} * {_ZD['x']})"
 _Z_SLOPE = f"({_Z_NUM} / {_Z_DEN})"
 _Z_INTERCEPT = f"(({_ZD['y']} - {_Z_SLOPE} * {_ZD['x']}) / {_ZN})"
-_Z_R2 = (f"(({_Z_NUM} * {_Z_NUM}) / ({_Z_DEN} * "
-         f"({_ZN} * {_ZD['yy']} - {_ZD['y']} * {_ZD['y']})))")
+# r² is undefined when the y-variance is zero (all counts equal —
+# e.g. a degenerate language where every token appears once): the CASE
+# yields NULL instead of a division by zero (ANSI Spark throws, DuckDB
+# diverges to inf) — found by the extreme-hazard fuzz tier.
+_Z_R2 = (f"(CASE WHEN ({_ZN} * {_ZD['yy']} - {_ZD['y']} * {_ZD['y']}) "
+         f"<> 0E0 THEN ({_Z_NUM} * {_Z_NUM}) / ({_Z_DEN} * "
+         f"({_ZN} * {_ZD['yy']} - {_ZD['y']} * {_ZD['y']})) END)")
 
 
 def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,7 +1377,10 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = ranked.groupBy("lang").agg(
         q12("x"), q12("y"), q12("x * y"), q12("x * x"), q12("y * y"),
         F.count(F.lit(1)).alias("n"))
-    return mom.selectExpr(
+    # an OLS fit needs >= 2 rank points: a degenerate language (single
+    # distinct token) has zero x-variance — division by zero (ANSI
+    # throws, DuckDB yields inf) — and no meaningful power law anyway
+    return mom.filter(F.col("n") >= 2).selectExpr(
         "lang", "CAST(n AS BIGINT) AS n_points",
         f"round({_Z_SLOPE}, 6) AS slope",
         f"round({_Z_INTERCEPT}, 6) AS intercept",
@@ -1405,7 +1413,8 @@ SELECT lang, CAST(n AS BIGINT) AS n_points,
        round({_Z_SLOPE}, 6) AS slope,
        round({_Z_INTERCEPT}, 6) AS intercept,
        round({_Z_R2}, 6) AS r2
-FROM mom
+-- OLS needs >= 2 points (see the Spark twin's degenerate-lang note)
+FROM mom WHERE n >= 2
 """
 
 
@@ -1780,7 +1789,7 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = pts.groupBy("lang").agg(
         q12("x"), q12("y"), q12("x * y"), q12("x * x"), q12("y * y"),
         F.count(F.lit(1)).alias("n"))
-    return mom.selectExpr(
+    return mom.filter(F.col("n") >= 2).selectExpr(
         "lang", "CAST(n AS BIGINT) AS n_points",
         f"round({_Z_SLOPE}, 6) AS heaps_beta",
         f"round({_Z_INTERCEPT}, 6) AS intercept",
@@ -1818,5 +1827,5 @@ SELECT lang, CAST(n AS BIGINT) AS n_points,
        round({_Z_SLOPE}, 6) AS heaps_beta,
        round({_Z_INTERCEPT}, 6) AS intercept,
        round({_Z_R2}, 6) AS r2
-FROM mom
+FROM mom WHERE n >= 2
 """

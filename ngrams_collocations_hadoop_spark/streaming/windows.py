@@ -51,6 +51,18 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
+
+def _gate_epoch(stream: DataFrame) -> DataFrame:
+    """Timestamp sanity gate for streaming sources: drop pre-epoch
+    event times. Spark's state-store watermark starts at epoch 0, so a
+    pre-1970 event time (clock corruption in a real feed) is silently
+    dropped as late in its arrival batch — a batch oracle cannot model
+    "initial watermark" without replaying batch boundaries. Gating the
+    garbage explicitly at the source (standard ingest validation)
+    makes the streaming contract total; the oracles mirror the gate.
+    Found by the extreme-hazard fuzz tier (1969 timestamps)."""
+    return stream.filter(F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema from a batch peek;
     ns→µs conversion identical to the batch loader). Session confs are
@@ -60,7 +72,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
-    return normalize_timestamps(stream)
+    return _gate_epoch(normalize_timestamps(stream))
 
 
 # State-store partition count for the run-to-completion harness. Every
@@ -124,7 +136,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_TUMBLING = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
        count(*) AS n, {usum_sql("value")} AS sum_value
-FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
 GROUP BY 1, 2
 """
 
@@ -160,7 +172,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # new one. A `>=` here diverges exactly at the boundary — found by the
 # adversarial fuzz, which plants gaps of exactly SESSION_GAP_SECONDS.
 ORACLE_STREAM_SESSION = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
 gapped AS (
     SELECT user_id, ts, value, event_id,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
@@ -182,7 +194,7 @@ FROM sess GROUP BY user_id, sid
 # --- custom stateful operator (applyInPandasWithState) ------------------
 
 STATEFUL_OUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATEFUL_STATE_SCHEMA = "n long, total long"
+STATEFUL_STATE_SCHEMA = "n long, total long, nv long"
 
 
 def _count_fn(key, pdf_iter, state):
@@ -192,17 +204,21 @@ def _count_fn(key, pdf_iter, state):
     The state total is integer MICRO-units, not a float: float state
     accumulates in batch-arrival order, which need not match the
     oracle's serial order, and Python ints are exact at any magnitude
-    (the same order-independence idiom as functions/exact.py)."""
-    n, total = state.get if state.exists else (0, 0)
+    (the same order-independence idiom as functions/exact.py). `nv`
+    counts non-NULL measurements so a user with ONLY NULL values
+    yields a NULL total (SQL sum semantics) rather than 0.0."""
+    n, total, nv = state.get if state.exists else (0, 0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
         vals = pdf["value"].dropna()
+        nv += len(vals)
         total += int(sum(int(round(v * 1e6)) for v in vals))
-    state.update((n, total))
+    state.update((n, total, nv))
     # same floor-half derivation as functions/exact.py (python round()
     # is banker's — would disagree with the SQL twins on exact halves)
+    tv = ((total + 50) // 100) / 1e4 if nv else None
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "total_value": [((total + 50) // 100) / 1e4]})
+                        "total_value": [tv]})
 
 
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
@@ -236,7 +252,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_STATEFUL = f"""
 SELECT user_id, count(*) AS n_events, {usum_sql("value")} AS total_value
-FROM events GROUP BY user_id
+FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY user_id
 """
 
 
@@ -287,17 +303,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-checking oracle (any dedup failure doubles n)."""
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = normalize_timestamps(
+    stream = _gate_epoch(normalize_timestamps(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(_dup_stream_dir(sf_dir)))
+        .parquet(_dup_stream_dir(sf_dir))))
     return _run_to_completion(
         dedup_stream(stream), "stream_dedup_out", "complete")
 
 
 ORACLE_STREAM_DEDUP = f"""
 SELECT event_type, count(*) AS n, {usum_sql("value")} AS sum_value
-FROM events GROUP BY event_type
+FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
 """
 
 
@@ -329,7 +345,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_SLIDING = f"""
 WITH slid AS (
     SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)),
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')),
 wins AS (
     SELECT b AS win_start, value FROM slid
     UNION ALL
@@ -370,7 +386,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_ENRICH = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, c_mktsegment,
        count(*) AS n, {usum_sql("value")} AS sum_value
-FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
@@ -415,7 +431,7 @@ def q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_PAIR_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')
 SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
        CAST(floor(epoch(r.ts)) AS BIGINT)
          - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
@@ -446,9 +462,9 @@ def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator under test."""
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = normalize_timestamps(
+    stream = _gate_epoch(normalize_timestamps(
         spark.readStream.schema(schema)
-        .parquet(_dup_stream_dir(sf_dir)))
+        .parquet(_dup_stream_dir(sf_dir))))
     deduped = (stream.withWatermark("ts", "10 minutes")
                .dropDuplicatesWithinWatermark(["event_id"]))
     sink = _run_to_completion(
@@ -526,10 +542,10 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = normalize_timestamps(
+    stream = _gate_epoch(normalize_timestamps(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_dup_stream_dir(sf_dir)))
+        .parquet(_dup_stream_dir(sf_dir))))
     agg = (stream.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.floor(F.col("value") * 1e6)).cast("long")
@@ -554,7 +570,7 @@ SELECT event_type,
        CAST(2 * count(*) AS BIGINT) AS n,
        CAST(2 * sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
            AS sum_value_micro
-FROM events GROUP BY event_type
+FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
 """
 
 
@@ -592,7 +608,7 @@ ORACLE_STREAM_WINDOW_TOPK = f"""
 WITH agg AS (
     SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
            count(*) AS n
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
     GROUP BY 1, 2),
 ranked AS (
     SELECT win_start, event_type, n,
@@ -658,7 +674,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us
@@ -739,7 +755,9 @@ dim AS (
 SELECT d.version, e.event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
            AS sum_value_micro
-FROM ev e JOIN dim d
+-- the epoch gate applies to the STREAM side only: the dimension is a
+-- batch table (q_scd2_history) and keeps pre-epoch history versions
+FROM (SELECT * FROM ev WHERE ts >= TIMESTAMP '1970-01-01') e JOIN dim d
   ON e.user_id = d.user_id
  AND d.valid_from <= e.ts AND e.ts < d.valid_to
 GROUP BY 1, 2
@@ -787,7 +805,7 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_FULL_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us

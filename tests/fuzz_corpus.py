@@ -248,11 +248,38 @@ ALL_TABLES = ("documents", "events", "embeddings", "region", "nation",
               "customer", "supplier", "part", "orders", "lineitem")
 
 
+def _apply_extremes(docs: pa.Table, events: pa.Table,
+                    rng: random.Random) -> tuple[pa.Table, pa.Table]:
+    """Hazard tier 2: magnitude/domain extremes planted on top of the
+    generated tables — negative ids, whitespace-only text, an unknown
+    language, a very long document, PRE-EPOCH event times (1969; these
+    exposed the streaming initial-watermark drop), and large values.
+    """
+    d = docs.to_pydict()
+    d["doc_id"][0] = -5
+    d["text"][1], d["n_chars"][1] = "   ", 3
+    d["lang"][2] = "xx"
+    d["text"][3] = " ".join(rng.choices(UVOCAB, k=5000))
+    d["n_chars"][3] = len(d["text"][3])
+    docs = pa.table({k: pa.array(v, docs.schema.field(k).type)
+                     for k, v in d.items()})
+    e = events.to_pydict()
+    e["ts"][0] = -86400_000000 + 12345   # 1969-12-31 (+ a 1969 tie)
+    e["ts"][1] = -86400_000000 + 12345
+    e["user_id"][2] = -3
+    e["value"][3], e["value"][4] = 1e8, -1e8
+    events = pa.table({k: pa.array(v, events.schema.field(k).type)
+                       for k, v in e.items()})
+    return docs, events
+
+
 def write_fuzz_corpus(seed: int, out_dir: str) -> str:
     """Write all ten tables, deterministic in the seed."""
     rng = random.Random(seed)
-    pq.write_table(gen_documents(rng), f"{out_dir}/documents.parquet")
-    pq.write_table(gen_events(rng), f"{out_dir}/events.parquet")
+    docs, events = _apply_extremes(gen_documents(rng), gen_events(rng),
+                                   rng)
+    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    pq.write_table(events, f"{out_dir}/events.parquet")
     pq.write_table(gen_embeddings(rng), f"{out_dir}/embeddings.parquet")
     gen_tpch(random.Random(seed + 7000), out_dir)
     return out_dir
