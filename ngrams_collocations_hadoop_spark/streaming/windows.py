@@ -31,7 +31,12 @@ def _stream_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; the fixture is
     a single parquet file. Build (once) a /tmp directory containing a
     symlink to it — a test-harness shim only; a production stream reads
-    a log directory or Kafka."""
+    a log directory or Kafka.
+
+    `events.parquet` may itself be a DIRECTORY of part files (the
+    partitioning-invariance fuzz rewrites the corpus that way); the
+    file-stream source does not follow a symlinked directory's
+    contents, so each part file is linked individually."""
     import os
 
     # abspath first: a relative sf_dir would otherwise be resolved
@@ -39,15 +44,26 @@ def _stream_dir(sf_dir: str) -> str:
     # name would alias distinct working-directory spellings.
     sf_dir = os.path.abspath(sf_dir)
     d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events"
-    link = f"{d}/events.parquet"
     target = f"{sf_dir}/events.parquet"
     os.makedirs(d, exist_ok=True)
-    # recreate a stale/dangling link (fixture moved or replaced)
-    if os.path.islink(link) and os.path.realpath(link) != \
-            os.path.realpath(target):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(target, link)
+    if os.path.isdir(target) and not os.path.islink(target):
+        pairs = [(f"{d}/{f}", f"{target}/{f}")
+                 for f in sorted(os.listdir(target))
+                 if f.endswith(".parquet")]
+    else:
+        pairs = [(f"{d}/events.parquet", target)]
+    expected = {l for l, _ in pairs}
+    for f in os.listdir(d):
+        stale = f"{d}/{f}"
+        if os.path.islink(stale) and stale not in expected:
+            os.remove(stale)  # layout changed (file <-> directory corpus)
+    for link, tgt in pairs:
+        # recreate a stale/dangling link (fixture moved or replaced)
+        if os.path.islink(link) and os.path.realpath(link) != \
+                os.path.realpath(tgt):
+            os.remove(link)
+        if not os.path.islink(link):
+            os.symlink(tgt, link)
     return d
 
 
@@ -270,13 +286,26 @@ def _dup_stream_dir(sf_dir: str) -> str:
     d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events_dup"
     target = f"{sf_dir}/events.parquet"
     os.makedirs(d, exist_ok=True)
-    for name in ("events_a.parquet", "events_b.parquet"):
-        link = f"{d}/{name}"
-        if os.path.islink(link) and os.path.realpath(link) != \
-                os.path.realpath(target):
-            os.remove(link)
-        if not os.path.islink(link):
-            os.symlink(target, link)
+    if os.path.isdir(target) and not os.path.islink(target):
+        # directory corpus (partitioning fuzz): link every part twice
+        targets = [f"{target}/{f}" for f in sorted(os.listdir(target))
+                   if f.endswith(".parquet")]
+    else:
+        targets = [target]
+    expected = {f"{d}/events_{i:03d}_{tag}.parquet"
+                for i in range(len(targets)) for tag in ("a", "b")}
+    for f in os.listdir(d):
+        stale = f"{d}/{f}"
+        if os.path.islink(stale) and stale not in expected:
+            os.remove(stale)  # pre-rename layout or file-count change
+    for i, tgt in enumerate(targets):
+        for tag in ("a", "b"):
+            link = f"{d}/events_{i:03d}_{tag}.parquet"
+            if os.path.islink(link) and os.path.realpath(link) != \
+                    os.path.realpath(tgt):
+                os.remove(link)
+            if not os.path.islink(link):
+                os.symlink(tgt, link)
     return d
 
 

@@ -109,3 +109,43 @@ def test_registry_vs_oracle_on_adversarial_corpus(spark, tmp_path, seed):
     d = write_fuzz_corpus(seed, str(tmp_path))
     failures = run_fuzz(spark, d, FUZZ_QUERIES)
     assert not failures, f"seed {seed}: {failures}"
+
+
+PARTITION_SENSITIVE = [
+    # the queries whose plans most plausibly could leak partition
+    # order: window ranks/top-k tiebreaks, percentile interpolation,
+    # iterative label propagation, sampling keys, streaming state
+    "colloc_topk", "rel_topk_per_group", "rel_window_ranks",
+    "rel_percentiles", "rel_equidepth_histogram", "rel_mad_outliers",
+    "dedup_components", "dedup_keep_one", "text_weighted_sample",
+    "text_group_sample", "rel_sessionize", "stream_tumbling",
+    "rel_incremental_agg", "rel_corr_stats",
+]
+
+
+def test_partition_invariance_on_shuffled_split_corpus(spark, tmp_path):
+    """Row order + file split must not change any result: rewrite the
+    adversarial corpus shuffled into 8 part files per table and compare
+    canonical outputs against the single-file corpus (Spark vs Spark).
+    scripts/fuzz_partition.py runs the FULL registry; this quick gate
+    covers the most order-sensitive plans."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).
+                           resolve().parents[1] / "scripts"))
+    from fuzz_partition import canon, shuffle_split
+
+    base = str(tmp_path / "base")
+    shuf = str(tmp_path / "shuf")
+    import os
+    os.makedirs(base), os.makedirs(shuf)
+    write_fuzz_corpus(303, base)
+    shuffle_split(base, shuf, 303)
+    from ngrams_collocations_hadoop_spark.registry import QUERIES
+    bad = []
+    for name in PARTITION_SENSITIVE:
+        a = canon(QUERIES[name](spark, base).toPandas())
+        b = canon(QUERIES[name](spark, shuf).toPandas())
+        if not a.equals(b):
+            bad.append(name)
+    assert not bad, f"partition-order dependent: {bad}"
