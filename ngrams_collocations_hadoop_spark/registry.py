@@ -52,11 +52,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # of queries changed on hazards that do NOT occur in the fixture
 # tables, all strict-verified green at sf0.01 at HEAD (full
 # 161/161 sweep + 4-seed full-registry fuzz after the edits):
-#   (a) degenerate-input handling — NULL text/value/payload, malformed
-#       JSON, non-ASCII payload bytes, exact session-gap timestamps,
-#       sub-audit-size sketch groups (fingerprints, cusum,
-#       json_extract, weighted_sample, pack/curriculum, mm_*,
-#       stream_session, approx_sketches, heaps);
+#   (a) degenerate/extreme-input handling — NULL text/value/payload,
+#       malformed JSON, non-ASCII payload bytes, exact session-gap
+#       timestamps, sub-audit-size sketch groups, pre-epoch event
+#       times (streaming epoch gate), <2-point OLS fits, half-grid
+#       median interpolation (fingerprints, cusum, json_extract,
+#       weighted_sample, pack/curriculum, mm_*, stream_session and
+#       every streaming source, stateful totals, approx_sketches,
+#       zipf, heaps, mad_outliers);
 #   (b) the order-independent aggregation pass — every
 #       float-sum/avg/moment-then-round output now derives from exact
 #       quantized integer sums via functions/exact.py (pricing_summary,
