@@ -42,18 +42,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _grid_round(value_sql: str, scale: int) -> str:
-    """Round a DOUBLE holding 1e6-micro units to a 10^scale output,
-    via floor((v + half)/D)/grid — NOT round(v/1e6, scale): when the
-    exact sum ends in exactly half a grid step (…50 micro at scale 4),
-    the engines' round(x, n) algorithms disagree on the half (observed:
-    Spark 36380.1118 vs DuckDB 36380.1117 from IDENTICAL integer
-    sums). floor arithmetic on the micro value is exact in both
+def _unit_exp(unit: str) -> int:
+    assert unit.startswith("1e"), unit
+    return int(unit[2:])
+
+
+def _grid_round(value_sql: str, scale: int, unit: str = "1e6") -> str:
+    """Round a DOUBLE holding 1e^unit-grid integers to a 10^scale
+    output, via floor((v + half)/D)/grid — NOT round(v/unit, scale):
+    when the exact sum ends in exactly half a grid step (…50 micro at
+    scale 4), the engines' round(x, n) algorithms disagree on the half
+    (observed: Spark 36380.1118 vs DuckDB 36380.1117 from IDENTICAL
+    integer sums). floor arithmetic on the grid value is exact in both
     engines for |v| < 2^53 and defines the half-case once (half
-    rounds toward +inf). At scale 6 the division is exact as-is."""
-    d = 10 ** (6 - scale)
+    rounds toward +inf). When the grid equals the output scale the
+    division is exact as-is."""
+    d = 10 ** (_unit_exp(unit) - scale)
     if d == 1:
-        return f"CAST({value_sql} AS DOUBLE) / 1e6"
+        return f"CAST({value_sql} AS DOUBLE) / {unit}"
     return (f"floor((CAST({value_sql} AS DOUBLE) + {d // 2}) / {d}) "
             f"/ 1e{scale}")
 
@@ -62,7 +68,7 @@ def usum_sql(expr: str, scale: int = 4, unit: str = "1e6",
              huge: str = "BIGINT", fn: str = "round") -> str:
     """DuckDB text of the exact rounded sum (Spark twin: `usum`)."""
     s = f"sum(CAST({fn}(({expr}) * {unit}) AS {huge}))"
-    return _grid_round(s, scale)
+    return _grid_round(s, scale, unit)
 
 
 def usum(expr: str, scale: int = 4, unit: str = "1e6",
@@ -72,21 +78,29 @@ def usum(expr: str, scale: int = 4, unit: str = "1e6",
 
 
 def uavg_sql(expr: str, scale: int = 6, unit: str = "1e6",
-             huge: str = "BIGINT") -> str:
+             huge: str = "BIGINT", fn: str = "round") -> str:
     """DuckDB text of the exact rounded average (Spark twin: `uavg`).
     count(expr) (not count(*)) so NULL rows are excluded exactly as
-    avg() excludes them. The micro-mean S/n is rounded to an integer
-    micro value with the same floor-half idiom as `_grid_round` (the
+    avg() excludes them. The grid-mean S/n is rounded to an integer
+    grid value with the same floor-half idiom as `_grid_round` (the
     quotient can land exactly on a half), then scaled out."""
-    micro_mean = (f"floor(CAST(sum(CAST(round(({expr}) * {unit}) "
-                  f"AS {huge})) AS DOUBLE) / count({expr}) + 0.5E0)")
-    return _grid_round(micro_mean, scale)
+    grid_mean = (f"floor(CAST(sum(CAST({fn}(({expr}) * {unit}) "
+                 f"AS {huge})) AS DOUBLE) / count({expr}) + 0.5E0)")
+    return _grid_round(grid_mean, scale, unit)
 
 
 def uavg(expr: str, scale: int = 6, unit: str = "1e6",
-         huge: str = "BIGINT") -> Column:
+         huge: str = "BIGINT", fn: str = "round") -> Column:
     """`round(avg(expr), scale)` computed exactly (see module doc)."""
-    return F.expr(uavg_sql(expr, scale, unit, huge=huge))
+    return F.expr(uavg_sql(expr, scale, unit, huge=huge, fn=fn))
+
+
+def uwin_sql(expr: str, over: str, scale: int = 4, unit: str = "1e6",
+             huge: str = "HUGEINT", fn: str = "round") -> str:
+    """Windowed form of `usum_sql` for oracle texts: the quantized sum
+    runs OVER the given window clause, the derivation is shared."""
+    s = f"sum(CAST({fn}(({expr}) * {unit}) AS {huge})) OVER {over}"
+    return _grid_round(s, scale, unit)
 
 
 def uterm(expr: str, unit: str = "1e6", fn: str = "round",
@@ -99,4 +113,4 @@ def uterm(expr: str, unit: str = "1e6", fn: str = "round",
 
 def uderive(col: str, scale: int = 4, unit: str = "1e6") -> Column:
     """Final float from an exactly-summed quantized column."""
-    return F.expr(_grid_round(col, scale))
+    return F.expr(_grid_round(col, scale, unit))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import uavg, uavg_sql
+
 from ..constants import LLR_ROUND
 from ..functions import assoc
 from ..functions.llr import llr
@@ -154,10 +156,10 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter((F.col("w1") != "") & (F.col("w2") != "")))
     joined = db.join(lm, on=["lang", "decade", "w1", "w2"], how="left")
     # per-term -ln(p) is irrational: floor-quantize each term at 1e12
-    # and sum exactly (order-independent; the ≤1e-12/term truncation is
-    # invisible at the round-6 output) — functions/exact.py idiom.
-    ce = F.expr("round(CAST(sum(CAST(floor((-ln(p)) * 1e12) "
-                "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(p), 6)")
+    # and average exactly (order-independent; the ≤1e-12/term
+    # truncation is invisible at the round-6 output).
+    ce = uavg("-ln(p)", scale=6, unit="1e12", fn="floor",
+              huge="DECIMAL(38,0)")
     return (joined.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.count("p").alias("n_scored"),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import (uavg, uavg_sql, uderive,
-                               usum, usum_sql, uterm)
+                               usum, usum_sql, uterm, uwin_sql)
 from ..sources.tables import load_table
 
 
@@ -335,10 +335,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINDOW_RUNNING = f"""
 SELECT user_id, event_id,
-       floor((CAST(sum(CAST(round(value * 1e6) AS HUGEINT))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DOUBLE) + 50) / 100) / 1e4 AS running_value,
+       {uwin_sql("value", "(PARTITION BY user_id ORDER BY ts, event_id "
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
+           AS running_value,
        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -510,15 +509,21 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The extraction path is TOTAL: real event streams carry malformed
     JSON and non-numeric values, and ``get_json_object`` + ``try_cast``
-    yield NULL for both (never throw, even under ANSI). The oracle
-    mirrors this with a ``json_valid`` guard + ``TRY_CAST`` — DuckDB's
-    ``json_extract`` hard-errors on malformed input otherwise."""
+    yield NULL for both (never throw, even under ANSI). The numeric
+    conversion is DEFINED explicitly — parse the extracted string as
+    DOUBLE, then floor(d + 0.5) — because the engines' own string→int
+    casts disagree twice over: DuckDB casts from its JSON type with
+    true → 1, and even its string cast parses '1.5' → 2, while Spark's
+    try_cast yields NULL for both. With the shared expression, '1.5'
+    → 2, '69' → 69, and non-numeric ('x', true) → NULL on BOTH
+    engines (DuckDB additionally needs the json_valid guard so
+    malformed JSON doesn't hard-error)."""
     e = _t(spark, sf_dir, "events")
     return (
         e.select(
             "event_type",
-            F.expr("try_cast(get_json_object(props, '$.k') AS LONG)")
-             .alias("k"),
+            F.expr("CAST(floor(try_cast(get_json_object(props, '$.k') "
+                   "AS DOUBLE) + 0.5E0) AS LONG)").alias("k"),
         )
         .groupBy("event_type")
         .agg(F.round(F.avg("k"), 6).alias("avg_k"),
@@ -532,7 +537,8 @@ SELECT event_type,
        round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS n
 FROM (SELECT event_type,
              CASE WHEN json_valid(props)
-                  THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                  THEN CAST(floor(TRY_CAST(json_extract_string(props,
+                       '$.k') AS DOUBLE) + 0.5E0) AS BIGINT)
              END AS k
       FROM {EVENTS_US} events)
 GROUP BY event_type
@@ -843,16 +849,14 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-        uderive(
-            "_ts_sum").alias("sum_trailing_1h"),
-    ).withColumn("_drop", F.lit(None)).drop("_drop")
+        uderive("_ts_sum").alias("sum_trailing_1h"),
+    )
 
 
 ORACLE_WINDOW_RANGE = f"""
 SELECT user_id, event_id,
        count(*) OVER w AS n_trailing_1h,
-       floor((CAST(sum(CAST(round(value * 1e6) AS HUGEINT)) OVER w
-                   AS DOUBLE) + 50) / 100) / 1e4 AS sum_trailing_1h
+       {uwin_sql("value", "w")} AS sum_trailing_1h
 FROM {EVENTS_US}
 WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -1272,8 +1276,10 @@ def merge_partial_aggs(*partials: DataFrame) -> DataFrame:
             .agg(F.sum("n").alias("n"),
                  F.sum("total_u").alias("total_u"))
             .select("event_type", "n",
-                    F.expr("round(total_u / 1e6, 4)").alias("total"),
-                    F.expr("round(total_u / 1e6 / n, 6)").alias("mean")))
+                    F.expr("floor((CAST(total_u AS DOUBLE) + 50) / 100) "
+                           "/ 1e4").alias("total"),
+                    F.expr("CAST(floor(CAST(total_u AS DOUBLE) / n "
+                           "+ 0.5E0) AS DOUBLE) / 1e6").alias("mean")))
 
 
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1299,11 +1305,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_INCREMENTAL_AGG = """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       round(sum(CAST(floor(value * 1e6) AS BIGINT)) / 1e6, 4) AS total,
-       round(sum(CAST(floor(value * 1e6) AS BIGINT)) / 1e6
-             / count(*), 6) AS mean
-FROM events GROUP BY event_type
+WITH m AS (SELECT event_type, count(*) AS n,
+                  sum(CAST(floor(value * 1e6) AS BIGINT)) AS total_u
+           FROM events GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       floor((CAST(total_u AS DOUBLE) + 50) / 100) / 1e4 AS total,
+       CAST(floor(CAST(total_u AS DOUBLE) / n + 0.5E0) AS DOUBLE) / 1e6
+           AS mean
+FROM m
 """
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import uavg, uavg_sql
+
 from ..sources.tables import load_table
 from .dedup import cosine_expr
 
@@ -444,13 +446,11 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (unit.select("label", F.posexplode("u").alias("pos", "x"))
             .groupBy("label", "pos")
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
-                 F.expr("round(CAST(sum(CAST(floor(x * 1e12) "
-                        "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 "
-                        "/ count(x), 6)").alias("centroid"))
+                 uavg("x", scale=6, unit="1e12", fn="floor", huge="DECIMAL(38,0)").alias("centroid"))
             .withColumn("pos", F.col("pos").cast("long")))
 
 
-ORACLE_LABEL_CENTROIDS = """
+ORACLE_LABEL_CENTROIDS = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 u AS (
     SELECT label,
@@ -461,8 +461,7 @@ comp AS (
     FROM u, UNNEST(range(1, len(uv) + 1)) AS r(i))
 SELECT label, pos,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       round(CAST(sum(CAST(floor(x * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12
-             / count(x), 6) AS centroid
+       {uavg_sql("x", scale=6, unit="1e12", fn="floor")} AS centroid
 FROM comp GROUP BY label, pos
 """
 
@@ -680,9 +679,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster_id", "pos")
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
-                 F.expr("round(CAST(sum(CAST(floor(x * 1e12) "
-                        "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 "
-                        "/ count(x), 6)").alias("centroid_val"))
+                 uavg("x", scale=6, unit="1e12", fn="floor", huge="DECIMAL(38,0)").alias("centroid_val"))
             .withColumn("pos", F.col("pos").cast("long")))
 
 
@@ -706,8 +703,7 @@ comp AS (
     FROM assigned, UNNEST(range(1, len(v) + 1)) AS r(i))
 SELECT cluster_id, pos,
        CAST(count(*) AS BIGINT) AS n_members,
-       round(CAST(sum(CAST(floor(x * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12
-             / count(x), 6) AS centroid_val
+       {uavg_sql("x", scale=6, unit="1e12", fn="floor")} AS centroid_val
 FROM comp GROUP BY cluster_id, pos
 """
 

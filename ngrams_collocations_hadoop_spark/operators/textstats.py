@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import uavg, uavg_sql, usum, usum_sql
+
 from ..constants import LANGS, STOPWORDS, _LANG_EXTRA
 from ..sources.tables import fan_out, load_table
 
@@ -460,9 +462,8 @@ def bm25_scores(docs: DataFrame, query_terms=BM25_QUERY_TERMS,
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     return (scored.withColumn("term_score", term_score)
             .groupBy("doc_id")
-            .agg(F.expr("round(CAST(sum(CAST(floor(term_score * 1e12) "
-                        "AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 6)")
-                 .alias("bm25"),
+            .agg(usum("term_score", scale=6, unit="1e12", fn="floor",
+                      huge="DECIMAL(38,0)").alias("bm25"),
                  F.count(F.lit(1)).alias("n_terms_matched")))
 
 
@@ -486,12 +487,11 @@ tf AS (
 df_t AS (
     SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 SELECT doc_id,
-       round(CAST(sum(CAST(floor(
-                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                 * (tf * ({BM25_K1} + 1)) /
-                 (tf + {BM25_K1} * (1 - {BM25_B}
-                                    + {BM25_B} * dl / avgdl)) * 1e12)
-             AS HUGEINT)) AS DOUBLE) / 1e12, 6) AS bm25,
+       {usum_sql("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+                 " * (tf * (" + str(BM25_K1) + " + 1)) /"
+                 " (tf + " + str(BM25_K1) + " * (1 - " + str(BM25_B)
+                 + " + " + str(BM25_B) + " * dl / avgdl))",
+                 scale=6, unit="1e12", fn="floor")} AS bm25,
        CAST(count(*) AS BIGINT) AS n_terms_matched
 FROM tf JOIN dl USING (doc_id) JOIN df_t USING (term) CROSS JOIN stats
 GROUP BY doc_id
@@ -1095,9 +1095,7 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.min("quality_score"), 6).alias("min_score"),
                  F.round(F.max("quality_score"), 6).alias("max_score"),
-                 F.expr("CAST(floor(CAST(sum(CAST(round(quality_score "
-                        "* 1e6) AS DECIMAL(38,0))) AS DOUBLE) "
-                        "/ count(quality_score) + 0.5E0) AS DOUBLE) / 1e6")
+                 uavg("quality_score", huge="DECIMAL(38,0)")
                  .alias("mean_score")))
 
 
@@ -1122,9 +1120,7 @@ staged AS (
 SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs,
        round(min(quality_score), 6) AS min_score,
        round(max(quality_score), 6) AS max_score,
-       CAST(floor(CAST(sum(CAST(round(quality_score * 1e6) AS HUGEINT))
-                  AS DOUBLE) / count(quality_score) + 0.5E0) AS DOUBLE)
-           / 1e6 AS mean_score
+       {uavg_sql("quality_score", huge="HUGEINT")} AS mean_score
 FROM staged GROUP BY lang, stage
 """
 

@@ -10,6 +10,7 @@ embeddings) and hash-compares against the Spark results.
 
 from __future__ import annotations
 
+from .functions.exact import uavg_sql
 from .constants import LLR_ROUND, TOP_K, stopword_values_sql
 from .functions.assoc import chi_square_sql, pmi_sql, t_score_sql
 from .functions.llr import llr_sql
@@ -272,8 +273,7 @@ docbg AS (
 docbg_f AS (SELECT * FROM docbg WHERE w1 <> '' AND w2 <> '')
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(count(p) AS BIGINT) AS n_scored,
-       round(CAST(sum(CAST(floor((-ln(p)) * 1e12) AS HUGEINT)) AS DOUBLE)
-             / 1e12 / count(p), 6) AS cross_entropy
+       {uavg_sql("-ln(p)", scale=6, unit="1e12", fn="floor")} AS cross_entropy
 FROM docbg_f LEFT JOIN lm USING (lang, decade, w1, w2)
 GROUP BY doc_id HAVING count(p) > 0
 """

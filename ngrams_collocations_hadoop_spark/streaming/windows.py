@@ -27,16 +27,48 @@ from ..sources.tables import _ensure_session_confs, normalize_timestamps
 SESSION_GAP_SECONDS = 1800
 
 
+def _corpus_parts(sf_dir: str) -> list[str]:
+    """The events fixture's file list: either the single parquet file,
+    or — when the partitioning-invariance fuzz rewrote the corpus as a
+    directory — each part file (the file-stream source does not follow
+    a symlinked directory's contents, so parts are linked one by one).
+    """
+    import os
+
+    target = f"{sf_dir}/events.parquet"
+    if os.path.isdir(target) and not os.path.islink(target):
+        return [f"{target}/{f}" for f in sorted(os.listdir(target))
+                if f.endswith(".parquet")]
+    return [target]
+
+
+def _link_layout(d: str, pairs: list[tuple[str, str]]) -> str:
+    """Materialize exactly the (link, target) layout in ``d``: remove
+    any other symlink (a corpus layout change would otherwise leave
+    stale links delivering extra copies), refresh dangling/moved
+    links, create the rest."""
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    expected = {l for l, _ in pairs}
+    for f in os.listdir(d):
+        stale = f"{d}/{f}"
+        if os.path.islink(stale) and stale not in expected:
+            os.remove(stale)
+    for link, tgt in pairs:
+        if os.path.islink(link) and os.path.realpath(link) != \
+                os.path.realpath(tgt):
+            os.remove(link)
+        if not os.path.islink(link):
+            os.symlink(tgt, link)
+    return d
+
+
 def _stream_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; the fixture is
-    a single parquet file. Build (once) a /tmp directory containing a
-    symlink to it — a test-harness shim only; a production stream reads
-    a log directory or Kafka.
-
-    `events.parquet` may itself be a DIRECTORY of part files (the
-    partitioning-invariance fuzz rewrites the corpus that way); the
-    file-stream source does not follow a symlinked directory's
-    contents, so each part file is linked individually."""
+    a single parquet file (or a fuzz-rewritten directory of parts).
+    Build (once) a /tmp directory of symlinks to it — a test-harness
+    shim only; a production stream reads a log directory or Kafka."""
     import os
 
     # abspath first: a relative sf_dir would otherwise be resolved
@@ -44,27 +76,12 @@ def _stream_dir(sf_dir: str) -> str:
     # name would alias distinct working-directory spellings.
     sf_dir = os.path.abspath(sf_dir)
     d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events"
-    target = f"{sf_dir}/events.parquet"
-    os.makedirs(d, exist_ok=True)
-    if os.path.isdir(target) and not os.path.islink(target):
-        pairs = [(f"{d}/{f}", f"{target}/{f}")
-                 for f in sorted(os.listdir(target))
-                 if f.endswith(".parquet")]
+    parts = _corpus_parts(sf_dir)
+    if len(parts) == 1:
+        pairs = [(f"{d}/events.parquet", parts[0])]
     else:
-        pairs = [(f"{d}/events.parquet", target)]
-    expected = {l for l, _ in pairs}
-    for f in os.listdir(d):
-        stale = f"{d}/{f}"
-        if os.path.islink(stale) and stale not in expected:
-            os.remove(stale)  # layout changed (file <-> directory corpus)
-    for link, tgt in pairs:
-        # recreate a stale/dangling link (fixture moved or replaced)
-        if os.path.islink(link) and os.path.realpath(link) != \
-                os.path.realpath(tgt):
-            os.remove(link)
-        if not os.path.islink(link):
-            os.symlink(tgt, link)
-    return d
+        pairs = [(f"{d}/{os.path.basename(t)}", t) for t in parts]
+    return _link_layout(d, pairs)
 
 
 
@@ -223,12 +240,21 @@ def _count_fn(key, pdf_iter, state):
     (the same order-independence idiom as functions/exact.py). `nv`
     counts non-NULL measurements so a user with ONLY NULL values
     yields a NULL total (SQL sum semantics) rather than 0.0."""
+    import math
+
+    def q_micro(v: float) -> int:
+        # SQL round() is half-AWAY-FROM-ZERO; Python round() is
+        # banker's, which diverges whenever v*1e6 lands exactly on a
+        # half in double (e.g. 2.5e-06*1e6 == 2.5: SQL 3, Python 2)
+        return (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5))
+
     n, total, nv = state.get if state.exists else (0, 0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
         vals = pdf["value"].dropna()
         nv += len(vals)
-        total += int(sum(int(round(v * 1e6)) for v in vals))
+        total += sum(q_micro(v) for v in vals)
     state.update((n, total, nv))
     # same floor-half derivation as functions/exact.py (python round()
     # is banker's — would disagree with the SQL twins on exact halves)
@@ -284,29 +310,10 @@ def _dup_stream_dir(sf_dir: str) -> str:
     # would resolve the link target against /tmp (dangling symlink).
     sf_dir = os.path.abspath(sf_dir)
     d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events_dup"
-    target = f"{sf_dir}/events.parquet"
-    os.makedirs(d, exist_ok=True)
-    if os.path.isdir(target) and not os.path.islink(target):
-        # directory corpus (partitioning fuzz): link every part twice
-        targets = [f"{target}/{f}" for f in sorted(os.listdir(target))
-                   if f.endswith(".parquet")]
-    else:
-        targets = [target]
-    expected = {f"{d}/events_{i:03d}_{tag}.parquet"
-                for i in range(len(targets)) for tag in ("a", "b")}
-    for f in os.listdir(d):
-        stale = f"{d}/{f}"
-        if os.path.islink(stale) and stale not in expected:
-            os.remove(stale)  # pre-rename layout or file-count change
-    for i, tgt in enumerate(targets):
-        for tag in ("a", "b"):
-            link = f"{d}/events_{i:03d}_{tag}.parquet"
-            if os.path.islink(link) and os.path.realpath(link) != \
-                    os.path.realpath(tgt):
-                os.remove(link)
-            if not os.path.islink(link):
-                os.symlink(tgt, link)
-    return d
+    pairs = [(f"{d}/events_{i:03d}_{tag}.parquet", tgt)
+             for i, tgt in enumerate(_corpus_parts(sf_dir))
+             for tag in ("a", "b")]
+    return _link_layout(d, pairs)
 
 
 def dedup_stream(stream: DataFrame) -> DataFrame:

@@ -119,7 +119,8 @@ def gen_events(rng: random.Random, n: int = 200) -> pa.Table:
         else:
             value = round(rng.uniform(-20, 120), 2)
         props = rng.choice(['{"k": %d}' % rng.randint(0, 99), '{}',
-                            '{"j": 4}', None, 'not json', '{"k": "x"}'])
+                            '{"j": 4}', None, 'not json', '{"k": "x"}',
+                            '{"k": 1.5}', '{"k": true}'])
         rows.append((i, cur[u], u, rng.choice(ETYPES), value, props))
     cols = list(zip(*rows))
     return pa.table({"event_id": pa.array(cols[0], pa.int64()),
