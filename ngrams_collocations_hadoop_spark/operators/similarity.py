@@ -29,6 +29,20 @@ from ..functions.exact import uavg, uavg_sql
 from ..sources.tables import load_table
 from .dedup import cosine_expr
 
+def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan with a finite-vector gate: drop vectors with a
+    NaN/Inf component. Corrupt model outputs exist in real corpora,
+    and they poison every quantizing/moment operator DIVERGENTLY —
+    DuckDB's integer CAST of a non-finite value is a hard error while
+    Spark's behavior differs per expression. Sanitizing at the scan
+    (standard ingest validation) makes every embedding operator total;
+    every oracle's embeddings scan mirrors the gate with a
+    list_filter-on-isnan/isinf subquery."""
+    return load_table(spark, sf_dir, "embeddings").filter(F.expr(
+        "NOT exists(embedding, x -> isnan(x) "
+        "OR abs(x) = CAST('Infinity' AS FLOAT))"))
+
+
 TOPK_NEIGHBORS = 10
 N_QUERY_VECS = 10   # fixture query set: vec_id < 10
 LSH_BITS = 8
@@ -38,7 +52,7 @@ EMB_DIM = 64
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (vec_id <
     N_QUERY_VECS), excluding self; deterministic tiebreak on vec_id."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_finite_embeddings(spark, sf_dir)
     q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb")))
@@ -58,7 +72,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            list_dot_product(q.v, c.v)
@@ -97,7 +111,7 @@ def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter-THEN-rank is the semantics retrieval actually wants, and
     per-query result counts stay exactly k whenever k survivors
     exist."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_finite_embeddings(spark, sf_dir)
     keep = (load_table(spark, sf_dir, "documents")
             .filter(F.col("n_chars") >= FILTER_MIN_CHARS)
             .select(F.col("doc_id").alias("cand_id")))
@@ -121,7 +135,7 @@ def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_FILTERED = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 keep AS (SELECT doc_id FROM documents
          WHERE n_chars >= {FILTER_MIN_CHARS}),
 scored AS (
@@ -198,7 +212,7 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cosine 0.24-0.49, p ≈ 0.6) hyperplane LSH provably cannot have
     both recall and pruning — the checked `sim_lsh_recall` query makes
     that number visible instead of hiding it."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_finite_embeddings(spark, sf_dir)
     banded = e.select(
         "vec_id", "embedding",
         F.explode(F.array(*[
@@ -238,7 +252,7 @@ def _hyperplanes_values_sql() -> str:
 
 
 ORACLE_COSINE_TOPK_LSH = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 hyp(table_id, bit, h) AS (VALUES
     {_hyperplanes_values_sql()}),
 buckets AS (
@@ -323,7 +337,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on cell id, so per-query work is the probed cells' size
     (~NPROBE/n_cells of the corpus), not the corpus. Deterministic
     end-to-end → full SQL oracle, unlike the LSH path."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_finite_embeddings(spark, sf_dir)
     cents = (e.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").alias("cent_emb")))
@@ -358,7 +372,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_IVF = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 cents AS (
     SELECT vec_id AS cent_id, v AS cv FROM e
     WHERE vec_id % {CENTROID_STRIDE} = 0),
@@ -436,7 +450,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates before the shuffle, so shuffle volume is bounded by
     labels x dim, not by the corpus.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_finite_embeddings(spark, sf_dir)
     v = e.select("vec_id", "label",
                  F.col("embedding").cast("array<double>").alias("v"))
     norm = F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
@@ -451,7 +465,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LABEL_CENTROIDS = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 u AS (
     SELECT label,
            list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
@@ -496,7 +510,7 @@ def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, WindowGroupLimit top-k); only the scoring representation
     changes. Ranking is by quantized cosine, so the oracle checks the
     *approximation itself*, not just the exact re-rank."""
-    e = load_table(spark, sf_dir, "embeddings") \
+    e = load_finite_embeddings(spark, sf_dir) \
         .withColumn("qv", quantize_expr("embedding"))
 
     def inorm(col: str) -> F.Column:
@@ -539,7 +553,7 @@ WITH e AS (
            list_transform(embedding::DOUBLE[],
                x -> CAST(least({QUANT_SCALE}, greatest(-{QUANT_SCALE},
                     round(x * {QUANT_SCALE}))) AS BIGINT)) AS q
-    FROM embeddings),
+    FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 n AS (
     SELECT vec_id, v, q,
            list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS qn
@@ -587,7 +601,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and order-independent. The covariance is then derived as ONE fixed
     double expression, identical text in Spark and DuckDB; the trailing
     + 0.0 normalizes IEEE −0.0 to +0.0 on both sides."""
-    e = load_table(spark, sf_dir, "embeddings") \
+    e = load_finite_embeddings(spark, sf_dir) \
         .select(F.col("embedding").cast("array<double>").alias("v"))
     xi = e.select("v", F.posexplode("v").alias("i", "xi"))
     xij = (xi.select("i", "xi", F.posexplode("v").alias("j", "xj"))
@@ -610,7 +624,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBEDDING_COVARIANCE = """
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 xi AS (
     SELECT v, CAST(i - 1 AS BIGINT) AS i, v[i] AS xi
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -673,7 +687,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     = re-running with the emitted centroids; each step is this plan.
     Long-format output (cluster_id, pos, centroid_val) — nested arrays
     don't survive result canonicalizers."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     assigned = _kmeans_assign(e)
     return (assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
@@ -684,7 +698,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KMEANS_STEP = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -732,7 +746,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid set stays broadcastable (K·dim floats) far beyond
     that, and an oversized straggler cluster is handled like any skewed
     join key (salt by a secondary hash, verify across salts)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # The assignment feeds three consumers (both pair sides + the final
     # keep join) and Catalyst does not canonicalize them to one reused
@@ -771,7 +785,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_SEMANTIC = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -840,7 +854,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus sum fits DECIMAL(38,0) to ~4e18 rows. Direction is
     unaffected — w is normalized by max|w| — and s keeps ~33 bits of
     per-row precision, far beyond what 3 iterations resolve."""
-    e = load_table(spark, sf_dir, "embeddings") \
+    e = load_finite_embeddings(spark, sf_dir) \
         .select(F.col("embedding").cast("array<double>").alias("v"))
     # exact per-dimension mean: integer micro-sums + count
     xi = e.select(F.posexplode("v").alias("pos", "x"))
@@ -898,7 +912,7 @@ def _power_oracle() -> str:
     per round, integer-exact throughout, HUGEINT where Spark uses
     DECIMAL(38,0)."""
     head = f"""
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 xi AS (
     SELECT CAST(i - 1 AS BIGINT) AS pos, v[i] AS x
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -988,10 +1002,23 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors; ranking is WindowGroupLimit top-k. Determinism: argmin is
     min(named_struct(d2, cid)) — lexicographic, exact tiebreak — and
     every float fold has fixed index order shared with the oracle."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cent = (e.filter(F.col("vec_id") < PQ_K)
-            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    # Codebook = the first PQ_K FINITE vectors with DENSE 0-based ids:
+    # the ADC distance table is positional, so centroid ids must be
+    # 0..K-1 even when the finite-vector gate drops low vec_ids (a raw
+    # `vec_id < PQ_K` seeded a short table and out-of-bounds lookups —
+    # found by the NaN-vector fuzz). Dense rank via a tiny broadcast
+    # self-join (K rows), not an unpartitioned window.
+    first_k = (e.orderBy("vec_id").limit(PQ_K)
+               .select(F.col("vec_id").alias("cvid"),
+                       F.col("v").alias("cv")))
+    ids = first_k.select(F.col("cvid").alias("oid"))
+    cent = (first_k.join(F.broadcast(ids), F.col("oid") <= F.col("cvid"))
+            .groupBy("cvid")
+            .agg(F.first("cv").alias("cv"),
+                 (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
+            .select("cid", "cv"))
     pairs = e.crossJoin(F.broadcast(cent))
     codes = pairs.groupBy("vec_id").agg(
         F.array(*[
@@ -1031,8 +1058,10 @@ def _pq_oracle() -> str:
     code_cols = ", ".join(
         f"(min(struct_pack(d := {d2(m)}, c := cid))).c" for m in range(PQ_M))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {PQ_K}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                AS cid, v AS cv
+         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),
 codes AS (
     SELECT vec_id, [{code_cols}] AS codes
     FROM e CROSS JOIN cent GROUP BY vec_id),

@@ -249,6 +249,18 @@ ALL_TABLES = ("documents", "events", "embeddings", "region", "nation",
               "customer", "supplier", "part", "orders", "lineitem")
 
 
+def _apply_embedding_extremes(emb: pa.Table) -> pa.Table:
+    """Corrupt-vector hazards: an all-NaN vector and an Inf component
+    (failed model outputs). These poisoned every quantizing/moment
+    operator divergently until the finite-vector gate; kept in the
+    corpus so the gate stays honest."""
+    d = emb.to_pydict()
+    d["embedding"][0] = [float("nan")] * EMB_DIM
+    d["embedding"][1] = [float("inf")] + [0.1] * (EMB_DIM - 1)
+    return pa.table({k: pa.array(v, emb.schema.field(k).type)
+                     for k, v in d.items()})
+
+
 def _apply_extremes(docs: pa.Table, events: pa.Table,
                     rng: random.Random) -> tuple[pa.Table, pa.Table]:
     """Hazard tier 2: magnitude/domain extremes planted on top of the
@@ -281,6 +293,7 @@ def write_fuzz_corpus(seed: int, out_dir: str) -> str:
                                    rng)
     pq.write_table(docs, f"{out_dir}/documents.parquet")
     pq.write_table(events, f"{out_dir}/events.parquet")
-    pq.write_table(gen_embeddings(rng), f"{out_dir}/embeddings.parquet")
+    pq.write_table(_apply_embedding_extremes(gen_embeddings(rng)),
+                   f"{out_dir}/embeddings.parquet")
     gen_tpch(random.Random(seed + 7000), out_dir)
     return out_dir
