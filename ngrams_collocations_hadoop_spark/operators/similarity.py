@@ -1018,7 +1018,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cvid")
             .agg(F.first("cv").alias("cv"),
                  (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
-            .select("cid", "cv"))
+            .select("cid", "cv")
+            .persist())  # K rows, consumed by encoding AND query table
     pairs = e.crossJoin(F.broadcast(cent))
     codes = pairs.groupBy("vec_id").agg(
         F.array(*[
