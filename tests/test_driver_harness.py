@@ -19,7 +19,8 @@ spark.sparkContext.setLogLevel("ERROR")
 import duckdb, pandas as pd
 import __spark_entry__ as E
 con = duckdb.connect()
-for t in ["events", "orders", "customer", "documents", "lineitem"]:
+for t in ["events", "orders", "customer", "documents", "lineitem",
+          "nation", "region", "embeddings"]:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM "
         f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
@@ -35,7 +36,12 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              "rel_pit_enrich", "stream_outer_join",
              "stream_scd2_enrich", "rel_sketch_reagg",
              "stream_full_outer_join", "text_weighted_sample",
-             "dedup_persisted_lsh", "colloc_topk_quirk"]:
+             "dedup_persisted_lsh", "colloc_topk_quirk",
+             # late-r05 fuzz-hardened queries (exact-sum derives,
+             # epoch gate, dense PQ codebook, json casts)
+             "stream_session", "stream_stateful_totals",
+             "rel_json_extract", "rel_mad_outliers", "rel_star_join",
+             "sim_pq_topk", "text_curriculum_buckets"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
