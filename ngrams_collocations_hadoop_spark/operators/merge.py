@@ -29,9 +29,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserted (inserts)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    # the 10% bump in exact integer units: price * 1.1 on a .xx5-ending
+    # price lands EXACTLY on a 4-decimal half, where the engines' float
+    # round() disagree (functions/exact.py); 1e7-unit ints * 11 keep it
+    # exact, derived once with the shared floor-half text
     updates = (o.filter(F.col("o_orderstatus") == "O")
-               .withColumn("o_totalprice",
-                           F.round(F.col("o_totalprice") * 1.1, 4)))
+               .withColumn("o_totalprice", F.expr(
+                   "floor((CAST(round(o_totalprice * 1e7) AS BIGINT) * 11 "
+                   "+ 5000) / 10000) / 1e4")))
     max_key = 10_000_000
     inserts = (load_table(spark, sf_dir, "customer")
                .select((F.col("c_custkey") + max_key).alias("o_orderkey"),
@@ -45,7 +50,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MERGE_UPSERT = """
 WITH updates AS (
     SELECT o_orderkey, o_custkey, o_orderstatus,
-           round(o_totalprice * 1.1, 4) AS o_totalprice
+           floor((CAST(round(o_totalprice * 1e7) AS BIGINT) * 11
+                  + 5000) / 10000) / 1e4 AS o_totalprice
     FROM orders WHERE o_orderstatus = 'O'
     UNION ALL
     SELECT c_custkey + 10000000, c_custkey, 'N', 0.0 FROM customer)

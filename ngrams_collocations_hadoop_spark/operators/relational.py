@@ -2119,7 +2119,8 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= SLOPE_H)
         .selectExpr(
             "event_type", "hour",
-            f"round(num / {_SLOPE_2D} / 1e6, 6) AS slope_per_step"))
+            f"CAST(floor(CAST(num AS DOUBLE) / {_SLOPE_2D} + 0.5E0) "
+            f"AS DOUBLE) / 1e6 AS slope_per_step"))
 
 
 ORACLE_ROLLING_SLOPE = f"""
@@ -2133,6 +2134,8 @@ fitted AS (
            row_number() {_EWMA_OVER} AS rn,
            ({_SLOPE_NUM}) AS num
     FROM hourly)
-SELECT event_type, hour, round(num / {_SLOPE_2D} / 1e6, 6) AS slope_per_step
+SELECT event_type, hour,
+       CAST(floor(CAST(num AS DOUBLE) / {_SLOPE_2D} + 0.5E0) AS DOUBLE)
+           / 1e6 AS slope_per_step
 FROM fitted WHERE rn >= {SLOPE_H}
 """

@@ -1179,7 +1179,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum(F.round(F.col("lr") * 1e6).cast("long")).alias("s"))
             .select("doc_id", "lang", "n_tokens",
-                    F.round(F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6)
+                    # floor-half micro-mean, not round(): s/(1e6·n) can
+                    # land exactly on a round-6 half where the engines'
+                    # round() disagree (functions/exact.py idiom)
+                    F.expr("CAST(floor(CAST(s AS DOUBLE) / n_tokens "
+                           "+ 0.5E0) AS DOUBLE) / 1e6")
                     .alias("dsir_logweight")))
 
 
@@ -1199,8 +1203,8 @@ lm AS (
     FROM cnt_r r LEFT JOIN cnt_t t ON r.token = t.token
     CROSS JOIN totals CROSS JOIN totals_t)
 SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(CAST(round(lr * 1e6) AS BIGINT))
-             / (1e6 * count(*)), 6) AS dsir_logweight
+       CAST(floor(CAST(sum(CAST(round(lr * 1e6) AS BIGINT)) AS DOUBLE)
+                  / count(*) + 0.5E0) AS DOUBLE) / 1e6 AS dsir_logweight
 FROM tok JOIN lm USING (token)
 GROUP BY doc_id, lang
 """

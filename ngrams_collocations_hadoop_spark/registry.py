@@ -69,7 +69,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       hypertable/range rollups, corr_stats, anomaly_zscore,
 #       incremental_agg, bm25, doc_cross_entropy, centroids,
 #       kmeans_step, all streaming value sums incl. the stateful
-#       operator's integer-micro state).
+#       operator's integer-micro state);
+#   (c) the rational-derive pass (seed-505 find on dsir_weights, then
+#       the same class closed by grep): mean/ratio derivations that
+#       divide an exact integer sum by a count or power of ten can
+#       land EXACTLY on a round-6/round-4 half, where the engines'
+#       round() disagree — replaced with the shared floor-half derive
+#       (dsir_weights, link_prediction, rolling_slope, merge_upsert's
+#       1.1x bump in 1e7-unit integers). Of these only dsir_weights is
+#       behind the window.
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance).
