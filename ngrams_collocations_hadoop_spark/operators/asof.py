@@ -83,7 +83,8 @@ def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ASOF_EVENTS_ORDERS = """
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+            WHERE ts IS NOT NULL),
 o AS (
     SELECT o_custkey AS user_id, o_orderdate AS odate,
            max(o_orderkey) AS o_orderkey
@@ -115,9 +116,15 @@ def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events") \
         .select("event_id", "user_id", "ts", "event_type")
+    # Anonymous dim rows (NULL user_id) are unreachable by the oracle's
+    # equi-join (NULL never matches `=`), but the union-merge's window
+    # PARTITION BY groups NULLs TOGETHER — a NULL-uid event would see a
+    # NULL-uid "history" the relational formulation says doesn't exist.
+    # Drop them from the dim: anonymous events then take the 'none'/0
+    # sentinel on both sides.
     dim = q_scd2_history(spark, sf_dir).select(
         "user_id", F.col("event_type").alias("seg_type"),
-        "valid_from", "version")
+        "valid_from", "version").filter(F.col("user_id").isNotNull())
     # asof_join contract: one right row per (by, ts). Two same-instant
     # events with different types can start two runs at one
     # valid_from; keep the max version (what any strictly-later event
@@ -139,7 +146,8 @@ def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .relational import SCD2_STARTS_SQL as _SCD2_STARTS_SQL
 
 ORACLE_PIT_ENRICH = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+            WHERE ts IS NOT NULL),
 starts AS (
     SELECT user_id, event_type AS seg_type, ts AS valid_from,
            CAST(row_number() OVER (PARTITION BY user_id
@@ -196,7 +204,8 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ATTRIBUTION = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+            WHERE ts IS NOT NULL),
 p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
       FROM ev WHERE event_type = 'click'),

@@ -34,8 +34,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # DuckDB reads events.ts as TIMESTAMP_NS; cast to µs-precision TIMESTAMP in
-# oracles so both engines emit identical timestamp values.
-EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+# oracles so both engines emit identical timestamp values. The
+# `ts IS NOT NULL` mirrors the scan gate in sources/tables.py::load_table —
+# a NULL event time hits every engine disagreement at once (window()
+# emits no bucket vs a NULL bucket; ORDER BY NULLS FIRST vs LAST).
+EVENTS_US = ("(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events "
+             "WHERE ts IS NOT NULL)")
 
 # --- A: aggregation shapes (A1-A5 generalized + distinct/avg/min/max) ---
 
@@ -342,7 +346,7 @@ SELECT user_id, event_id,
            AS prev_type,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS BIGINT) AS seq
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 
@@ -718,7 +722,7 @@ SELECT event_type,
        TRUE AS approx_users_within_rsd,
        TRUE AS approx_p50_within_eps,
        TRUE AS approx_p99_within_eps
-FROM events GROUP BY event_type
+FROM events WHERE ts IS NOT NULL GROUP BY event_type
 HAVING count(value) >= {SKETCH_MIN_GROUP}
 """
 
@@ -820,7 +824,7 @@ WITH moments AS (
            sum(CAST(user_id AS HUGEINT) * user_id) AS _syy,
            sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
                * user_id) AS _sxy
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY event_type)
 SELECT event_type, {", ".join(_CORR_EXPRS)}
 FROM moments
@@ -964,7 +968,7 @@ FROM (SELECT event_id, event_type, value,
                        AS HUGEINT)) OVER w AS _sx,
                    sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
                        * CAST(round(value * 1e6) AS BIGINT)) OVER w AS _sxx
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY event_type)))
 WHERE abs(zscore) > 2
 """
@@ -996,7 +1000,7 @@ WITH pairs AS (
     SELECT event_type,
            lead(event_type, 1) OVER (PARTITION BY user_id
                 ORDER BY ts, event_id) AS next_type
-    FROM events),
+    FROM events WHERE ts IS NOT NULL),
 counts AS (
     SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
     FROM pairs WHERE next_type IS NOT NULL
@@ -1307,7 +1311,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_INCREMENTAL_AGG = """
 WITH m AS (SELECT event_type, count(*) AS n,
                   sum(CAST(floor(value * 1e6) AS BIGINT)) AS total_u
-           FROM events GROUP BY event_type)
+           FROM events WHERE ts IS NOT NULL GROUP BY event_type)
 SELECT event_type, CAST(n AS BIGINT) AS n,
        floor((CAST(total_u AS DOUBLE) + 50) / 100) / 1e4 AS total,
        CAST(floor(CAST(total_u AS DOUBLE) / n + 0.5E0) AS DOUBLE) / 1e6
@@ -1380,7 +1384,7 @@ ORACLE_MAD_OUTLIERS = """
 WITH ev AS (
     SELECT event_type, value,
            CAST(round(value * 1e6) AS BIGINT) AS q
-    FROM events),
+    FROM events WHERE ts IS NOT NULL),
 med AS (
     SELECT event_type, CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med_u2
     FROM ev GROUP BY event_type),
@@ -1744,7 +1748,15 @@ def q_sketch_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("_est_d"),
                    F.countDistinct("user_id").cast("long")
                    .alias("exact_users")))
-    j = per_type.join(direct, "event_type")
+    # Null-safe join key (<=>): an untyped (NULL event_type) group is
+    # real data — both aggregation paths produce it — but a plain
+    # equi-join silently drops it, making the audit report one group
+    # fewer than the corpus has. The oracle keeps the NULL group.
+    j = (per_type.alias("m")
+         .join(direct.alias("d"),
+               F.expr("m.event_type <=> d.event_type"))
+         .select(F.col("m.event_type").alias("event_type"),
+                 "n_days", "exact_users", "_est_m", "_est_d"))
     bound = F.greatest(F.col("exact_users") * 0.05, F.lit(2.0))
     close = F.greatest(F.col("exact_users") * 0.03, F.lit(2.0))
     return j.select(

@@ -65,9 +65,9 @@ ORACLE_SALTED_JOIN = f"""
 WITH stats AS (
     SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
            {usum_sql("value")} AS type_sum
-    FROM events GROUP BY event_type)
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type)
 SELECT event_id, e.event_type, value, type_n, type_sum
-FROM events e JOIN stats USING (event_type)
+FROM events e JOIN stats USING (event_type) WHERE ts IS NOT NULL
 """
 
 

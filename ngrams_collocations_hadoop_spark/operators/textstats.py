@@ -1761,9 +1761,13 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-text docs are excluded: a NULL doc first in a language makes
     cum_voc = 0 at its point, and ln(0) is NULL in Spark but an ERROR
     in DuckDB — divergent failure modes. With the filter both curves
-    start >= 1 (an empty text still counts one '' token/word)."""
+    start >= 1 (an empty text still counts one '' token/word).
+    NULL-lang docs are excluded for the same reason: the per-doc /
+    first-occurrence join is on (lang, doc_id), and NULL join keys
+    never match, so a NULL-lang group would carry cum_voc = 0 into
+    the same ln(0) divergence."""
     docs = load_table(spark, sf_dir, "documents") \
-        .filter(F.col("text").isNotNull()) \
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()) \
         .withColumn("toks", F.split("text", " "))
     per_doc = docs.select(
         "lang", "doc_id", F.size("toks").alias("n_tok"))
@@ -1798,7 +1802,7 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HEAPS = f"""
 WITH d AS (SELECT lang, doc_id, string_split(text, ' ') AS toks
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
 per_doc AS (SELECT lang, doc_id, len(toks) AS n_tok FROM d),
 first AS (
     SELECT lang, fd AS doc_id, count(*) AS new_words

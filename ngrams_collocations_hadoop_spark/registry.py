@@ -77,7 +77,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       round() disagree — replaced with the shared floor-half derive
 #       (dsir_weights, link_prediction, rolling_slope, merge_upsert's
 #       1.1x bump in 1e7-unit integers). Of these only dsir_weights is
-#       behind the window.
+#       behind the window;
+#   (d) the NULL-identity pass (corpus now plants NULL ts / user_id /
+#       event_type / lang): NULL event times hit window()-drops vs
+#       NULL-bucket and NULLS FIRST/LAST divergences — gated once at
+#       the events scan (sources/tables.py::load_table) and mirrored
+#       in every events oracle, so EVERY events query's plan gained
+#       one pushed IsNotNull (no behavior change on NULL-free data);
+#       plus four semantic finds: the merge sink duplicated NULL-key
+#       rows per micro-batch (now <=> anti-join), sketch_reagg's
+#       equi-join dropped the NULL-type group (now <=>), pit_enrich's
+#       union-merge null-safely matched anonymous events the join
+#       oracle says are unmatched (NULL-uid dim rows dropped), and the
+#       window_topk rank tiebreak ordered NULL first vs last (NULL
+#       type excluded). heaps excludes NULL-lang docs (NULL join keys
+#       made cum_voc=0 -> ln(0) error-vs-NULL).
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance).

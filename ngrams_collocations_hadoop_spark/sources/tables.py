@@ -138,7 +138,20 @@ def normalize_timestamps(df: DataFrame, path: str | None = None) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
-    return normalize_timestamps(spark.read.parquet(path), path)
+    df = normalize_timestamps(spark.read.parquet(path), path)
+    if name == "events":
+        # An event without a timestamp is contentless for a time-series
+        # engine, and the engines disagree on every path it touches:
+        # Spark's window() silently emits no bucket for a NULL event
+        # time while date-arithmetic oracles emit a NULL bucket, and
+        # ORDER BY places NULLs first (Spark) vs last (DuckDB), shifting
+        # every running/as-of/session computation. Gate ONCE at the scan
+        # (pushed to the parquet reader as IsNotNull); every events
+        # oracle carries the same `WHERE ts IS NOT NULL`. Same policy as
+        # the streaming sources' epoch gate, which already drops NULLs.
+        from pyspark.sql import functions as F
+        df = df.filter(F.col("ts").isNotNull())
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

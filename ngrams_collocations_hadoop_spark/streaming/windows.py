@@ -539,9 +539,19 @@ def stream_merge_to_table(spark: SparkSession, stream: DataFrame,
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         if os.path.exists(table_path):
-            current = sess.read.parquet(table_path)
-            merged = (current.join(batch.select(*key_cols),
-                                   on=key_cols, how="left_anti")
+            # Null-safe key equality (<=>), NOT on=key_cols: a NULL key
+            # never satisfies plain `=`, so the anti-join would KEEP the
+            # table's stale NULL-key row while the union adds the
+            # batch's — one duplicate per micro-batch. With <=> a NULL
+            # key upserts like any other (the standard MERGE-INTO
+            # NULL-key pitfall on transactional tables too).
+            current = sess.read.parquet(table_path).alias("cur")
+            bkeys = batch.select(*key_cols).alias("b")
+            cond = None
+            for k in key_cols:
+                c = F.col(f"cur.{k}").eqNullSafe(F.col(f"b.{k}"))
+                cond = c if cond is None else (cond & c)
+            merged = (current.join(bkeys, on=cond, how="left_anti")
                       .unionByName(batch))
         else:
             merged = batch
@@ -633,6 +643,12 @@ def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = _run_to_completion(
         tumbling_agg(_event_stream(spark, sf_dir)),
         "stream_window_topk_out", "complete")
+    # A NULL event type is contentless for a per-type leaderboard, and
+    # it sits inside the rank's TIEBREAK: ORDER BY event_type ASC puts
+    # NULL first in Spark but last in DuckDB, so a NULL-type group
+    # shifts every rank below it differently per engine. Excluded on
+    # both sides (policy (7): contentless rows out before ordering).
+    agg = agg.filter(F.col("event_type").isNotNull())
     w = (Window.partitionBy("win_start")
          .orderBy(F.desc("n"), F.asc("event_type")))
     return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -645,6 +661,7 @@ WITH agg AS (
     SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
            count(*) AS n
     FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
+    WHERE event_type IS NOT NULL
     GROUP BY 1, 2),
 ranked AS (
     SELECT win_start, event_type, n,
@@ -776,7 +793,8 @@ from ..operators.relational import SCD2_SENTINEL as _SCD2_SENTINEL
 from ..operators.relational import SCD2_STARTS_SQL as _SCD2_STARTS_SQL
 
 ORACLE_STREAM_SCD2_ENRICH = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+            WHERE ts IS NOT NULL),
 starts AS (
     SELECT user_id, event_type AS seg_type, ts AS valid_from, event_id
     FROM ({_SCD2_STARTS_SQL}) runs),

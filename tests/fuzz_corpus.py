@@ -6,10 +6,15 @@ of and that every cross-engine divergence found so far hid behind:
 
 - documents: exact-duplicate and one-token-mutated texts (dense tie
   structure on a tiny vocabulary), single-token and one-token-repeated
-  docs, EMPTY docs, NULL docs, non-ASCII tokens (accents, Hebrew,
+  docs, EMPTY docs, NULL docs, whitespace-only and padded docs,
+  NULL lang (unlabeled crawl), non-ASCII tokens (accents, Hebrew,
   emoji — multi-byte UTF-8), double-space/tab whitespace;
 - events: same-user same-timestamp ties, inactivity gaps exactly AT
   and 1 s over the session boundary, sub-second offsets, NULL values,
+  NULL ts / user_id / event_type (every identity column of a real
+  feed goes missing sometimes; NULL ts hits Spark's window()-drops-
+  NULL-buckets vs date-arithmetic NULL buckets, and ORDER BY NULLS
+  FIRST (Spark) vs LAST (DuckDB) — gated at the scan on both sides),
   round-half values (x.5, x.123455), NULL / malformed / missing-key /
   non-numeric-value JSON props;
 - embeddings: exact-duplicate vectors (cosine = 1 ties), near
@@ -72,12 +77,14 @@ def gen_documents(rng: random.Random, n: int = 120) -> pa.Table:
         elif mode == 9:                  # NULL text (failed fetch)
             text = None
         elif mode == 10:                 # whitespace corners
-            text = "a  b\tc " + rng.choice(UVOCAB)
+            text = rng.choice(["a  b\tc " + rng.choice(UVOCAB),
+                               "   ",                      # whitespace-only
+                               "  " + rng.choice(UVOCAB) + " "])  # padded
         else:
             text = " ".join(rng.choices(UVOCAB, k=rng.randint(1, 12)))
         nc = len(text) if text is not None else None
-        rows.append((ids[i], text, rng.choice(LANGS), rng.choice(SOURCES),
-                     nc))
+        lang = None if rng.randrange(17) == 0 else rng.choice(LANGS)
+        rows.append((ids[i], text, lang, rng.choice(SOURCES), nc))
     cols = list(zip(*rows))
     return pa.table({"doc_id": pa.array(cols[0], pa.int64()),
                      "text": pa.array(cols[1], pa.string()),
@@ -121,7 +128,12 @@ def gen_events(rng: random.Random, n: int = 200) -> pa.Table:
         props = rng.choice(['{"k": %d}' % rng.randint(0, 99), '{}',
                             '{"j": 4}', None, 'not json', '{"k": "x"}',
                             '{"k": 1.5}', '{"k": true}'])
-        rows.append((i, cur[u], u, rng.choice(ETYPES), value, props))
+        # identity-column dropout: NULL ts / user_id / event_type
+        # (the clock still advances per user so the stream stays real)
+        ts = None if rng.randrange(23) == 0 else cur[u]
+        uid = None if rng.randrange(31) == 0 else u
+        etype = None if rng.randrange(29) == 0 else rng.choice(ETYPES)
+        rows.append((i, ts, uid, etype, value, props))
     cols = list(zip(*rows))
     return pa.table({"event_id": pa.array(cols[0], pa.int64()),
                      "ts": pa.array(cols[1], pa.timestamp("us")),

@@ -48,6 +48,8 @@ FUZZ_QUERIES = [
     "rel_gap_fill", "rel_json_extract", "rel_anomaly_zscore",
     "rel_event_transitions", "rel_funnel", "rel_window_range",
     "rel_approx_sketches", "rel_incremental_agg", "stream_session",
+    # NULL-identity hazard finds (ts/user_id/event_type dropout)
+    "rel_sketch_reagg", "rel_pit_enrich", "rel_scd2",
     # embeddings-only
     "sim_cosine_topk", "dedup_embedding_cosine", "sim_label_centroids",
     "sim_kmeans_step", "sim_embedding_covariance",

@@ -161,6 +161,42 @@ def test_stream_merge_to_table_upserts_and_is_idempotent(spark):
     assert got2 == got1
 
 
+def test_stream_merge_to_table_upserts_null_keys(spark, tmp_path):
+    """A NULL merge key must UPSERT like any other key. Plain `=` in
+    the anti-join never matches NULL, so before the null-safe (<=>)
+    condition each micro-batch KEPT the table's stale NULL row and
+    unioned its own — one duplicate per batch (found by the NULL-
+    identity fuzz hazard on stream_merge_sink)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        stream_merge_to_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two single-file batches, both containing the NULL key
+    for i, rows in enumerate([[("a", 1), (None, 10)],
+                              [("a", 2), (None, 20), ("b", 3)]]):
+        ks, vs = zip(*rows)
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.string()),
+                      "v": pa.array(vs, pa.int64())}),
+            str(src / f"batch{i}.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = stream.groupBy("k").agg(F.sum("v").cast("long").alias("s"))
+    table = str(tmp_path / "table")
+    stream_merge_to_table(spark, agg, table, str(tmp_path / "cp"),
+                          key_cols=["k"])
+    got = {r["k"]: r["s"] for r in spark.read.parquet(table).collect()}
+    rows = spark.read.parquet(table).count()
+    # exactly one row per key INCLUDING the NULL key, cumulative totals
+    assert rows == 3 and got == {"a": 3, None: 30, "b": 3}
+
+
 def test_stream_outer_join_withholds_young_unmatched(spark, tmp_path):
     """End-of-stream state flush: an unmatched event old enough that
     the final watermark proves no match (l_ts + follow < wm) must emit
