@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .relational import EVENTS_US as _EVENTS_US
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: str,
@@ -82,9 +83,8 @@ def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_cols=["o_orderkey", "odate"])
 
 
-ORACLE_ASOF_EVENTS_ORDERS = """
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-            WHERE ts IS NOT NULL),
+ORACLE_ASOF_EVENTS_ORDERS = f"""
+WITH ev AS {_EVENTS_US},
 o AS (
     SELECT o_custkey AS user_id, o_orderdate AS odate,
            max(o_orderkey) AS o_orderkey
@@ -146,8 +146,7 @@ def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .relational import SCD2_STARTS_SQL as _SCD2_STARTS_SQL
 
 ORACLE_PIT_ENRICH = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-            WHERE ts IS NOT NULL),
+WITH ev AS {_EVENTS_US},
 starts AS (
     SELECT user_id, event_type AS seg_type, ts AS valid_from,
            CAST(row_number() OVER (PARTITION BY user_id
@@ -179,7 +178,12 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase") \
         .select("event_id", "user_id", "ts")
-    clicks = ev.filter(F.col("event_type") == "click") \
+    # NULL-uid clicks are unreachable by the oracle's equi-join but the
+    # union-merge's PARTITION BY groups NULLs together (same hazard as
+    # q_pit_enrich's dim): drop them, so anonymous purchases report the
+    # unattributed sentinel on both sides.
+    clicks = ev.filter((F.col("event_type") == "click")
+                       & F.col("user_id").isNotNull()) \
         .select("user_id", F.col("event_id").alias("click_id"),
                 F.col("ts").alias("click_ts"))
     # asof_join contract: one right row per (by, ts) — keep the max
@@ -204,8 +208,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ATTRIBUTION = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-            WHERE ts IS NOT NULL),
+WITH ev AS {_EVENTS_US},
 p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
       FROM ev WHERE event_type = 'click'),

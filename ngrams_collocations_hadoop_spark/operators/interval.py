@@ -39,8 +39,8 @@ FOLLOW_WINDOW_S = 600
 LEAD_TYPE = "click"
 FOLLOW_TYPE = "purchase"
 
-EVENTS_US = ("(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events "
-             "WHERE ts IS NOT NULL)")
+# single definition of the gated events scan — see relational.py
+from .relational import EVENTS_US
 
 
 def range_join_follow_counts(events: DataFrame,

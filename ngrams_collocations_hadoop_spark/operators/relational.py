@@ -769,19 +769,27 @@ _VX = ("(CAST(_sxx AS DOUBLE) / 1e12 "
 _VY = "(CAST(_syy AS DOUBLE) - pow(CAST(_sy AS DOUBLE), 2) / _n) / _n"
 _CNUM = ("CAST(_sxy AS DOUBLE) / 1e6 "
          "- CAST(_sx AS DOUBLE) / 1e6 * CAST(_sy AS DOUBLE) / _n")
+# The `+ 0E0` on every signed column normalizes IEEE negative zero:
+# a correlation/covariance whose true value is a tiny negative rounds
+# to -0.0 in DuckDB (scaled-double round keeps the sign bit) but to
+# 0.0 in Spark (BigDecimal drops it), and the canonical text then
+# differs ("-0.0" vs "0.0") despite equal values (seed-908 find).
+# x + 0.0 is exact for every finite x and turns -0.0 into +0.0 in
+# both engines; sqrt(greatest(.., 0)) columns cannot go negative.
 _CORR_EXPRS = [
     "CAST(_n AS BIGINT) AS n",
     f"round(CASE WHEN ({_VX}) * ({_VY}) > 0E0 "
-    f"THEN ({_CNUM}) / _n / sqrt(({_VX}) * ({_VY})) END, 6) AS corr_vu",
-    f"round(({_CNUM}) / _n, 6) AS covar_pop_vu",
-    f"round(CASE WHEN _n > 1 THEN ({_CNUM}) / (_n - 1) END, 6) "
+    f"THEN ({_CNUM}) / _n / sqrt(({_VX}) * ({_VY})) END, 6) + 0E0 "
+    "AS corr_vu",
+    f"round(({_CNUM}) / _n, 6) + 0E0 AS covar_pop_vu",
+    f"round(CASE WHEN _n > 1 THEN ({_CNUM}) / (_n - 1) END, 6) + 0E0 "
     "AS covar_samp_vu",
     f"round(sqrt(greatest({_VX}, 0E0)), 6) AS stddev_pop_v",
     f"round(CASE WHEN _n > 1 THEN "
     f"sqrt(greatest(({_VX}) * _n / (_n - 1), 0E0)) END, 6) "
     "AS stddev_samp_v",
-    f"round({_VX}, 6) AS var_pop_v",
-    f"round(CASE WHEN _n > 1 THEN ({_VX}) * _n / (_n - 1) END, 6) "
+    f"round({_VX}, 6) + 0E0 AS var_pop_v",
+    f"round(CASE WHEN _n > 1 THEN ({_VX}) * _n / (_n - 1) END, 6) + 0E0 "
     "AS var_samp_v",
 ]
 
@@ -2055,7 +2063,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = (o.filter(F.col("o_orderkey") % 7 != 0)
            .withColumn("o_totalprice",
                        F.when(F.col("o_orderpriority") == "1-URGENT",
-                              F.round(F.col("o_totalprice") * 1.1, 4))
+                              # exact 10% bump in 1e7-unit ints —
+                              # same idiom as q_merge_upsert
+                              F.expr(
+                                  "floor((CAST(round(o_totalprice * 1e7) "
+                                  "AS BIGINT) * 11 + 5000) / 10000) / 1e4"))
                        .otherwise(F.col("o_totalprice")))
            .select(F.col("o_orderkey").alias("k"), rh.alias("h_new")))
     j = old.join(new, on="k", how="full_outer")
@@ -2078,7 +2090,8 @@ new AS (
     SELECT o_orderkey AS k,
            md5(concat_ws('|', o_custkey::VARCHAR, o_orderpriority,
                round(CASE WHEN o_orderpriority = '1-URGENT'
-                          THEN round(o_totalprice * 1.1, 4)
+                          THEN floor((CAST(round(o_totalprice * 1e7)
+                               AS BIGINT) * 11 + 5000) / 10000) / 1e4
                           ELSE o_totalprice END, 4)::VARCHAR)) AS h
     FROM orders WHERE o_orderkey % 7 <> 0)
 SELECT coalesce(old.k, new.k) AS o_orderkey,

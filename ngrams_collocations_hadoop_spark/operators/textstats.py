@@ -1158,9 +1158,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (load_table(spark, sf_dir, "documents")
            .select("doc_id", "lang", F.explode(F.split("text", " "))
                    .alias("token")))
+    # eqNullSafe, not ==: an unlabeled (NULL lang) doc is NOT target-
+    # domain. Plain == makes the indicator NULL, and a token seen ONLY
+    # in unlabeled docs gets ct = sum(all-NULL) = NULL -> lr = NULL ->
+    # its contribution silently vanishes from every doc's sum, while
+    # the oracle's filtered aggregate counts it as 0 (seed-902 find).
     lm_counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("cr"),
-        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("ct"))
+        F.sum(F.col("lang").eqNullSafe(F.lit(DSIR_TARGET_LANG))
+              .cast("long")).alias("ct"))
     totals = lm_counts.agg(F.count(F.lit(1)).alias("v"),
                            F.sum("cr").alias("nr"),
                            F.sum("ct").alias("nt"))
@@ -1461,7 +1467,10 @@ def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "CAST(v AS BIGINT) AS vocab",
         "CAST(ntr AS BIGINT) AS n_train_tokens",
         "CAST(nte AS BIGINT) AS n_test_tokens",
-        "round(CAST(skl AS DOUBLE) / 1e15, 6) AS kl_train_test")
+        # floor-half derive on the 1e15 grid (d=1e9), not round():
+        # the exact integer sum can land on a round-6 half
+        "floor((CAST(skl AS DOUBLE) + 500000000) / 1000000000) / 1e6 "
+        "AS kl_train_test")
 
 
 ORACLE_KL_DRIFT = f"""
@@ -1487,7 +1496,8 @@ mom AS (
 SELECT lang, CAST(v AS BIGINT) AS vocab,
        CAST(ntr AS BIGINT) AS n_train_tokens,
        CAST(nte AS BIGINT) AS n_test_tokens,
-       round(CAST(skl AS DOUBLE) / 1e15, 6) AS kl_train_test
+       floor((CAST(skl AS DOUBLE) + 500000000) / 1000000000) / 1e6
+           AS kl_train_test
 FROM mom
 """
 

@@ -91,7 +91,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       oracle says are unmatched (NULL-uid dim rows dropped), and the
 #       window_topk rank tiebreak ordered NULL first vs last (NULL
 #       type excluded). heaps excludes NULL-lang docs (NULL join keys
-#       made cum_voc=0 -> ln(0) error-vs-NULL).
+#       made cum_voc=0 -> ln(0) error-vs-NULL). Follow-up review finds:
+#       dsir_weights' target indicator is eqNullSafe (a token seen only
+#       in NULL-lang docs had ct=NULL -> its lr vanished from sums,
+#       seed-902), attribution drops NULL-uid clicks (the pit_enrich
+#       hazard), kl_drift and snapshot_diff got the remaining
+#       rational-derive rewrites, and the fuzz corpus gained 'purchase'
+#       so the attribution/range-join follow side is actually
+#       exercised. Behind-window: dsir_weights, kl_drift. Seed-906:
+#       Spark's FULL OUTER stream-stream join MATCHES two NULL-keyed
+#       rows (binary state-key equality) while the inner variant and
+#       batch `=` do not — NULL join identities are now gated out of
+#       all keyed stream-stream joins AND their oracles' watermark
+#       base (wm must be computed over the gated set). Seed-908:
+#       round() of a tiny negative gives -0.0 in DuckDB but 0.0 in
+#       Spark (BigDecimal drops the sign) — the corr/covar/var family
+#       normalizes with `+ 0E0`. Behind-window additions from these:
+#       stream_pair_join, rel_corr_stats.
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance).

@@ -441,7 +441,17 @@ def stream_pair_join(left: DataFrame, right: DataFrame,
     (each side retains only rows inside the watermark horizon — without
     the range condition Spark would have to buffer both streams
     forever). The hardest streaming operator: state on BOTH sides,
-    eviction driven by event time."""
+    eviction driven by event time.
+
+    NULL join identities are gated out of both inputs: the symmetric
+    hash join's state-store key comparison is BINARY (null-safe), and
+    empirically Spark's full-outer variant MATCHES two NULL-keyed rows
+    while the inner variant and batch `=` do not — an engine
+    inconsistency no oracle should have to model. A keyed stream-stream
+    join requires the key; identity-less rows are contentless for it
+    (same policy as the batch events ts gate)."""
+    left = left.filter(F.col("user_id").isNotNull())
+    right = right.filter(F.col("user_id").isNotNull())
     l = left.select(F.col("user_id").alias("l_user"),
                     F.col("event_id").alias("l_id"),
                     F.col("ts").alias("l_ts")).withWatermark("l_ts", "10 minutes")
@@ -467,7 +477,7 @@ def q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_PAIR_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL)
 SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
        CAST(floor(epoch(r.ts)) AS BIGINT)
          - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
@@ -688,7 +698,11 @@ def stream_pair_join_outer(left: DataFrame, right: DataFrame,
     click, no heartbeat after a start). Unmatched rows can only emit
     once the watermark PROVES no future match exists, i.e. when the
     left row's state is evicted at wm > l_ts + follow; rows younger
-    than that at end-of-input stay in state, never emitted."""
+    than that at end-of-input stay in state, never emitted.
+    NULL join identities gated out of both inputs — see
+    ``stream_pair_join``."""
+    left = left.filter(F.col("user_id").isNotNull())
+    right = right.filter(F.col("user_id").isNotNull())
     l = left.select(F.col("user_id").alias("l_user"),
                     F.col("event_id").alias("l_id"),
                     F.col("ts").alias("l_ts")).withWatermark("l_ts", OUTER_WM)
@@ -727,7 +741,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us
@@ -790,11 +804,11 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.relational import SCD2_SENTINEL as _SCD2_SENTINEL
+from ..operators.relational import EVENTS_US as _EVENTS_US
 from ..operators.relational import SCD2_STARTS_SQL as _SCD2_STARTS_SQL
 
 ORACLE_STREAM_SCD2_ENRICH = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-            WHERE ts IS NOT NULL),
+WITH ev AS {_EVENTS_US},
 starts AS (
     SELECT user_id, event_type AS seg_type, ts AS valid_from, event_id
     FROM ({_SCD2_STARTS_SQL}) runs),
@@ -833,12 +847,19 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     excludes). Both boundaries are pinned at exact equality by
     crafted-fixture tests (``test_stream_full_outer_right_eviction_
     boundary`` probes wm and wm+1ms). Same ms-floored end-of-stream
-    watermark and -1 sentinels as ``q_stream_outer_join``."""
-    l = _event_stream(spark, sf_dir).select(
+    watermark and -1 sentinels as ``q_stream_outer_join``.
+    NULL join identities gated out of both inputs (and of the
+    oracle's watermark base) — empirically Spark's FULL OUTER
+    stream-stream join MATCHES two NULL-keyed rows (binary state-
+    key equality) while the inner variant and batch `=` do not;
+    see ``stream_pair_join``."""
+    l = _event_stream(spark, sf_dir)\
+        .filter(F.col("user_id").isNotNull()).select(
         F.col("user_id").alias("l_user"),
         F.col("event_id").alias("l_id"),
         F.col("ts").alias("l_ts")).withWatermark("l_ts", OUTER_WM)
-    r = _event_stream(spark, sf_dir).select(
+    r = _event_stream(spark, sf_dir)\
+        .filter(F.col("user_id").isNotNull()).select(
         F.col("user_id").alias("r_user"),
         F.col("event_id").alias("r_id"),
         F.col("ts").alias("r_ts")).withWatermark("r_ts", OUTER_WM)
@@ -859,7 +880,7 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_FULL_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us

@@ -43,7 +43,10 @@ VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
 UVOCAB = VOCAB + ["café", "שלום", "\U0001f600", "á"]
 LANGS = ["en", "de"]
 SOURCES = ["cc", "wiki", "books"]
-ETYPES = ["click", "view", "error", "buy"]
+# 'purchase' and 'click' are load-bearing: q_attribution filters on
+# them and rel_range_join's follow side is 'purchase' — without them in
+# the vocabulary those queries are vacuously green on every seed.
+ETYPES = ["click", "view", "error", "buy", "purchase"]
 EMB_DIM = 64
 
 SEGS = ["AUTO", "BLDG", "MACH"]
