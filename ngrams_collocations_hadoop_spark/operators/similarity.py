@@ -37,8 +37,15 @@ def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's behavior differs per expression. Sanitizing at the scan
     (standard ingest validation) makes every embedding operator total;
     every oracle's embeddings scan mirrors the gate with a
-    list_filter-on-isnan/isinf subquery."""
+    list_filter-on-isnan/isinf subquery.
+
+    The gate also requires a non-NULL vector of exactly EMB_DIM (64)
+    components: a NULL or empty embedding (failed model output) is a
+    hard error in DuckDB's list_inner_product but NULL-propagates in
+    Spark's aggregate lambdas — and a wrong-dimension vector breaks
+    every dot product and the PQ subvector split the same way."""
     return load_table(spark, sf_dir, "embeddings").filter(F.expr(
+        "embedding IS NOT NULL AND size(embedding) = 64 AND "
         "NOT exists(embedding, x -> isnan(x) "
         "OR abs(x) = CAST('Infinity' AS FLOAT))"))
 
@@ -72,7 +79,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            list_dot_product(q.v, c.v)
@@ -135,7 +142,7 @@ def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_FILTERED = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 keep AS (SELECT doc_id FROM documents
          WHERE n_chars >= {FILTER_MIN_CHARS}),
 scored AS (
@@ -252,7 +259,7 @@ def _hyperplanes_values_sql() -> str:
 
 
 ORACLE_COSINE_TOPK_LSH = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 hyp(table_id, bit, h) AS (VALUES
     {_hyperplanes_values_sql()}),
 buckets AS (
@@ -372,7 +379,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_IVF = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 cents AS (
     SELECT vec_id AS cent_id, v AS cv FROM e
     WHERE vec_id % {CENTROID_STRIDE} = 0),
@@ -465,7 +472,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LABEL_CENTROIDS = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 u AS (
     SELECT label,
            list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
@@ -553,7 +560,7 @@ WITH e AS (
            list_transform(embedding::DOUBLE[],
                x -> CAST(least({QUANT_SCALE}, greatest(-{QUANT_SCALE},
                     round(x * {QUANT_SCALE}))) AS BIGINT)) AS q
-    FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 n AS (
     SELECT vec_id, v, q,
            list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS qn
@@ -624,7 +631,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBEDDING_COVARIANCE = """
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 xi AS (
     SELECT v, CAST(i - 1 AS BIGINT) AS i, v[i] AS xi
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -698,7 +705,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KMEANS_STEP = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -785,7 +792,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_SEMANTIC = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -912,7 +919,7 @@ def _power_oracle() -> str:
     per round, integer-exact throughout, HUGEINT where Spark uses
     DECIMAL(38,0)."""
     head = f"""
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 xi AS (
     SELECT CAST(i - 1 AS BIGINT) AS pos, v[i] AS x
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -1059,7 +1066,7 @@ def _pq_oracle() -> str:
     code_cols = ", ".join(
         f"(min(struct_pack(d := {d2(m)}, c := cid))).c" for m in range(PQ_M))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
 cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                 AS cid, v AS cv
          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),

@@ -107,7 +107,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       round() of a tiny negative gives -0.0 in DuckDB but 0.0 in
 #       Spark (BigDecimal drops the sign) — the corr/covar/var family
 #       normalizes with `+ 0E0`. Behind-window additions from these:
-#       stream_pair_join, rel_corr_stats.
+#       stream_pair_join, rel_corr_stats. Tier-2 probe: NULL/empty/
+#       wrong-dim embedding vectors hard-error DuckDB's
+#       list_inner_product but NULL-propagate in Spark — the finite-
+#       vector gate now also requires a non-NULL 64-component vector
+#       (both sides; every embedding query's scan changed, output-
+#       invariant on clean data). NULL FK columns in orders/lineitem/
+#       customer diverge NOWHERE (planted as regression armor).
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance).

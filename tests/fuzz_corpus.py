@@ -18,12 +18,18 @@ of and that every cross-engine divergence found so far hid behind:
   round-half values (x.5, x.123455), NULL / malformed / missing-key /
   non-numeric-value JSON props;
 - embeddings: exact-duplicate vectors (cosine = 1 ties), near
-  duplicates, negated vectors (cosine = -1), tiny-norm vectors;
+  duplicates, negated vectors (cosine = -1), tiny-norm vectors,
+  NULL / empty / unlabeled vectors (failed model outputs — DuckDB's
+  list_inner_product hard-errors on them while Spark NULL-propagates;
+  gated at the scan with the NaN/Inf hazards);
 - TPC-H-ish tables: price ties (many rows at exactly 100.0), zero
   prices, round-half prices (x.005), NULL acctbal, dangling foreign
-  keys (custkeys/nationkeys with no parent), orders with zero
-  lineitems, shipdates before the order date, order timestamps at
-  date boundaries (midnight, 23:59:59).
+  keys (custkeys/nationkeys with no parent), NULL FK columns
+  (o_custkey / l_partkey / l_suppkey / c_nationkey — joins and
+  groupings handle these consistently across engines; planted as
+  regression armor), orders with zero lineitems, shipdates before
+  the order date, order timestamps at date boundaries (midnight,
+  23:59:59).
 
 Everything is deterministic in the seed (plain random.Random): a
 failing seed reproduces exactly, no shrinking needed. Used by
@@ -184,7 +190,10 @@ def gen_tpch(rng: random.Random, out: str) -> None:
     region = [(i, f"R{i}") for i in range(3)]
     nation = [(i, f"N{i}", rng.randrange(3)) for i in range(5)]
     ncust, nsupp, npart, nord = 40, 10, 25, 120
-    cust = [(i, f"C{i}", rng.randrange(6),   # nationkey 5 = dangling FK
+    # nationkey 5 = dangling FK; None = NULL FK (both consistent
+    # across engines — planted as regression armor)
+    cust = [(i, f"C{i}",
+             None if rng.randrange(13) == 0 else rng.randrange(6),
              _price(rng) if rng.randrange(10) else None,
              rng.choice(SEGS)) for i in range(ncust)]
     supp = [(i, f"S{i}", rng.randrange(5), _price(rng))
@@ -194,14 +203,19 @@ def gen_tpch(rng: random.Random, out: str) -> None:
     base_day = 1704067200  # 2024-01-01, seconds
     orders, lineitem = [], []
     for o in range(nord):
-        ck = rng.randrange(ncust + 3)          # some dangling custkeys
+        ck = (None if rng.randrange(19) == 0
+              else rng.randrange(ncust + 3))   # dangling + NULL custkeys
         od = (base_day + rng.randrange(0, 120) * 86400
               + rng.choice([0, 0, 0, 3600, 86399]))  # date boundaries
         orders.append((o, ck, rng.choice(STATUS), _price(rng),
                        od * 1000000, rng.choice(PRIO)))
         for ln in range(rng.randrange(0, 5)):  # 0-line orders exist
             sd = od + rng.choice([-86400, 0, 86400 * rng.randrange(1, 60)])
-            lineitem.append((o, rng.randrange(npart), rng.randrange(nsupp),
+            lineitem.append((o,
+                             None if rng.randrange(23) == 0
+                             else rng.randrange(npart),
+                             None if rng.randrange(29) == 0
+                             else rng.randrange(nsupp),
                              ln + 1, float(rng.choice([0, 1, 1, 25, 50])),
                              _price(rng),
                              rng.choice([0.0, 0.05, 0.1]),
@@ -265,13 +279,18 @@ ALL_TABLES = ("documents", "events", "embeddings", "region", "nation",
 
 
 def _apply_embedding_extremes(emb: pa.Table) -> pa.Table:
-    """Corrupt-vector hazards: an all-NaN vector and an Inf component
-    (failed model outputs). These poisoned every quantizing/moment
-    operator divergently until the finite-vector gate; kept in the
-    corpus so the gate stays honest."""
+    """Corrupt-vector hazards: an all-NaN vector, an Inf component, a
+    NULL vector, an EMPTY vector, and an unlabeled row (failed model
+    outputs). The NaN/Inf pair poisoned every quantizing/moment
+    operator divergently until the finite-vector gate; NULL/empty
+    hard-error DuckDB's list_inner_product while Spark NULL-propagates
+    — all gated at the scan, kept here so the gate stays honest."""
     d = emb.to_pydict()
     d["embedding"][0] = [float("nan")] * EMB_DIM
     d["embedding"][1] = [float("inf")] + [0.1] * (EMB_DIM - 1)
+    d["embedding"][12] = None
+    d["embedding"][13] = []
+    d["label"][14] = None
     return pa.table({k: pa.array(v, emb.schema.field(k).type)
                      for k, v in d.items()})
 
