@@ -46,17 +46,45 @@ def clean_token(col: Column) -> Column:
         F.when(col.rlike("^[a-z0-9]+$"), col).otherwise(full), F.lit(""))
 
 
-def clean_token_sql(expr: str) -> str:
-    """Same cleaning as SQL over an arbitrary string expression —
-    dialect-portable: position(IN)/split_part/regexp_replace behave
-    identically in DuckDB (the oracle) and Spark SQL (the SQL-API
-    functions in sql_api.py)."""
+def _java_lower_duckdb(expr: str) -> str:
+    """DuckDB text reproducing Java/Spark ``lower()`` semantics.
+
+    DuckDB's utf8proc lower() is a SIMPLE case map; Java (the
+    reference's ``String.toLowerCase``) and Spark apply the FULL
+    Unicode mapping, which differs in exactly two ways found by the
+    case-hazard fuzz probe (all other probes — ǅ, full-width, ß, ﬁ,
+    Cyrillic — agree):
+      1. U+0130 (İ) lowercases to i + U+0307 (combining dot above);
+      2. word-final capital sigma (preceded by a letter, not followed
+         by one) lowercases to final sigma ς, contextually.
+    Both are pre-substituted with their LOWERCASE result before
+    lower(), so an author-typed lowercase σ at word end is untouched.
+    DuckDB-only syntax: RE2 backrefs are ``\\1`` (Spark wants $1) and
+    regexp_replace needs the explicit 'g' flag — which is why the
+    emulation cannot be shared text with the Spark SQL twin (whose
+    native lower() IS the target semantics)."""
+    t = f"replace({expr}, 'İ', 'i̇')"
+    t = (f"regexp_replace({t}, '(\\p{{L}})Σ($|\\P{{L}})', "
+         f"'\\1ς\\2', 'g')")
+    return f"lower({t})"
+
+
+def clean_token_sql(expr: str, dialect: str = "duckdb") -> str:
+    """Same cleaning as SQL over an arbitrary string expression.
+    position(IN)/split_part/regexp_replace behave identically in
+    DuckDB (the oracle) and Spark SQL (the SQL-API functions in
+    sql_api.py); only the final lowercase differs — DuckDB needs the
+    Java-semantics emulation (``_java_lower_duckdb``), Spark's native
+    lower() is already the reference behavior."""
     t = f"trim({expr})"
     t = (f"(CASE WHEN position('_' IN {t}) > 1 "
          f"THEN split_part({t}, '_', 1) ELSE {t} END)")
     t = f"regexp_replace({t}, '{_LEAD}', '')"
     t = f"regexp_replace({t}, '{_TRAIL}', '')"
-    return f"coalesce(lower(trim({t})), '')"
+    t = f"trim({t})"
+    lowered = (_java_lower_duckdb(t) if dialect == "duckdb"
+               else f"lower({t})")
+    return f"coalesce({lowered}, '')"
 
 
 def _is_alnum(ch: str) -> bool:

@@ -75,7 +75,12 @@ def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching customer. Right side pre-deduplicated to one row per
     (custkey, date) for determinism."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # NULL-custkey orders are unreachable by the oracle's ASOF equi-
+    # join but the union-merge's PARTITION BY groups NULLs together
+    # (same hazard as q_pit_enrich's dim) — drop them from the right
+    # side; NULL-uid events then stay unmatched on both sides.
     o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey").isNotNull())
          .groupBy(F.col("o_custkey").alias("user_id"),
                   F.col("o_orderdate").alias("odate"))
          .agg(F.max("o_orderkey").alias("o_orderkey")))

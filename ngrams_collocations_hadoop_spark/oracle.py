@@ -227,10 +227,11 @@ def colloc_hebrew_topk_sql(k: int = TOP_K) -> str:
     """The flagship oracle over the derived Hebrew corpus: identical
     pipeline SQL with the record sources swapped for the transliterated
     text and lang pinned to 'he'."""
-    from .sources.ngram_source import HEBREW_WHERE_SQL
+    from .sources.ngram_source import HEBREW_WHERE_SQL, hebrew_text_sql
+    heb = hebrew_text_sql("duckdb")   # Java-lower emulation (U+0130, final sigma)
     return colloc_topk_sql(k, ngram_ctes(
-        unigram_records_sql(HEBREW_TEXT_SQL, "'he'", HEBREW_WHERE_SQL),
-        bigram_records_sql(HEBREW_TEXT_SQL, "'he'", HEBREW_WHERE_SQL)))
+        unigram_records_sql(heb, "'he'", HEBREW_WHERE_SQL),
+        bigram_records_sql(heb, "'he'", HEBREW_WHERE_SQL)))
 
 
 def colloc_condprob_sql() -> str:

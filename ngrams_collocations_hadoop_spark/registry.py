@@ -114,6 +114,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       (both sides; every embedding query's scan changed, output-
 #       invariant on clean data). NULL FK columns in orders/lineitem/
 #       customer diverge NOWHERE (planted as regression armor).
+#       Case-hazard probe: Java/Spark full-case lower() maps U+0130 ->
+#       i+U+0307 and word-final capital sigma -> ς where DuckDB's
+#       simple map does not — ORACLE-side-only fix (clean_token_sql
+#       duckdb dialect + hebrew_text_sql("duckdb") emulate Java before
+#       lower); Spark sides untouched, so no driver row is
+#       invalidated. İstanbul/ΘΕΟΣ/ΑΣ now in the fuzz vocabulary.
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance).

@@ -26,11 +26,21 @@ from ..constants import TRANSLIT_HEBREW, TRANSLIT_LATIN
 from ..sources.tables import fan_out as _fan_out, load_table
 
 # The Hebrew corpus derivation (reference second corpus,
-# ``Stopwords.java`` heb block): lower() then codepoint translate() —
-# the SAME expression string is used by the Spark operators (F.expr)
-# and the DuckDB oracle, so the two corpora cannot drift.
-HEBREW_TEXT_SQL = (f"translate(lower(text), "
-                   f"'{TRANSLIT_LATIN}', '{TRANSLIT_HEBREW}')")
+# ``Stopwords.java`` heb block): lower() then codepoint translate().
+# The expression is shared between the Spark operators (F.expr) and
+# the DuckDB oracle EXCEPT for the lower() itself: DuckDB's simple
+# case map diverges from Java/Spark on U+0130 and word-final Σ, so
+# the oracle variant uses the Java-semantics emulation
+# (functions/text.py::_java_lower_duckdb).
+def hebrew_text_sql(dialect: str = "spark") -> str:
+    from ..functions.text import _java_lower_duckdb
+
+    low = (_java_lower_duckdb("text") if dialect == "duckdb"
+           else "lower(text)")
+    return f"translate({low}, '{TRANSLIT_LATIN}', '{TRANSLIT_HEBREW}')"
+
+
+HEBREW_TEXT_SQL = hebrew_text_sql("spark")
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str,

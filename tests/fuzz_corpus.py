@@ -46,7 +46,12 @@ import pyarrow.parquet as pq
 
 VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
          "part", "hash", "the", "a", "emigre", "x1", "sort", "window"]
-UVOCAB = VOCAB + ["café", "שלום", "\U0001f600", "á"]
+# İstanbul and the trailing-Σ Greek words are load-bearing: Java/Spark
+# full-case lower() maps İ -> i+U+0307 and word-final Σ -> ς where
+# DuckDB's simple case map does not (emulated in the oracle's
+# clean_token_sql via functions/text.py::_java_lower_duckdb)
+UVOCAB = VOCAB + ["café", "שלום", "\U0001f600", "á",
+                  "İstanbul", "ΘΕΟΣ", "ΑΣ", "Straße"]
 LANGS = ["en", "de"]
 SOURCES = ["cc", "wiki", "books"]
 # 'purchase' and 'click' are load-bearing: q_attribution filters on
