@@ -68,6 +68,40 @@ def test_clean_token_ref_cases(raw, expected):
     assert clean_token_ref(raw) == expected
 
 
+# Full-vs-simple Unicode case mapping hazards: Java/Spark/Python all
+# lowercase İ (U+0130) to i+U+0307 and apply the contextual final-sigma
+# rule; DuckDB's utf8proc lower() does neither, so the oracle dialect
+# of clean_token_sql carries an explicit emulation
+# (functions/text.py::_java_lower_duckdb). This pins all three
+# implementations to the same value on the divergent inputs.
+CASE_HAZARDS = [
+    "İstanbul", "İ", "İİ", "I", "ı", "ΘΕΟΣ", "ΑΣ", "ΣΙΓΜΑ", "ΣΣ",
+    "Σ", "ǅungla", "ＦＵＬＬ", "ß", "ẞ", "ﬁle", "Straße", "ОДИН",
+    "σοφος", "λόγος",   # author-typed final-position lowercase sigma σ
+]
+
+
+def test_clean_token_duckdb_oracle_matches_spark_and_ref(spark):
+    import duckdb
+
+    from ngrams_collocations_hadoop_spark.functions.text import (
+        clean_token_sql,
+    )
+    con = duckdb.connect()
+    expr = clean_token_sql("s")          # duckdb dialect (default)
+    cases = CASES + CASE_HAZARDS
+    duck = {c: con.execute(f"SELECT {expr} FROM (SELECT ? AS s)",
+                           [c]).fetchone()[0] for c in cases}
+    df = spark.createDataFrame([(c,) for c in cases], ["raw"])
+    got = {r["raw"]: r["cleaned"] for r in
+           df.select("raw",
+                     clean_token(F.col("raw")).alias("cleaned")).collect()}
+    for c in cases:
+        ref = clean_token_ref(c)
+        assert duck[c] == got[c] == ref, (
+            f"case {c!r}: duck={duck[c]!r} spark={got[c]!r} ref={ref!r}")
+
+
 def test_decade(spark):
     df = spark.createDataFrame([(y,) for y in [1999, 2000, 2001, 2009, 2010, 2029, 1900]], ["y"])
     got = [r["d"] for r in df.select(decade(F.col("y")).alias("d")).orderBy("y").collect()]
