@@ -764,33 +764,54 @@ WINDOW w AS (PARTITION BY o_orderpriority
 # _sy/_syy (user_id integer sums), _sxy (cross micro-sum). Each stat is
 # one fixed expression over exactly-summed integers — order-independent
 # where the engines' native Welford/co-moment merges are not.
+# No pow(): Math.pow (Java) and libm pow (DuckDB) are not correctly
+# rounded and can differ by 1 ulp even on squares; plain * is an exact
+# IEEE op, identical in both engines.
 _VX = ("(CAST(_sxx AS DOUBLE) / 1e12 "
-       "- pow(CAST(_sx AS DOUBLE) / 1e6, 2) / _n) / _n")
-_VY = "(CAST(_syy AS DOUBLE) - pow(CAST(_sy AS DOUBLE), 2) / _n) / _n"
+       "- (CAST(_sx AS DOUBLE) / 1e6) * (CAST(_sx AS DOUBLE) / 1e6) "
+       "/ _n) / _n")
+_VY = ("(CAST(_syy AS DOUBLE) "
+       "- CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE) / _n) / _n")
 _CNUM = ("CAST(_sxy AS DOUBLE) / 1e6 "
          "- CAST(_sx AS DOUBLE) / 1e6 * CAST(_sy AS DOUBLE) / _n")
-# The `+ 0E0` on every signed column normalizes IEEE negative zero:
-# a correlation/covariance whose true value is a tiny negative rounds
-# to -0.0 in DuckDB (scaled-double round keeps the sign bit) but to
-# 0.0 in Spark (BigDecimal drops it), and the canonical text then
-# differs ("-0.0" vs "0.0") despite equal values (seed-908 find).
-# x + 0.0 is exact for every finite x and turns -0.0 into +0.0 in
-# both engines; sqrt(greatest(.., 0)) columns cannot go negative.
+
+
+def _r6(expr: str) -> str:
+    """round-to-6 as floor(x*1e6 + 0.5)/1e6 on the SHARED double
+    expression. round(x, 6) is NOT portable here: Spark expands the
+    double to exact BigDecimal and rounds HALF_UP while DuckDB rounds
+    the scaled double, and the two disagree whenever the value's
+    binary expansion sits at a 6-decimal boundary (seed-908/-953
+    finds: a -0.0 sign flap, then a last-digit covar flap). The floor
+    form is pure IEEE arithmetic — every engine computes bit-identical
+    doubles from the same moment integers — and never yields -0.0
+    (half rounds toward +inf, the repo-wide convention).
+
+    Magnitude guard: Spark's floor(DOUBLE) returns LONG, so x*1e6
+    saturates at Long.MAX for |x| > ~9.2e12 (extreme-hazard variances
+    reach 1e14). Above 4e9 a double's ulp already exceeds 1e-6 — the
+    6-decimal round cannot move the value — so the branch emits the
+    shared expression unrounded, still bit-identical in both engines."""
+    return (f"CASE WHEN abs(({expr})) < 4e9 "
+            f"THEN floor(({expr}) * 1e6 + 0.5E0) / 1e6 "
+            f"ELSE ({expr}) END")
+
+
 _CORR_EXPRS = [
     "CAST(_n AS BIGINT) AS n",
-    f"round(CASE WHEN ({_VX}) * ({_VY}) > 0E0 "
-    f"THEN ({_CNUM}) / _n / sqrt(({_VX}) * ({_VY})) END, 6) + 0E0 "
-    "AS corr_vu",
-    f"round(({_CNUM}) / _n, 6) + 0E0 AS covar_pop_vu",
-    f"round(CASE WHEN _n > 1 THEN ({_CNUM}) / (_n - 1) END, 6) + 0E0 "
-    "AS covar_samp_vu",
-    f"round(sqrt(greatest({_VX}, 0E0)), 6) AS stddev_pop_v",
-    f"round(CASE WHEN _n > 1 THEN "
-    f"sqrt(greatest(({_VX}) * _n / (_n - 1), 0E0)) END, 6) "
-    "AS stddev_samp_v",
-    f"round({_VX}, 6) + 0E0 AS var_pop_v",
-    f"round(CASE WHEN _n > 1 THEN ({_VX}) * _n / (_n - 1) END, 6) + 0E0 "
-    "AS var_samp_v",
+    _r6(f"CASE WHEN ({_VX}) * ({_VY}) > 0E0 "
+        f"THEN ({_CNUM}) / _n / sqrt(({_VX}) * ({_VY})) END")
+    + " AS corr_vu",
+    _r6(f"({_CNUM}) / _n") + " AS covar_pop_vu",
+    _r6(f"CASE WHEN _n > 1 THEN ({_CNUM}) / (_n - 1) END")
+    + " AS covar_samp_vu",
+    _r6(f"sqrt(greatest({_VX}, 0E0))") + " AS stddev_pop_v",
+    _r6(f"CASE WHEN _n > 1 THEN "
+        f"sqrt(greatest(({_VX}) * _n / (_n - 1), 0E0)) END")
+    + " AS stddev_samp_v",
+    _r6(_VX) + " AS var_pop_v",
+    _r6(f"CASE WHEN _n > 1 THEN ({_VX}) * _n / (_n - 1) END")
+    + " AS var_samp_v",
 ]
 
 
@@ -958,13 +979,16 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sample stddev from the exact sums; NULL z for n <= 1 or zero variance
 # (matches stddev_samp's NULL / division-undefined contract).
+# same portability rules as _CORR_EXPRS: no pow() (1-ulp divergence),
+# floor-half instead of round() (engines disagree at 6-decimal
+# boundaries of the double's binary expansion)
+_ZS_VAR = ("(CAST(_sxx AS DOUBLE) / 1e12 "
+           "- (CAST(_sx AS DOUBLE) / 1e6) * (CAST(_sx AS DOUBLE) / 1e6) "
+           "/ _n)")
 _ZSCORE_EXPR = (
-    "round(CASE WHEN _n > 1 AND "
-    "(CAST(_sxx AS DOUBLE) / 1e12 "
-    "- pow(CAST(_sx AS DOUBLE) / 1e6, 2) / _n) > 0E0 "
-    "THEN (value - CAST(_sx AS DOUBLE) / 1e6 / _n) "
-    "/ sqrt((CAST(_sxx AS DOUBLE) / 1e12 "
-    "- pow(CAST(_sx AS DOUBLE) / 1e6, 2) / _n) / (_n - 1)) END, 6)")
+    f"floor((CASE WHEN _n > 1 AND {_ZS_VAR} > 0E0 "
+    f"THEN (value - CAST(_sx AS DOUBLE) / 1e6 / _n) "
+    f"/ sqrt({_ZS_VAR} / (_n - 1)) END) * 1e6 + 0.5E0) / 1e6")
 
 ORACLE_ANOMALY_ZSCORE = f"""
 SELECT event_id, event_type, value, zscore

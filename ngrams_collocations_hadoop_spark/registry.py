@@ -119,7 +119,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       simple map does not — ORACLE-side-only fix (clean_token_sql
 #       duckdb dialect + hebrew_text_sql("duckdb") emulate Java before
 #       lower); Spark sides untouched, so no driver row is
-#       invalidated. İstanbul/ΘΕΟΣ/ΑΣ now in the fuzz vocabulary.
+#       invalidated. İstanbul/ΘΕΟΣ/ΑΣ now in the fuzz vocabulary,
+#       which then caught asof attaching NULL-custkey orders (right-
+#       side gate) and a last-digit covar flap (seed-953): round(x,6)
+#       of a shared double is engine-divergent at binary 6-decimal
+#       boundaries — the corr family + zscore now derive via the
+#       magnitude-guarded IEEE floor form (_r6; Spark floor(DOUBLE)
+#       returns LONG, so x*1e6 must not exceed it) and pow() was
+#       replaced by * (Java vs libm pow is 1-ulp divergent).
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance).
