@@ -114,3 +114,35 @@ def uterm(expr: str, unit: str = "1e6", fn: str = "round",
 def uderive(col: str, scale: int = 4, unit: str = "1e6") -> Column:
     """Final float from an exactly-summed quantized column."""
     return F.expr(_grid_round(col, scale, unit))
+
+
+# ---- portable rounding of a SHARED double expression -------------------
+#
+# round(x, k) itself is engine-divergent: Spark expands the double to
+# exact BigDecimal and rounds HALF_UP, DuckDB rounds the scaled double,
+# and they disagree whenever x's binary expansion sits at a k-decimal
+# boundary. RATIONAL outputs (ratios of integers: jaccard, recall,
+# pagerank, chi-square, conditional probabilities) land on exact
+# boundaries with real probability — ln/sqrt-irrational outputs only
+# with ~2^-52 probability. floor(x*10^k + 0.5)/10^k is pure IEEE
+# arithmetic, bit-identical in every engine that computes the same x;
+# it never yields -0.0, and the half rounds toward +inf (repo-wide
+# convention). Magnitude guard: Spark's floor(DOUBLE) returns LONG, so
+# x*10^k must stay under Long.MAX — above 4e9 a double's ulp already
+# exceeds 1e-6, the rounding cannot move the value, and the branch
+# emits the shared expression unrounded (still bit-identical).
+
+def ieee_round_sql(expr: str, scale: int = 6) -> str:
+    """Dialect-portable text of round(expr, scale) (see block doc)."""
+    unit = f"1e{scale}"
+    return (f"CASE WHEN abs(({expr})) < 4e9 "
+            f"THEN floor(({expr}) * {unit} + 0.5E0) / {unit} "
+            f"ELSE ({expr}) END")
+
+
+def ieee_round(col: Column, scale: int = 6) -> Column:
+    """Column form of ``ieee_round_sql`` — identical IEEE ops."""
+    unit = float(10 ** scale)
+    return (F.when(F.abs(col) < F.lit(4e9),
+                   F.floor(col * F.lit(unit) + F.lit(0.5)) / F.lit(unit))
+            .otherwise(col))

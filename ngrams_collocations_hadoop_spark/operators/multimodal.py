@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.exact import ieee_round, ieee_round_sql
 
 META_SCHEMA = ("doc_id long, source string, n_bytes long, "
                "header_byte long, mime string")
@@ -92,14 +93,14 @@ def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (meta.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_bytes").alias("total_bytes"),
-                 F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+                 ieee_round(F.avg("n_bytes"), 6).alias("avg_bytes"),
                  F.min("header_byte").alias("min_header")))
 
 
 ORACLE_MM_BINARY_STATS = """
 SELECT source, count(*) AS n_docs,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       round(avg(octet_length(encode(text))), 6) AS avg_bytes,
+       CASE WHEN abs((avg(octet_length(encode(text))))) < 4e9 THEN floor((avg(octet_length(encode(text)))) * 1e6 + 0.5E0) / 1e6 ELSE (avg(octet_length(encode(text)))) END AS avg_bytes,
        -- first BYTE via hex-pair, not ord(): ord gives the codepoint,
        -- which diverges from payload[0] for multi-byte UTF-8 leads
        CAST(min(CASE WHEN octet_length(encode(text)) > 0
@@ -230,7 +231,7 @@ def q_mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         (F.substring(hx, 1, 16) == "89504E470D0A1A0A").alias("valid_magic"),
         width.alias("width"), height.alias("height"),
-        F.round(width.cast("double") / height, 6).alias("aspect_ratio"))
+        ieee_round(width.cast("double") / height, 6).alias("aspect_ratio"))
 
 
 ORACLE_MM_IMAGE_DIMS = """
@@ -247,8 +248,10 @@ SELECT doc_id,
        substring(hex(payload), 1, 16) = '89504E470D0A1A0A' AS valid_magic,
        ('0x' || substring(hex(payload), 33, 8))::BIGINT AS width,
        ('0x' || substring(hex(payload), 41, 8))::BIGINT AS height,
-       round(('0x' || substring(hex(payload), 33, 8))::BIGINT::DOUBLE
-             / ('0x' || substring(hex(payload), 41, 8))::BIGINT, 6)
+       CASE WHEN abs((('0x' || substring(hex(payload), 33, 8))::BIGINT::DOUBLE
+             / ('0x' || substring(hex(payload), 41, 8))::BIGINT)) < 4e9 THEN floor((('0x' || substring(hex(payload), 33, 8))::BIGINT::DOUBLE
+             / ('0x' || substring(hex(payload), 41, 8))::BIGINT) * 1e6 + 0.5E0) / 1e6 ELSE (('0x' || substring(hex(payload), 33, 8))::BIGINT::DOUBLE
+             / ('0x' || substring(hex(payload), 41, 8))::BIGINT) END
            AS aspect_ratio
 FROM p
 """

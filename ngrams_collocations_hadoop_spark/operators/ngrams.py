@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import uavg, uavg_sql
+from ..functions.exact import ieee_round, uavg, uavg_sql
 
 from ..constants import LLR_ROUND
 from ..functions import assoc
@@ -79,9 +79,9 @@ def q_assoc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12c, nc = F.col("c12"), F.col("n_total")
     return scored.select(
         "lang", "decade", "w1", "w2", "c1", "c2", "c12", "n_total", "llr",
-        F.round(assoc.pmi(c1c, c2c, c12c, nc), LLR_ROUND).alias("pmi"),
-        F.round(assoc.t_score(c1c, c2c, c12c, nc), LLR_ROUND).alias("t_score"),
-        F.round(assoc.chi_square(c1c, c2c, c12c, nc), LLR_ROUND).alias("chi2"),
+        ieee_round(assoc.pmi(c1c, c2c, c12c, nc), LLR_ROUND).alias("pmi"),
+        ieee_round(assoc.t_score(c1c, c2c, c12c, nc), LLR_ROUND).alias("t_score"),
+        ieee_round(assoc.chi_square(c1c, c2c, c12c, nc), LLR_ROUND).alias("chi2"),
     )
 
 
@@ -122,7 +122,7 @@ def q_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (F.col("c1") + F.lit(CONDPROB_K) * F.col("v")))
     return (scored.join(F.broadcast(vocab), on=["lang", "decade"])
             .select("lang", "decade", "w1", "w2", "c1", "c12", "v",
-                    F.round(cp, 6).alias("p_w2_given_w1")))
+                    ieee_round(cp, 6).alias("p_w2_given_w1")))
 
 
 def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,4 +194,4 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("first_decade") == F.col("decade"))
                        .cast("long")).alias("n_new"))
             .withColumn("new_ratio",
-                        F.round(F.col("n_new") / F.col("n_vocab"), 6)))
+                        ieee_round(F.col("n_new") / F.col("n_vocab"), 6)))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.exact import ieee_round, ieee_round_sql
 from .dedup import (
     JACCARD_THRESHOLD,
     _MINHASH_LSH_PAIRS_SQL,
@@ -29,6 +30,20 @@ from .dedup import (
 )
 from .textstats import _CORE_STOP_LIST, _sql_str_array
 from .textstats import PACK_CTX
+
+# Quality-score expression shared by both composed-pipeline oracles.
+# Rounded through ieee_round_sql, NOT round(): the score is a rational
+# of token counts and can land exactly on a 6-decimal boundary, where
+# the engines' round() disagree — and the score feeds a >= threshold
+# filter, so a last-digit flap changes survivorship.
+_SCORE_SQL = f"""least(((length(text) - len(tokens) + 1)::DOUBLE
+                            / len(tokens)) / 10, 1.0) * 0.3
+                     + (1 - len(list_filter(tokens, t -> list_contains(
+                           {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
+                           / len(tokens)) * 0.3
+                     + (len(list_distinct(tokens))::DOUBLE
+                        / len(tokens)) * 0.4"""
+
 
 # Keep documents whose blended quality score (the text_quality formula,
 # rounded to 6 dp in both engines) clears this bar — ~the corpus median
@@ -49,8 +64,8 @@ def _quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   lambda t: F.array_contains(stop_arr, t)))
                   .cast("double") / n_tok)
     ttr = F.size(F.array_distinct("tokens")).cast("double") / n_tok
-    score = F.round(F.least(mean_len / 10, F.lit(1.0)) * 0.3
-                    + (1 - stop_ratio) * 0.3 + ttr * 0.4, 6)
+    score = ieee_round(F.least(mean_len / 10, F.lit(1.0)) * 0.3
+                       + (1 - stop_ratio) * 0.3 + ttr * 0.4, 6)
     return (docs.filter(score >= QUALITY_THRESHOLD)
             .select("doc_id", "lang", n_tok.cast("long").alias("n_tokens")))
 
@@ -95,13 +110,7 @@ q AS (
     SELECT doc_id, lang, CAST(len(tokens) AS BIGINT) AS n_tokens
     FROM (
         SELECT doc_id, lang, tokens,
-               round(least(((length(text) - len(tokens) + 1)::DOUBLE
-                            / len(tokens)) / 10, 1.0) * 0.3
-                     + (1 - len(list_filter(tokens, t -> list_contains(
-                           {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
-                           / len(tokens)) * 0.3
-                     + (len(list_distinct(tokens))::DOUBLE
-                        / len(tokens)) * 0.4, 6) AS score
+               {ieee_round_sql(_SCORE_SQL, 6)} AS score
         FROM dq)
     WHERE score >= {QUALITY_THRESHOLD}),
 edges AS (
@@ -251,13 +260,7 @@ q AS (
     SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
     FROM (
         SELECT doc_id, tokens,
-               round(least(((length(text) - len(tokens) + 1)::DOUBLE
-                            / len(tokens)) / 10, 1.0) * 0.3
-                     + (1 - len(list_filter(tokens, t -> list_contains(
-                           {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
-                           / len(tokens)) * 0.3
-                     + (len(list_distinct(tokens))::DOUBLE
-                        / len(tokens)) * 0.4, 6) AS score
+               {ieee_round_sql(_SCORE_SQL, 6)} AS score
         FROM dq)
     WHERE score >= {QUALITY_THRESHOLD}),
 exact_drop AS (

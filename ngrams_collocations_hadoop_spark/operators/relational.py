@@ -23,8 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import (uavg, uavg_sql, uderive,
-                               usum, usum_sql, uterm, uwin_sql)
+from ..functions.exact import (ieee_round, uavg, uavg_sql, uderive,
+                               usum, usum_sql, uterm, uwin_sql,
+                               ieee_round_sql)
 from ..sources.tables import load_table
 
 
@@ -740,8 +741,8 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", "o_orderpriority",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ieee_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ieee_round(F.cume_dist().over(w), 6).alias("cume"),
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
         F.lead("o_totalprice", 1).over(w).alias("next_price"))
 
@@ -749,8 +750,8 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOW_RANKS = """
 SELECT o_orderkey, o_orderpriority,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       CASE WHEN abs((percent_rank() OVER w)) < 4e9 THEN floor((percent_rank() OVER w) * 1e6 + 0.5E0) / 1e6 ELSE (percent_rank() OVER w) END AS pct_rank,
+       CASE WHEN abs((cume_dist() OVER w)) < 4e9 THEN floor((cume_dist() OVER w) * 1e6 + 0.5E0) / 1e6 ELSE (cume_dist() OVER w) END AS cume,
        lag(o_totalprice, 1) OVER w AS prev_price,
        lead(o_totalprice, 1) OVER w AS next_price
 FROM orders
@@ -791,10 +792,9 @@ def _r6(expr: str) -> str:
     saturates at Long.MAX for |x| > ~9.2e12 (extreme-hazard variances
     reach 1e14). Above 4e9 a double's ulp already exceeds 1e-6 — the
     6-decimal round cannot move the value — so the branch emits the
-    shared expression unrounded, still bit-identical in both engines."""
-    return (f"CASE WHEN abs(({expr})) < 4e9 "
-            f"THEN floor(({expr}) * 1e6 + 0.5E0) / 1e6 "
-            f"ELSE ({expr}) END")
+    shared expression unrounded, still bit-identical in both engines.
+    Thin wrapper over the package-wide helper (functions/exact.py)."""
+    return ieee_round_sql(expr, 6)
 
 
 _CORR_EXPRS = [
@@ -1024,7 +1024,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_from = Window.partitionBy("event_type")
     return counts.select(
         "event_type", "next_type", "n",
-        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("prob"))
+        ieee_round(F.col("n") / F.sum("n").over(w_from), 6).alias("prob"))
 
 
 ORACLE_EVENT_TRANSITIONS = """
@@ -1038,7 +1038,7 @@ counts AS (
     FROM pairs WHERE next_type IS NOT NULL
     GROUP BY event_type, next_type)
 SELECT event_type, next_type, n,
-       round(n / (sum(n) OVER (PARTITION BY event_type))::DOUBLE, 6)
+       CASE WHEN abs((n / (sum(n) OVER (PARTITION BY event_type))::DOUBLE)) < 4e9 THEN floor((n / (sum(n) OVER (PARTITION BY event_type))::DOUBLE) * 1e6 + 0.5E0) / 1e6 ELSE (n / (sum(n) OVER (PARTITION BY event_type))::DOUBLE) END
            AS prob
 FROM counts
 """
@@ -1063,8 +1063,8 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n").alias("mean_n"))
     return (counts.crossJoin(F.broadcast(stats))
             .select("l_orderkey", "n",
-                    F.round(F.col("n") / F.col("total"), 6).alias("share"),
-                    F.round(F.col("n") / F.col("mean_n"), 6)
+                    ieee_round(F.col("n") / F.col("total"), 6).alias("share"),
+                    ieee_round(F.col("n") / F.col("mean_n"), 6)
                     .alias("x_mean"))
             .orderBy(F.desc("n"), F.asc("l_orderkey"))
             .limit(SKEW_TOPN))
@@ -1076,8 +1076,8 @@ WITH counts AS (
     FROM lineitem GROUP BY l_orderkey),
 stats AS (SELECT sum(n) AS total, avg(n) AS mean_n FROM counts)
 SELECT l_orderkey, n,
-       round(n / total::DOUBLE, 6) AS share,
-       round(n / mean_n, 6) AS x_mean
+       CASE WHEN abs((n / total::DOUBLE)) < 4e9 THEN floor((n / total::DOUBLE) * 1e6 + 0.5E0) / 1e6 ELSE (n / total::DOUBLE) END AS share,
+       CASE WHEN abs((n / mean_n)) < 4e9 THEN floor((n / mean_n) * 1e6 + 0.5E0) / 1e6 ELSE (n / mean_n) END AS x_mean
 FROM counts CROSS JOIN stats
 ORDER BY n DESC, l_orderkey ASC
 LIMIT {SKEW_TOPN}
@@ -1402,7 +1402,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "floor((CAST(mad_u4 AS DOUBLE) + 2) / 4) / 1e6"))
                  .alias("mad"),
                  F.first(F.expr(
-                     "round(CAST(mad_u4 AS DOUBLE) / 4e6 * 1.4826E0, 6)"))
+                     "CASE WHEN abs((CAST(mad_u4 AS DOUBLE) / 4e6 * 1.4826E0)) < 4e9 THEN floor((CAST(mad_u4 AS DOUBLE) / 4e6 * 1.4826E0) * 1e6 + 0.5E0) / 1e6 ELSE (CAST(mad_u4 AS DOUBLE) / 4e6 * 1.4826E0) END"))
                  .alias("robust_sigma"),
                  F.count(F.lit(1)).alias("n"),
                  F.sum(F.expr("CAST(2 * abs(2 * q - med_u2) > 3 * mad_u4 "
@@ -1431,7 +1431,7 @@ SELECT e.event_type,
            AS median,
        floor((CAST(any_value(mad.mad_u4) AS DOUBLE) + 2) / 4) / 1e6
            AS mad,
-       round(CAST(any_value(mad.mad_u4) AS DOUBLE) / 4e6 * 1.4826E0, 6)
+       CASE WHEN abs((CAST(any_value(mad.mad_u4) AS DOUBLE) / 4e6 * 1.4826E0)) < 4e9 THEN floor((CAST(any_value(mad.mad_u4) AS DOUBLE) / 4e6 * 1.4826E0) * 1e6 + 0.5E0) / 1e6 ELSE (CAST(any_value(mad.mad_u4) AS DOUBLE) / 4e6 * 1.4826E0) END
            AS robust_sigma,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN 2 * abs(2 * q - mad.med_u2) > 3 * mad.mad_u4
@@ -1642,7 +1642,7 @@ _EWMA_DEN = ("CASE least(row_number() " + _EWMA_OVER + f", {EWMA_H}) "
              + " ".join(f"WHEN {m + 1} THEN {d!r}E0"
                         for m, d in enumerate(_EWMA_D))
              + " END")
-_EWMA_EXPR = f"round(({_EWMA_NUM}) / 1e6 / ({_EWMA_DEN}), 6)"
+_EWMA_EXPR = f"{ieee_round_sql(f'({_EWMA_NUM}) / 1e6 / ({_EWMA_DEN})', 6)}"
 
 
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1933,8 +1933,8 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (matrix.join(F.broadcast(sizes), "cohort_week")
             .select("cohort_week", "week_offset", "active_users",
                     "cohort_size",
-                    F.round(F.col("active_users")
-                            / F.col("cohort_size"), 6).alias("retention")))
+                    ieee_round(F.col("active_users")
+                               / F.col("cohort_size"), 6).alias("retention")))
 
 
 ORACLE_RETENTION_COHORTS = f"""
@@ -1957,7 +1957,7 @@ sizes AS (
                AS cohort_size
     FROM first GROUP BY 1)
 SELECT cohort_week, week_offset, active_users, cohort_size,
-       round(active_users / CAST(cohort_size AS DOUBLE), 6) AS retention
+       CASE WHEN abs((active_users / CAST(cohort_size AS DOUBLE))) < 4e9 THEN floor((active_users / CAST(cohort_size AS DOUBLE)) * 1e6 + 0.5E0) / 1e6 ELSE (active_users / CAST(cohort_size AS DOUBLE)) END AS retention
 FROM matrix JOIN sizes USING (cohort_week)
 """
 

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import uavg, uavg_sql
+from ..functions.exact import (ieee_round, ieee_round_sql,
+                               uavg, uavg_sql)
 
 from ..sources.tables import load_table
 from .dedup import cosine_expr
@@ -75,7 +76,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", "cand_id",
-                    F.round("cosine", 6).alias("cosine"), "rank"))
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
 
 
 ORACLE_COSINE_TOPK = f"""
@@ -92,7 +93,7 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
     FROM scored)
-SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+SELECT query_id, cand_id, CASE WHEN abs((cosine)) < 4e9 THEN floor((cosine) * 1e6 + 0.5E0) / 1e6 ELSE (cosine) END AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
@@ -138,7 +139,7 @@ def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", "cand_id",
-                    F.round("cosine", 6).alias("cosine"), "rank"))
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
 
 
 ORACLE_COSINE_TOPK_FILTERED = f"""
@@ -158,7 +159,7 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
     FROM scored)
-SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+SELECT query_id, cand_id, CASE WHEN abs((cosine)) < 4e9 THEN floor((cosine) * 1e6 + 0.5E0) / 1e6 ELSE (cosine) END AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
@@ -243,7 +244,7 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", "cand_id",
-                    F.round("cosine", 6).alias("cosine"), "rank"))
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
 
 
 def _hyperplanes_values_sql() -> str:
@@ -286,7 +287,7 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
     FROM scored)
-SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+SELECT query_id, cand_id, CASE WHEN abs((cosine)) < 4e9 THEN floor((cosine) * 1e6 + 0.5E0) / 1e6 ELSE (cosine) END AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
@@ -307,7 +308,7 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(found, on=["query_id", "cand_id"], how="left")
             .agg(F.count(F.lit(1)).alias("n_exact"),
                  hits.alias("n_found"),
-                 F.round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 ieee_round(hits.cast("double") / F.count(F.lit(1)), 4)
                  .alias("recall")))
 
 
@@ -316,7 +317,7 @@ WITH exact_side AS ({ORACLE_COSINE_TOPK}),
 lsh_side AS ({ORACLE_COSINE_TOPK_LSH})
 SELECT CAST(count(*) AS BIGINT) AS n_exact,
        CAST(count(l.cand_id) AS BIGINT) AS n_found,
-       round(count(l.cand_id)::DOUBLE / count(*), 4) AS recall
+       CASE WHEN abs((count(l.cand_id)::DOUBLE / count(*))) < 4e9 THEN floor((count(l.cand_id)::DOUBLE / count(*)) * 1e4 + 0.5E0) / 1e4 ELSE (count(l.cand_id)::DOUBLE / count(*)) END AS recall
 FROM exact_side x
 LEFT JOIN lsh_side l
   ON x.query_id = l.query_id AND x.cand_id = l.cand_id
@@ -375,7 +376,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", "cand_id",
-                    F.round("cosine", 6).alias("cosine"), "rank"))
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
 
 
 ORACLE_COSINE_TOPK_IVF = f"""
@@ -413,7 +414,7 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
     FROM scored)
-SELECT query_id, cand_id, round(cosine, 6) AS cosine, rank
+SELECT query_id, cand_id, CASE WHEN abs((cosine)) < 4e9 THEN floor((cosine) * 1e6 + 0.5E0) / 1e6 ELSE (cosine) END AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
@@ -431,7 +432,7 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(found, on=["query_id", "cand_id"], how="left")
             .agg(F.count(F.lit(1)).alias("n_exact"),
                  hits.alias("n_found"),
-                 F.round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 ieee_round(hits.cast("double") / F.count(F.lit(1)), 4)
                  .alias("recall")))
 
 
@@ -440,7 +441,7 @@ WITH exact_side AS ({ORACLE_COSINE_TOPK}),
 ivf_side AS ({ORACLE_COSINE_TOPK_IVF})
 SELECT CAST(count(*) AS BIGINT) AS n_exact,
        CAST(count(i.cand_id) AS BIGINT) AS n_found,
-       round(count(i.cand_id)::DOUBLE / count(*), 4) AS recall
+       CASE WHEN abs((count(i.cand_id)::DOUBLE / count(*))) < 4e9 THEN floor((count(i.cand_id)::DOUBLE / count(*)) * 1e4 + 0.5E0) / 1e4 ELSE (count(i.cand_id)::DOUBLE / count(*)) END AS recall
 FROM exact_side x
 LEFT JOIN ivf_side i
   ON x.query_id = i.query_id AND x.cand_id = i.cand_id
@@ -550,8 +551,8 @@ def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", "cand_id",
-                    F.round("q_cosine", 6).alias("q_cosine"),
-                    F.round("cosine", 6).alias("cosine"), "rank"))
+                    ieee_round(F.col("q_cosine"), 6).alias("q_cosine"),
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
 
 
 ORACLE_COSINE_TOPK_QUANTIZED = f"""
@@ -579,8 +580,8 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY q_cosine DESC, cand_id ASC) AS BIGINT) AS rank
     FROM scored)
-SELECT query_id, cand_id, round(q_cosine, 6) AS q_cosine,
-       round(cosine, 6) AS cosine, rank
+SELECT query_id, cand_id, CASE WHEN abs((q_cosine)) < 4e9 THEN floor((q_cosine) * 1e6 + 0.5E0) / 1e6 ELSE (q_cosine) END AS q_cosine,
+       CASE WHEN abs((cosine)) < 4e9 THEN floor((cosine) * 1e6 + 0.5E0) / 1e6 ELSE (cosine) END AS cosine, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
@@ -622,10 +623,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.floor(F.col("xj") * sc)
                       .cast("decimal(38,0)")).alias("sj"),
                 F.count(F.lit(1)).alias("n")))
-    cov = (F.round((F.col("sij").cast("double")
-                    - F.col("si").cast("double")
-                    * F.col("sj").cast("double") / (F.col("n") * sc))
-                   / (F.col("n") * sc), 6) + F.lit(0.0))
+    cov = ieee_round((F.col("sij").cast("double")
+                      - F.col("si").cast("double")
+                      * F.col("sj").cast("double") / (F.col("n") * sc))
+                     / (F.col("n") * sc), 6)
     return mom.select(F.col("i").cast("long"), F.col("j").cast("long"),
                       cov.alias("cov"))
 
@@ -647,9 +648,13 @@ m AS (
            count(*) AS n
     FROM xij GROUP BY i, j)
 SELECT i, j,
-       round((CAST(sij AS DOUBLE)
+       CASE WHEN abs(((CAST(sij AS DOUBLE)
               - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / (n * 1e12))
-             / (n * 1e12), 6) + 0.0 AS cov
+             / (n * 1e12))) < 4e9 THEN floor(((CAST(sij AS DOUBLE)
+              - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / (n * 1e12))
+             / (n * 1e12)) * 1e6 + 0.5E0) / 1e6 ELSE ((CAST(sij AS DOUBLE)
+              - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / (n * 1e12))
+             / (n * 1e12)) END AS cov
 FROM m
 """
 
@@ -1056,7 +1061,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOPK_NEIGHBORS)
             .select("query_id", F.col("vec_id").alias("cand_id"),
-                    F.round("approx", 6).alias("approx_dot"), "rank"))
+                    ieee_round(F.col("approx"), 6).alias("approx_dot"), "rank"))
 
 
 def _pq_oracle() -> str:
@@ -1092,7 +1097,7 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY approx DESC, cand_id ASC) AS BIGINT) AS rank
     FROM scored)
-SELECT query_id, cand_id, round(approx, 6) AS approx_dot, rank
+SELECT query_id, cand_id, CASE WHEN abs((approx)) < 4e9 THEN floor((approx) * 1e6 + 0.5E0) / 1e6 ELSE (approx) END AS approx_dot, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
@@ -1114,7 +1119,7 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(found, on=["query_id", "cand_id"], how="left")
             .agg(F.count(F.lit(1)).alias("n_exact"),
                  hits.alias("n_found"),
-                 F.round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 ieee_round(hits.cast("double") / F.count(F.lit(1)), 4)
                  .alias("recall")))
 
 
@@ -1123,7 +1128,7 @@ WITH exact_side AS ({ORACLE_COSINE_TOPK}),
 pq_side AS ({ORACLE_PQ_TOPK})
 SELECT CAST(count(*) AS BIGINT) AS n_exact,
        CAST(count(p.cand_id) AS BIGINT) AS n_found,
-       round(count(p.cand_id)::DOUBLE / count(*), 4) AS recall
+       CASE WHEN abs((count(p.cand_id)::DOUBLE / count(*))) < 4e9 THEN floor((count(p.cand_id)::DOUBLE / count(*)) * 1e4 + 0.5E0) / 1e4 ELSE (count(p.cand_id)::DOUBLE / count(*)) END AS recall
 FROM exact_side x
 LEFT JOIN pq_side p
   ON x.query_id = p.query_id AND x.cand_id = p.cand_id

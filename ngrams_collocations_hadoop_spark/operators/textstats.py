@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import uavg, uavg_sql, usum, usum_sql
+from ..functions.exact import (ieee_round, ieee_round_sql,
+                               uavg, uavg_sql, usum, usum_sql)
 
 from ..constants import LANGS, STOPWORDS, _LANG_EXTRA
 from ..sources.tables import fan_out, load_table
@@ -72,10 +73,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (1 - stop_ratio) * 0.3 + ttr * 0.4)
     return docs.select(
         "doc_id", "lang",
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        ieee_round(mean_len, 6).alias("mean_token_len"),
+        ieee_round(stop_ratio, 6).alias("stopword_ratio"),
+        ieee_round(ttr, 6).alias("type_token_ratio"),
+        ieee_round(score, 6).alias("quality_score"),
     )
 
 
@@ -92,11 +93,13 @@ m AS (
            len(list_distinct(tokens))::DOUBLE / len(tokens) AS ttr
     FROM d)
 SELECT doc_id, lang,
-       round(mean_len, 6) AS mean_token_len,
-       round(stop_ratio, 6) AS stopword_ratio,
-       round(ttr, 6) AS type_token_ratio,
-       round(least(mean_len / 10, 1.0) * 0.3
-             + (1 - stop_ratio) * 0.3 + ttr * 0.4, 6) AS quality_score
+       CASE WHEN abs((mean_len)) < 4e9 THEN floor((mean_len) * 1e6 + 0.5E0) / 1e6 ELSE (mean_len) END AS mean_token_len,
+       CASE WHEN abs((stop_ratio)) < 4e9 THEN floor((stop_ratio) * 1e6 + 0.5E0) / 1e6 ELSE (stop_ratio) END AS stopword_ratio,
+       CASE WHEN abs((ttr)) < 4e9 THEN floor((ttr) * 1e6 + 0.5E0) / 1e6 ELSE (ttr) END AS type_token_ratio,
+       CASE WHEN abs((least(mean_len / 10, 1.0) * 0.3
+             + (1 - stop_ratio) * 0.3 + ttr * 0.4)) < 4e9 THEN floor((least(mean_len / 10, 1.0) * 0.3
+             + (1 - stop_ratio) * 0.3 + ttr * 0.4) * 1e6 + 0.5E0) / 1e6 ELSE (least(mean_len / 10, 1.0) * 0.3
+             + (1 - stop_ratio) * 0.3 + ttr * 0.4) END AS quality_score
 FROM m
 """
 
@@ -391,8 +394,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("doc_id")
                 .agg(F.max("c").alias("max_big_c"),
                      F.sum("c").alias("n_big")))
-    ttf = F.round(F.col("max_tok_c").cast("double") / F.col("n_tok"), 6)
-    tbf = F.round(F.col("max_big_c").cast("double") / F.col("n_big"), 6)
+    ttf = ieee_round(F.col("max_tok_c").cast("double") / F.col("n_tok"), 6)
+    tbf = ieee_round(F.col("max_big_c").cast("double") / F.col("n_big"), 6)
     return (tok_stat.join(big_stat, "doc_id")
             .select("doc_id",
                     ttf.alias("top_token_frac"),
@@ -414,10 +417,10 @@ bc AS (SELECT doc_id, big, count(*) AS c FROM big GROUP BY 1, 2),
 bstat AS (SELECT doc_id, max(c) AS max_big_c, CAST(sum(c) AS BIGINT) AS n_big
           FROM bc GROUP BY 1)
 SELECT doc_id,
-       round(max_tok_c::DOUBLE / n_tok, 6) AS top_token_frac,
-       round(max_big_c::DOUBLE / n_big, 6) AS top_bigram_frac,
-       CAST(round(max_tok_c::DOUBLE / n_tok, 6) > {REP_TOP_TOKEN_MAX}
-            OR round(max_big_c::DOUBLE / n_big, 6) > {REP_TOP_BIGRAM_MAX}
+       CASE WHEN abs((max_tok_c::DOUBLE / n_tok)) < 4e9 THEN floor((max_tok_c::DOUBLE / n_tok) * 1e6 + 0.5E0) / 1e6 ELSE (max_tok_c::DOUBLE / n_tok) END AS top_token_frac,
+       CASE WHEN abs((max_big_c::DOUBLE / n_big)) < 4e9 THEN floor((max_big_c::DOUBLE / n_big) * 1e6 + 0.5E0) / 1e6 ELSE (max_big_c::DOUBLE / n_big) END AS top_bigram_frac,
+       CAST(CASE WHEN abs((max_tok_c::DOUBLE / n_tok)) < 4e9 THEN floor((max_tok_c::DOUBLE / n_tok) * 1e6 + 0.5E0) / 1e6 ELSE (max_tok_c::DOUBLE / n_tok) END > {REP_TOP_TOKEN_MAX}
+            OR CASE WHEN abs((max_big_c::DOUBLE / n_big)) < 4e9 THEN floor((max_big_c::DOUBLE / n_big) * 1e6 + 0.5E0) / 1e6 ELSE (max_big_c::DOUBLE / n_big) END > {REP_TOP_BIGRAM_MAX}
             AS INT) AS repetitive
 FROM tstat JOIN bstat USING (doc_id)
 """
@@ -625,8 +628,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.coalesce("in_train", F.lit(0)))
                  .alias("n_contaminated"))
             .withColumn("contamination",
-                        F.round(F.col("n_contaminated")
-                                / F.col("n_shingles"), 6)))
+                        ieee_round(F.col("n_contaminated")
+                                   / F.col("n_shingles"), 6)))
 
 
 ORACLE_CONTAMINATION = f"""
@@ -646,8 +649,10 @@ train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
 SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_contaminated,
-       round(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
-             / count(*)::DOUBLE, 6) AS contamination
+       CASE WHEN abs((sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE)) < 4e9 THEN floor((sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE) * 1e6 + 0.5E0) / 1e6 ELSE (sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE) END AS contamination
 FROM sh LEFT JOIN train t USING (shingle)
 WHERE sh.split = 'test'
 GROUP BY sh.doc_id
@@ -782,9 +787,9 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = F.col("w_raw") / F.col("w_sum")
     return norm.select(
         "source", "n_docs", "n_tokens",
-        F.round(p, 6).alias("token_share"),
-        F.round(weight, 6).alias("mixture_weight"),
-        F.round(weight * F.col("total_tokens") / F.col("n_tokens"), 6)
+        ieee_round(p, 6).alias("token_share"),
+        ieee_round(weight, 6).alias("mixture_weight"),
+        ieee_round(weight * F.col("total_tokens") / F.col("n_tokens"), 6)
         .alias("epochs_at_corpus_budget"))
 
 
@@ -799,11 +804,12 @@ tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    AS w_sum
         FROM per_src)
 SELECT source, n_docs, n_tokens,
-       round(n_tokens / total_tokens::DOUBLE, 6) AS token_share,
-       round(pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum,
-             6) AS mixture_weight,
-       round(pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum
-             * total_tokens / n_tokens::DOUBLE, 6)
+       CASE WHEN abs((n_tokens / total_tokens::DOUBLE)) < 4e9 THEN floor((n_tokens / total_tokens::DOUBLE) * 1e6 + 0.5E0) / 1e6 ELSE (n_tokens / total_tokens::DOUBLE) END AS token_share,
+       CASE WHEN abs((pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum)) < 4e9 THEN floor((pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum) * 1e6 + 0.5E0) / 1e6 ELSE (pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum) END AS mixture_weight,
+       CASE WHEN abs((pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum
+             * total_tokens / n_tokens::DOUBLE)) < 4e9 THEN floor((pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum
+             * total_tokens / n_tokens::DOUBLE) * 1e6 + 0.5E0) / 1e6 ELSE (pow(n_tokens / total_tokens::DOUBLE, {MIXTURE_ALPHA}) / w_sum
+             * total_tokens / n_tokens::DOUBLE) END
            AS epochs_at_corpus_budget
 FROM per_src, tot
 """
@@ -839,8 +845,8 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
                  .alias("n_dup_shingles"))
             .withColumn("dup_fraction",
-                        F.round(F.col("n_dup_shingles")
-                                / F.col("n_shingles"), 6)))
+                        ieee_round(F.col("n_dup_shingles")
+                                   / F.col("n_shingles"), 6)))
 
 
 ORACLE_DUP_SPANS = f"""
@@ -856,8 +862,10 @@ df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_dup_shingles,
-       round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
-             / count(*)::DOUBLE, 6) AS dup_fraction
+       CASE WHEN abs((sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE)) < 4e9 THEN floor((sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE) * 1e6 + 0.5E0) / 1e6 ELSE (sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE) END AS dup_fraction
 FROM sh JOIN df USING (shingle)
 GROUP BY doc_id
 """
@@ -1035,7 +1043,7 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id", "n_tokens_in",
         F.size("kept").cast("long").alias("n_tokens_out"),
-        F.round(F.lit(1.0) - F.size("kept") / F.col("n_tokens_in"), 6)
+        ieee_round(F.lit(1.0) - F.size("kept") / F.col("n_tokens_in"), 6)
         .alias("removed_fraction"),
         F.md5(F.concat_ws(" ", F.expr("transform(kept, s -> s.tok)")))
         .alias("cleaned_md5"))
@@ -1067,8 +1075,10 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens_in,
        CAST(sum(CASE WHEN rpos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_tokens_out,
-       round(1.0 - sum(CASE WHEN rpos IS NULL THEN 1 ELSE 0 END)
-             / count(*)::DOUBLE, 6) AS removed_fraction,
+       CASE WHEN abs((1.0 - sum(CASE WHEN rpos IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE)) < 4e9 THEN floor((1.0 - sum(CASE WHEN rpos IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE) * 1e6 + 0.5E0) / 1e6 ELSE (1.0 - sum(CASE WHEN rpos IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE) END AS removed_fraction,
        md5(coalesce(string_agg(CASE WHEN rpos IS NULL THEN tok END,
                                ' ' ORDER BY pos), '')) AS cleaned_md5
 FROM flagged GROUP BY doc_id
@@ -1099,18 +1109,23 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("mean_score")))
 
 
-ORACLE_CURRICULUM_BUCKETS = f"""
-WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
-           FROM documents WHERE text IS NOT NULL),
-m AS (
-    SELECT doc_id, lang,
-           round(least(((length(text) - len(tokens) + 1)::DOUBLE
+# Quality-score-from-raw-text SQL (duckdb), shared by oracles that
+# re-derive the score instead of consuming q_quality's output.
+_QSCORE_FROM_TEXT_SQL = f"""least(((length(text) - len(tokens) + 1)::DOUBLE
                         / len(tokens)) / 10, 1.0) * 0.3
                  + (1 - len(list_filter(tokens, t -> list_contains(
                        {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
                        / len(tokens)) * 0.3
                  + (len(list_distinct(tokens))::DOUBLE
-                    / len(tokens)) * 0.4, 6) AS quality_score
+                    / len(tokens)) * 0.4"""
+
+
+ORACLE_CURRICULUM_BUCKETS = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
+           FROM documents WHERE text IS NOT NULL),
+m AS (
+    SELECT doc_id, lang,
+           {ieee_round_sql(_QSCORE_FROM_TEXT_SQL, 6)} AS quality_score
     FROM d),
 staged AS (
     SELECT lang, quality_score,
@@ -1388,9 +1403,9 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # throws, DuckDB yields inf) — and no meaningful power law anyway
     return mom.filter(F.col("n") >= 2).selectExpr(
         "lang", "CAST(n AS BIGINT) AS n_points",
-        f"round({_Z_SLOPE}, 6) AS slope",
-        f"round({_Z_INTERCEPT}, 6) AS intercept",
-        f"round({_Z_R2}, 6) AS r2")
+        f"{ieee_round_sql(_Z_SLOPE, 6)} AS slope",
+        f"{ieee_round_sql(_Z_INTERCEPT, 6)} AS intercept",
+        f"{ieee_round_sql(_Z_R2, 6)} AS r2")
 
 
 ORACLE_ZIPF = f"""
@@ -1416,9 +1431,9 @@ mom AS (
            count(*) AS n
     FROM ranked WHERE r <= {ZIPF_TOP} GROUP BY lang)
 SELECT lang, CAST(n AS BIGINT) AS n_points,
-       round({_Z_SLOPE}, 6) AS slope,
-       round({_Z_INTERCEPT}, 6) AS intercept,
-       round({_Z_R2}, 6) AS r2
+       {ieee_round_sql(_Z_SLOPE, 6)} AS slope,
+       {ieee_round_sql(_Z_INTERCEPT, 6)} AS intercept,
+       {ieee_round_sql(_Z_R2, 6)} AS r2
 -- OLS needs >= 2 points (see the Spark twin's degenerate-lang note)
 FROM mom WHERE n >= 2
 """
@@ -1606,8 +1621,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("overlap", overlap)
             .filter(F.col("overlap") >= CONTAIN_THRESHOLD)
             .select("doc_a", "doc_b",
-                    F.round("overlap", 6).alias("overlap"),
-                    F.round(jac, 6).alias("jaccard")))
+                    ieee_round(F.col("overlap"), 6).alias("overlap"),
+                    ieee_round(jac, 6).alias("jaccard")))
 
 
 ORACLE_CONTAINMENT = f"""
@@ -1619,8 +1634,8 @@ cand AS (
     FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id),
 t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       FROM documents)
-SELECT doc_a, doc_b, round(overlap, 6) AS overlap,
-       round(jaccard, 6) AS jaccard
+SELECT doc_a, doc_b, CASE WHEN abs((overlap)) < 4e9 THEN floor((overlap) * 1e6 + 0.5E0) / 1e6 ELSE (overlap) END AS overlap,
+       CASE WHEN abs((jaccard)) < 4e9 THEN floor((jaccard) * 1e6 + 0.5E0) / 1e6 ELSE (jaccard) END AS jaccard
 FROM (
     SELECT doc_a, doc_b,
            len(list_intersect(a.toks, b.toks))::DOUBLE
@@ -1805,9 +1820,9 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"))
     return mom.filter(F.col("n") >= 2).selectExpr(
         "lang", "CAST(n AS BIGINT) AS n_points",
-        f"round({_Z_SLOPE}, 6) AS heaps_beta",
-        f"round({_Z_INTERCEPT}, 6) AS intercept",
-        f"round({_Z_R2}, 6) AS r2")
+        f"{ieee_round_sql(_Z_SLOPE, 6)} AS heaps_beta",
+        f"{ieee_round_sql(_Z_INTERCEPT, 6)} AS intercept",
+        f"{ieee_round_sql(_Z_R2, 6)} AS r2")
 
 
 ORACLE_HEAPS = f"""
@@ -1838,8 +1853,8 @@ mom AS (
            count(*) AS n
     FROM pts GROUP BY lang)
 SELECT lang, CAST(n AS BIGINT) AS n_points,
-       round({_Z_SLOPE}, 6) AS heaps_beta,
-       round({_Z_INTERCEPT}, 6) AS intercept,
-       round({_Z_R2}, 6) AS r2
+       {ieee_round_sql(_Z_SLOPE, 6)} AS heaps_beta,
+       {ieee_round_sql(_Z_INTERCEPT, 6)} AS intercept,
+       {ieee_round_sql(_Z_R2, 6)} AS r2
 FROM mom WHERE n >= 2
 """

@@ -13,6 +13,7 @@ from __future__ import annotations
 from .functions.exact import uavg_sql
 from .constants import LLR_ROUND, TOP_K, stopword_values_sql
 from .functions.assoc import chi_square_sql, pmi_sql, t_score_sql
+from .functions.exact import ieee_round_sql
 from .functions.llr import llr_sql
 from .functions.text import clean_token_sql, decade_sql
 from .sources.ngram_source import (
@@ -149,9 +150,9 @@ def colloc_assoc_sql() -> str:
     return f"""
 WITH {ngram_ctes()}
 SELECT lang, decade, w1, w2, c1, c2, c12, n_total, llr,
-       round({pmi_sql(*args)}, {LLR_ROUND}) AS pmi,
-       round({t_score_sql(*args)}, {LLR_ROUND}) AS t_score,
-       round({chi_square_sql(*args)}, {LLR_ROUND}) AS chi2
+       {ieee_round_sql(pmi_sql(*args), LLR_ROUND)} AS pmi,
+       {ieee_round_sql(t_score_sql(*args), LLR_ROUND)} AS t_score,
+       {ieee_round_sql(chi_square_sql(*args), LLR_ROUND)} AS chi2
 FROM scored
 """
 
@@ -162,7 +163,7 @@ def colloc_pmi_topk_sql(k: int = 100) -> str:
 WITH {ngram_ctes()},
 pmi_scored AS (
     SELECT lang, decade, w1, w2,
-           round({pmi_sql(*args)}, {LLR_ROUND}) AS pmi
+           {ieee_round_sql(pmi_sql(*args), LLR_ROUND)} AS pmi
     FROM scored),
 ranked AS (
     SELECT lang, decade, w1 || ' ' || w2 AS bigram, pmi,
@@ -243,7 +244,7 @@ vocab AS (
     SELECT lang, decade, CAST(count(*) AS BIGINT) AS v
     FROM c1 GROUP BY lang, decade)
 SELECT lang, decade, w1, w2, c1, c12, v,
-       round((c12 + {k}) / (c1 + {k} * v), 6) AS p_w2_given_w1
+       {ieee_round_sql(f'(c12 + {k}) / (c1 + {k} * v)', 6)} AS p_w2_given_w1
 FROM scored JOIN vocab USING (lang, decade)
 """
 
@@ -261,7 +262,7 @@ vocab AS (
     FROM c1 GROUP BY lang, decade),
 lm AS (
     SELECT lang, decade, w1, w2,
-           round((c12 + {k}) / (c1 + {k} * v), 6) AS p
+           {ieee_round_sql(f'(c12 + {k}) / (c1 + {k} * v)', 6)} AS p
     FROM scored JOIN vocab USING (lang, decade)),
 docbg AS (
     SELECT doc_id, lang, {decade_sql('year')} AS decade,
@@ -296,8 +297,8 @@ SELECT d.lang, d.decade,
        CAST(count(*) AS BIGINT) AS n_vocab,
        CAST(sum(CASE WHEN f.first_decade = d.decade THEN 1 ELSE 0 END)
             AS BIGINT) AS n_new,
-       round(sum(CASE WHEN f.first_decade = d.decade THEN 1 ELSE 0 END)
-             / count(*)::DOUBLE, 6) AS new_ratio
+       {ieee_round_sql('''sum(CASE WHEN f.first_decade = d.decade THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE''', 6)} AS new_ratio
 FROM dis_f d JOIN firsts f USING (lang, word)
 GROUP BY d.lang, d.decade
 """

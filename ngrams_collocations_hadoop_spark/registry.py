@@ -126,7 +126,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       boundaries — the corr family + zscore now derive via the
 #       magnitude-guarded IEEE floor form (_r6; Spark floor(DOUBLE)
 #       returns LONG, so x*1e6 must not exceed it) and pow() was
-#       replaced by * (Java vs libm pow is 1-ulp divergent).
+#       replaced by * (Java vs libm pow is 1-ulp divergent). The same
+#       class was then closed package-wide (functions/exact.py::
+#       ieee_round / ieee_round_sql): every RATIONAL-valued output
+#       that went through round() — jaccard/overlap, recalls,
+#       pagerank, clustering coeff, percent_rank/cume_dist,
+#       transition probs, shares, retention, EWMA, MAD sigma, quality
+#       scores, repetition/contamination/dup/removal fractions,
+#       mixture shares, zipf/heaps fits, cosines, covariance, pmi/
+#       t_score/chi2, condprob, new_ratio — now derives through the
+#       guarded IEEE floor on the shared expression. ln/sqrt-
+#       irrational outputs (llr, entropy, tfidf) keep round(): their
+#       boundary probability is ~2^-52, and llr is the flagship
+#       driver column left byte-stable on purpose.
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance).
