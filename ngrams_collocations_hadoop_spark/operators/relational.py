@@ -39,8 +39,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # `ts IS NOT NULL` mirrors the scan gate in sources/tables.py::load_table —
 # a NULL event time hits every engine disagreement at once (window()
 # emits no bucket vs a NULL bucket; ORDER BY NULLS FIRST vs LAST).
-EVENTS_US = ("(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events "
-             "WHERE ts IS NOT NULL)")
+# The value REPLACE mirrors the scan's non-finite gate: NaN/±Inf
+# measurements become NULL (missing), never magnitudes — ungated,
+# CAST(non-finite AS BIGINT) is 0/LONG_MAX in Spark but a hard
+# ConversionException here.
+EVENTS_US = ("(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, "
+             "CASE WHEN isfinite(value) THEN value END AS value) "
+             "FROM events WHERE ts IS NOT NULL)")
+
+# The non-finite-value gate alone (ns timestamps kept), for oracles
+# that never emit ts and quantize `value` straight off the scan. The
+# trailing alias keeps bare `events` references in the enclosing query
+# resolving unchanged; use the _SUB form to pick a different alias.
+EVENTS_VFIN_SUB = ("(SELECT * REPLACE (CASE WHEN isfinite(value) THEN "
+                   "value END AS value) FROM events)")
+EVENTS_VFIN = f"{EVENTS_VFIN_SUB} events"
 
 # --- A: aggregation shapes (A1-A5 generalized + distinct/avg/min/max) ---
 
@@ -347,7 +360,7 @@ SELECT user_id, event_id,
            AS prev_type,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS BIGINT) AS seq
-FROM events WHERE ts IS NOT NULL
+FROM {EVENTS_VFIN} WHERE ts IS NOT NULL
 """
 
 
@@ -723,7 +736,7 @@ SELECT event_type,
        TRUE AS approx_users_within_rsd,
        TRUE AS approx_p50_within_eps,
        TRUE AS approx_p99_within_eps
-FROM events WHERE ts IS NOT NULL GROUP BY event_type
+FROM {EVENTS_VFIN} WHERE ts IS NOT NULL GROUP BY event_type
 HAVING count(value) >= {SKETCH_MIN_GROUP}
 """
 
@@ -853,7 +866,8 @@ WITH moments AS (
            sum(CAST(user_id AS HUGEINT) * user_id) AS _syy,
            sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
                * user_id) AS _sxy
-    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    FROM {EVENTS_VFIN}
+    WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY event_type)
 SELECT event_type, {", ".join(_CORR_EXPRS)}
 FROM moments
@@ -1000,7 +1014,8 @@ FROM (SELECT event_id, event_type, value,
                        AS HUGEINT)) OVER w AS _sx,
                    sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
                        * CAST(round(value * 1e6) AS BIGINT)) OVER w AS _sxx
-            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            FROM {EVENTS_VFIN}
+            WHERE value IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY event_type)))
 WHERE abs(zscore) > 2
 """
@@ -1340,10 +1355,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_partial_aggs(old, new)
 
 
-ORACLE_INCREMENTAL_AGG = """
+ORACLE_INCREMENTAL_AGG = f"""
 WITH m AS (SELECT event_type, count(*) AS n,
                   sum(CAST(floor(value * 1e6) AS BIGINT)) AS total_u
-           FROM events WHERE ts IS NOT NULL GROUP BY event_type)
+           FROM {EVENTS_VFIN}
+           WHERE ts IS NOT NULL GROUP BY event_type)
 SELECT event_type, CAST(n AS BIGINT) AS n,
        floor((CAST(total_u AS DOUBLE) + 50) / 100) / 1e4 AS total,
        CAST(floor(CAST(total_u AS DOUBLE) / n + 0.5E0) AS DOUBLE) / 1e6
@@ -1412,11 +1428,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "/ 1e6")))
 
 
-ORACLE_MAD_OUTLIERS = """
+ORACLE_MAD_OUTLIERS = f"""
 WITH ev AS (
     SELECT event_type, value,
            CAST(round(value * 1e6) AS BIGINT) AS q
-    FROM events WHERE ts IS NOT NULL),
+    FROM {EVENTS_VFIN} WHERE ts IS NOT NULL),
 med AS (
     SELECT event_type, CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med_u2
     FROM ev GROUP BY event_type),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import usum, usum_sql
+from .relational import EVENTS_VFIN, EVENTS_VFIN_SUB
 
 
 def salted_join(large: DataFrame, small: DataFrame, keys: list[str],
@@ -65,9 +66,10 @@ ORACLE_SALTED_JOIN = f"""
 WITH stats AS (
     SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
            {usum_sql("value")} AS type_sum
-    FROM events WHERE ts IS NOT NULL GROUP BY event_type)
+    FROM {EVENTS_VFIN} WHERE ts IS NOT NULL GROUP BY event_type)
 SELECT event_id, e.event_type, value, type_n, type_sum
-FROM events e JOIN stats USING (event_type) WHERE ts IS NOT NULL
+FROM {EVENTS_VFIN_SUB} e JOIN stats USING (event_type)
+WHERE ts IS NOT NULL
 """
 
 

@@ -151,6 +151,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the streaming sources' epoch gate, which already drops NULLs.
         from pyspark.sql import functions as F
         df = df.filter(F.col("ts").isNotNull())
+        # A non-finite measurement (NaN/±Inf — sensor garbage, a failed
+        # upstream division) is a MISSING value, not a magnitude: keep
+        # the row (its timestamp still sessionizes/counts) but null the
+        # measurement, exactly like the embeddings finite-vector gate.
+        # Ungated, the engines diverge loudly on every quantizing path:
+        # CAST(non-finite AS BIGINT) is 0 / LONG_MAX in non-ANSI Spark
+        # but a hard ConversionException in DuckDB. Every events oracle
+        # mirrors this as CASE WHEN isfinite(value) THEN value END.
+        v = F.col("value")
+        df = df.withColumn(
+            "value",
+            F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
+                   F.lit(None).cast("double")).otherwise(v))
     return df
 
 

@@ -93,8 +93,19 @@ def _gate_epoch(stream: DataFrame) -> DataFrame:
     "initial watermark" without replaying batch boundaries. Gating the
     garbage explicitly at the source (standard ingest validation)
     makes the streaming contract total; the oracles mirror the gate.
-    Found by the extreme-hazard fuzz tier (1969 timestamps)."""
-    return stream.filter(F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+    Found by the extreme-hazard fuzz tier (1969 timestamps).
+
+    Also nulls non-finite measurements (NaN/±Inf), mirroring the batch
+    scan gate in ``sources/tables.py::load_table``: the row's event
+    time still windows/sessionizes, but the garbage magnitude must not
+    reach the quantizing sums (CAST(non-finite AS BIGINT) is silent
+    0/LONG_MAX in Spark, a hard error in the DuckDB oracles)."""
+    v = F.col("value")
+    return (stream
+            .filter(F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+            .withColumn("value",
+                        F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
+                               F.lit(None).cast("double")).otherwise(v)))
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema from a batch peek;
@@ -169,7 +180,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_TUMBLING = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
        count(*) AS n, {usum_sql("value")} AS sum_value
-FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
 GROUP BY 1, 2
 """
 
@@ -205,7 +216,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # new one. A `>=` here diverges exactly at the boundary — found by the
 # adversarial fuzz, which plants gaps of exactly SESSION_GAP_SECONDS.
 ORACLE_STREAM_SESSION = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
 gapped AS (
     SELECT user_id, ts, value, event_id,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
@@ -294,7 +305,8 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_STATEFUL = f"""
 SELECT user_id, count(*) AS n_events, {usum_sql("value")} AS total_value
-FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY user_id
+FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY user_id
 """
 
 
@@ -349,7 +361,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_DEDUP = f"""
 SELECT event_type, count(*) AS n, {usum_sql("value")} AS sum_value
-FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
+FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
 """
 
 
@@ -381,7 +394,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_SLIDING = f"""
 WITH slid AS (
     SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')),
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')),
 wins AS (
     SELECT b AS win_start, value FROM slid
     UNION ALL
@@ -422,7 +435,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_ENRICH = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, c_mktsegment,
        count(*) AS n, {usum_sql("value")} AS sum_value
-FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') e
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
@@ -477,7 +490,7 @@ def q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_PAIR_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL)
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL)
 SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
        CAST(floor(epoch(r.ts)) AS BIGINT)
          - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
@@ -626,7 +639,8 @@ SELECT event_type,
        CAST(2 * count(*) AS BIGINT) AS n,
        CAST(2 * sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
            AS sum_value_micro
-FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
+FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
 """
 
 
@@ -670,7 +684,7 @@ ORACLE_STREAM_WINDOW_TOPK = f"""
 WITH agg AS (
     SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
            count(*) AS n
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
     WHERE event_type IS NOT NULL
     GROUP BY 1, 2),
 ranked AS (
@@ -741,7 +755,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us
@@ -880,7 +894,7 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_FULL_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us

@@ -305,7 +305,9 @@ def _apply_extremes(docs: pa.Table, events: pa.Table,
     """Hazard tier 2: magnitude/domain extremes planted on top of the
     generated tables — negative ids, whitespace-only text, an unknown
     language, a very long document, PRE-EPOCH event times (1969; these
-    exposed the streaming initial-watermark drop), and large values.
+    exposed the streaming initial-watermark drop), large values, and
+    non-finite / signed-zero measurements (NaN, ±Inf, -0.0 — these
+    exposed the value-quantization cast divergence, 25 queries).
     """
     d = docs.to_pydict()
     d["doc_id"][0] = -5
@@ -320,6 +322,17 @@ def _apply_extremes(docs: pa.Table, events: pa.Table,
     e["ts"][1] = -86400_000000 + 12345
     e["user_id"][2] = -3
     e["value"][3], e["value"][4] = 1e8, -1e8
+    # Non-finite measurements (sensor garbage / upstream 0-division):
+    # ungated these hit CAST(non-finite AS BIGINT) — silent 0/LONG_MAX
+    # in non-ANSI Spark, hard ConversionException in DuckDB — in every
+    # quantizing value sum. Gated (-> NULL) at both scan choke points
+    # (sources/tables.py::load_table, streaming _gate_epoch) and
+    # mirrored by isfinite() in every value-reading oracle. -0.0 rides
+    # along as signed-zero armor for the `+ 0E0` normalizations.
+    e["value"][5] = float("nan")
+    e["value"][6] = float("inf")
+    e["value"][7] = float("-inf")
+    e["value"][8] = -0.0
     events = pa.table({k: pa.array(v, events.schema.field(k).type)
                        for k, v in e.items()})
     return docs, events
