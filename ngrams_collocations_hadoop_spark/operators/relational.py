@@ -140,6 +140,12 @@ ORACLE_ROLLUP = f"""
 SELECT l_returnflag, l_linestatus,
        {usum_sql("l_quantity")} AS sum_qty, count(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+-- HAVING mirrors Spark's Expand-based grouping-set semantics on
+-- EMPTY input: Spark emits no rows (zero expanded rows -> zero
+-- groups, the grand total included) where the standard/DuckDB
+-- emits one () row; every group formed from a real row has
+-- count(*) >= 1, so this is output-invariant on non-empty input.
+HAVING count(*) > 0
 """
 
 
@@ -155,6 +161,7 @@ ORACLE_CUBE = f"""
 SELECT l_returnflag, l_linestatus,
        {usum_sql("l_extendedprice")} AS sum_price
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """
 
 
@@ -1487,6 +1494,7 @@ SELECT l_returnflag, l_linestatus,
             AS BIGINT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+HAVING count(*) > 0
 """
 
 
@@ -2058,7 +2066,10 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for col in PROFILE_COLS:
-        aggs.append(F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        # count(CASE ...), not sum(CASE ...): count is 0 over an EMPTY
+        # table where sum is NULL — the oracle's count(*)-count(col)
+        # form is 0 there, and an empty drop profiles as "0 nulls".
+        aggs.append(F.count(F.when(F.col(col).isNull(), 1))
                     .cast("long").alias(f"_null_{col}"))
         aggs.append(F.countDistinct(col).cast("long").alias(f"_ndv_{col}"))
     wide = li.agg(*aggs)

@@ -308,7 +308,8 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(found, on=["query_id", "cand_id"], how="left")
             .agg(F.count(F.lit(1)).alias("n_exact"),
                  hits.alias("n_found"),
-                 ieee_round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 ieee_round(F.try_divide(hits.cast("double"),
+                                         F.count(F.lit(1))), 4)
                  .alias("recall")))
 
 
@@ -432,7 +433,8 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(found, on=["query_id", "cand_id"], how="left")
             .agg(F.count(F.lit(1)).alias("n_exact"),
                  hits.alias("n_found"),
-                 ieee_round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 ieee_round(F.try_divide(hits.cast("double"),
+                                         F.count(F.lit(1))), 4)
                  .alias("recall")))
 
 
@@ -1119,7 +1121,8 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.join(found, on=["query_id", "cand_id"], how="left")
             .agg(F.count(F.lit(1)).alias("n_exact"),
                  hits.alias("n_found"),
-                 ieee_round(hits.cast("double") / F.count(F.lit(1)), 4)
+                 ieee_round(F.try_divide(hits.cast("double"),
+                                         F.count(F.lit(1))), 4)
                  .alias("recall")))
 
 

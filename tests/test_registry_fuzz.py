@@ -106,6 +106,30 @@ def run_fuzz(spark, corpus_dir: str, names: list[str]) -> dict[str, str]:
     return failures
 
 
+# The queries the EMPTY-corpus campaign (scripts/fuzz_empty.py) caught
+# diverging on zero-row input: recall audits (ANSI DIVIDE_BY_ZERO vs
+# DuckDB NULL), grouping-set grand totals (Spark's Expand emits no
+# rows on empty input), the profile's sum-vs-count NULL, and the
+# simhash check's formerly constant `nonempty`. Kept as a fast in-suite
+# regression gate; the script sweeps the full registry.
+EMPTY_SENSITIVE = [
+    "sim_pq_recall", "sim_lsh_recall", "sim_ivf_recall",
+    "dedup_lsh_recall", "rel_rollup", "rel_cube", "rel_grouping_sets",
+    "rel_profile", "dedup_simhash_check",
+]
+
+
+def test_registry_on_empty_tables(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    d = write_fuzz_corpus(101, str(tmp_path))
+    for t in ("documents", "events", "embeddings", "orders", "lineitem"):
+        f = f"{d}/{t}.parquet"
+        pq.write_table(pq.read_table(f).slice(0, 0), f)
+    failures = run_fuzz(spark, d, EMPTY_SENSITIVE)
+    assert not failures, f"empty-corpus: {failures}"
+
+
 @pytest.mark.parametrize("seed", [101, 202])
 def test_registry_vs_oracle_on_adversarial_corpus(spark, tmp_path, seed):
     d = write_fuzz_corpus(seed, str(tmp_path))
