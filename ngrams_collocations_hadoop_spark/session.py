@@ -41,6 +41,16 @@ def get_spark(app_name: str = "ngrams_collocations_hadoop_spark",
         # Spark reader rejects; read as int64 nanos and convert in the
         # loader (no-op for micros-encoded fixtures).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Propagate the sortBy order of bucketed tables into planning
+        # (off by default since SPARK-28595). Spark only claims the
+        # ordering when every bucket is a SINGLE file — which
+        # storage.write_bucketed guarantees via its pre-write
+        # repartition — so merge joins against bucketed+sorted tables
+        # (rel_bucketed_join, dedup_persisted_lsh's band index) skip
+        # the per-partition re-sort entirely; on a multi-file bucket
+        # Spark falls back to sorting, never to wrong results.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ncs_warehouse"))

@@ -315,6 +315,15 @@ def _apply_extremes(docs: pa.Table, events: pa.Table,
     d["lang"][2] = "xx"
     d["text"][3] = " ".join(rng.choices(UVOCAB, k=5000))
     d["n_chars"][3] = len(d["text"][3])
+    # Control / invisible / combining codepoints (crawl text is full of
+    # them): newlines + CRLF + tab + NUL inside tokens — the literal
+    # single-space split must carry them through identically on both
+    # engines — plus zero-width space and a combining acute (length()
+    # must count codepoints, not graphemes, on both sides).
+    d["text"][4] = "line1\nline2\r\nline3\tword a\x00nul"
+    d["n_chars"][4] = len(d["text"][4])
+    d["text"][5] = "a\u200bb e\u0301 zero\u200bwidth \u0301lead"
+    d["n_chars"][5] = len(d["text"][5])
     docs = pa.table({k: pa.array(v, docs.schema.field(k).type)
                      for k, v in d.items()})
     e = events.to_pydict()

@@ -233,6 +233,10 @@ def test_bucketed_join_query_single_exchange(spark):
     plan = physical_plan(df)
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    # With sorted-scan propagation on (session.py: the single-file-per-
+    # bucket layout write_bucketed guarantees), the merge join consumes
+    # the buckets' sortBy order directly — no re-sort on EITHER side.
+    assert plan.count("Sort ") == 0, plan
 
 
 def test_quantized_ann_broadcast_and_group_limit(spark):
@@ -451,6 +455,10 @@ def test_persisted_lsh_index_side_has_no_exchange(spark):
         r"Exchange hashpartitioning\(band_id[^\n\[]*\[plan_id=(\d+)",
         plan))
     assert len(band_exchanges) == 1, plan
+    # Sorted-scan propagation: only the BATCH side needs a merge-join
+    # sort (it just shuffled); the index side's bucket files are
+    # consumed in their persisted sortBy order.
+    assert plan.count("Sort ") == 1, plan
 
 
 def test_bench_queries_shuffle_budget(spark):
