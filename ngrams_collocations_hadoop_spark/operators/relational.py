@@ -542,13 +542,23 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_cast yields NULL for both. With the shared expression, '1.5'
     → 2, '69' → 69, and non-numeric ('x', true) → NULL on BOTH
     engines (DuckDB additionally needs the json_valid guard so
-    malformed JSON doesn't hard-error)."""
+    malformed JSON doesn't hard-error).
+
+    Totality also needs a MAGNITUDE guard: a syntactically valid JSON
+    number can be 1e300 or wider-than-long, and the engines' floors
+    disagree there — Spark's floor(DOUBLE) returns LONG and silently
+    SATURATES at ±LONG_MAX (no ANSI error), while DuckDB's floor stays
+    DOUBLE and the bigint cast hard-errors. Out-of-long-range and
+    non-finite extracts are NULL (unmeasurable), guarded by the same
+    finite+bound test on both sides."""
     e = _t(spark, sf_dir, "events")
     return (
         e.select(
             "event_type",
-            F.expr("CAST(floor(try_cast(get_json_object(props, '$.k') "
-                   "AS DOUBLE) + 0.5E0) AS LONG)").alias("k"),
+            F.expr("CASE WHEN abs(try_cast(get_json_object(props, '$.k')"
+                   " AS DOUBLE)) < 9.0e18 THEN "
+                   "CAST(floor(try_cast(get_json_object(props, '$.k') "
+                   "AS DOUBLE) + 0.5E0) AS LONG) END").alias("k"),
         )
         .groupBy("event_type")
         .agg(F.round(F.avg("k"), 6).alias("avg_k"),
@@ -562,6 +572,8 @@ SELECT event_type,
        round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS n
 FROM (SELECT event_type,
              CASE WHEN json_valid(props)
+                   AND abs(TRY_CAST(json_extract_string(props, '$.k')
+                           AS DOUBLE)) < 9.0e18
                   THEN CAST(floor(TRY_CAST(json_extract_string(props,
                        '$.k') AS DOUBLE) + 0.5E0) AS BIGINT)
              END AS k

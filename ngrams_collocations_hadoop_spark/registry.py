@@ -139,9 +139,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       irrational outputs (llr, entropy, tfidf) keep round(): their
 #       boundary probability is ~2^-52, and llr is the flagship
 #       driver column left byte-stable on purpose.
+#   (e) the non-finite-measurement pass (NaN/±Inf/-0.0 planted in
+#       events.value): gated to NULL at both scan choke points
+#       (load_table + streaming _gate_epoch) with isfinite() mirrors
+#       in every value-reading oracle — every events query's scan
+#       changed again, output-invariant on finite data; and the
+#       EMPTY-corpus campaign (scripts/fuzz_empty.py) fixed 9
+#       zero-row divergences: try_divide in the four recall audits
+#       (sim_pq/sim_lsh/sim_ivf/dedup_lsh), HAVING count(*)>0 oracle
+#       mirrors for rollup/cube/grouping_sets (Spark's Expand emits
+#       no rows on empty input), count()-not-sum() in rel_profile,
+#       and a data-derived nonempty in dedup_simhash_check. Of these,
+#       behind-window: rel_rollup, rel_cube, sim_lsh_recall,
+#       sim_ivf_recall, dedup_lsh_recall, dedup_simhash_check,
+#       rel_salted_join (oracle-side gate only).
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
-# IS that queue, so the rotation plan is unchanged in substance).
+# IS that queue, so the rotation plan is unchanged in substance;
+# group (e)'s seven join them).
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round ---
     "rel_gap_fill": rel.q_gap_fill,                 # densify + LOCF

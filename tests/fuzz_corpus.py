@@ -139,9 +139,17 @@ def gen_events(rng: random.Random, n: int = 200) -> pa.Table:
             value = None                 # missing measurement
         else:
             value = round(rng.uniform(-20, 120), 2)
+        # the magnitude rows are load-bearing: a syntactically valid
+        # JSON number can exceed double (1e999 -> Inf) or long range
+        # (1e300, 22 nines) — Spark's floor(DOUBLE) silently saturates
+        # at ±LONG_MAX where DuckDB's bigint cast hard-errors, so the
+        # extraction guards magnitude (q_json_extract)
         props = rng.choice(['{"k": %d}' % rng.randint(0, 99), '{}',
                             '{"j": 4}', None, 'not json', '{"k": "x"}',
-                            '{"k": 1.5}', '{"k": true}'])
+                            '{"k": 1.5}', '{"k": true}',
+                            '{"k": 1e999}', '{"k": 1e300}',
+                            '{"k": -1e999}',
+                            '{"k": 9999999999999999999999}'])
         # identity-column dropout: NULL ts / user_id / event_type
         # (the clock still advances per user so the stream stays real)
         ts = None if rng.randrange(23) == 0 else cur[u]
