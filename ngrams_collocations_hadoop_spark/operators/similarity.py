@@ -44,11 +44,18 @@ def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     components: a NULL or empty embedding (failed model output) is a
     hard error in DuckDB's list_inner_product but NULL-propagates in
     Spark's aggregate lambdas — and a wrong-dimension vector breaks
-    every dot product and the PQ subvector split the same way."""
+    every dot product and the PQ subvector split the same way.
+
+    And a NONZERO component: an all-zero vector has norm 0, so its
+    cosine is 0/0 — an ANSI DIVIDE_BY_ZERO stop-the-query error in
+    Spark (double division IS ANSI-checked) vs NULL in DuckDB, and
+    semantically undefined either way. Denormal-tiny norms are fine
+    (the norm is accumulated in DOUBLE), only exact zero is gated."""
     return load_table(spark, sf_dir, "embeddings").filter(F.expr(
         "embedding IS NOT NULL AND size(embedding) = 64 AND "
         "NOT exists(embedding, x -> isnan(x) "
-        "OR abs(x) = CAST('Infinity' AS FLOAT))"))
+        "OR abs(x) = CAST('Infinity' AS FLOAT)) AND "
+        "exists(embedding, x -> x != 0)"))
 
 
 TOPK_NEIGHBORS = 10
@@ -80,7 +87,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            list_dot_product(q.v, c.v)
@@ -143,7 +150,7 @@ def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_FILTERED = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 keep AS (SELECT doc_id FROM documents
          WHERE n_chars >= {FILTER_MIN_CHARS}),
 scored AS (
@@ -260,7 +267,7 @@ def _hyperplanes_values_sql() -> str:
 
 
 ORACLE_COSINE_TOPK_LSH = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 hyp(table_id, bit, h) AS (VALUES
     {_hyperplanes_values_sql()}),
 buckets AS (
@@ -381,7 +388,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_IVF = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cents AS (
     SELECT vec_id AS cent_id, v AS cv FROM e
     WHERE vec_id % {CENTROID_STRIDE} = 0),
@@ -466,7 +473,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
     unit = (v.withColumn("nrm", norm)
             .select("label",
-                    F.expr("transform(v, x -> x / nrm)").alias("u")))
+                    F.expr("transform(v, x -> x / nullif(nrm, 0D))").alias("u")))
     return (unit.select("label", F.posexplode("u").alias("pos", "x"))
             .groupBy("label", "pos")
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
@@ -475,7 +482,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LABEL_CENTROIDS = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 u AS (
     SELECT label,
            list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
@@ -563,7 +570,7 @@ WITH e AS (
            list_transform(embedding::DOUBLE[],
                x -> CAST(least({QUANT_SCALE}, greatest(-{QUANT_SCALE},
                     round(x * {QUANT_SCALE}))) AS BIGINT)) AS q
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 n AS (
     SELECT vec_id, v, q,
            list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS qn
@@ -634,7 +641,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBEDDING_COVARIANCE = """
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 xi AS (
     SELECT v, CAST(i - 1 AS BIGINT) AS i, v[i] AS xi
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -712,7 +719,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KMEANS_STEP = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -776,7 +783,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("nrm", F.expr(
                     "sqrt(aggregate(v, 0D, (acc, y) -> acc "
                     "+ CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"))
-                .withColumn("u", F.expr("transform(v, x -> x / nrm)"))
+                .withColumn("u", F.expr("transform(v, x -> x / nullif(nrm, 0D))"))
                 .drop("nrm")
                 .localCheckpoint())
     a = assigned.select(F.col("vec_id").alias("id_a"), "cluster_id",
@@ -799,7 +806,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_SEMANTIC = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -926,7 +933,7 @@ def _power_oracle() -> str:
     per round, integer-exact throughout, HUGEINT where Spark uses
     DECIMAL(38,0)."""
     head = f"""
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 xi AS (
     SELECT CAST(i - 1 AS BIGINT) AS pos, v[i] AS x
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -1073,7 +1080,7 @@ def _pq_oracle() -> str:
     code_cols = ", ".join(
         f"(min(struct_pack(d := {d2(m)}, c := cid))).c" for m in range(PQ_M))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                 AS cid, v AS cv
          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),

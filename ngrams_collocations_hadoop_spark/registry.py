@@ -152,7 +152,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       and a data-derived nonempty in dedup_simhash_check. Of these,
 #       behind-window: rel_rollup, rel_cube, sim_lsh_recall,
 #       sim_ivf_recall, dedup_lsh_recall, dedup_simhash_check,
-#       rel_salted_join (oracle-side gate only).
+#       rel_salted_join (oracle-side gate only). Also in (e): the
+#       zero-norm embedding gate (an all-zero vector's cosine is 0/0 —
+#       ANSI DIVIDE_BY_ZERO vs DuckDB NULL; 8 queries) plus null-safe
+#       norm divisions in cosine_expr/centroids/semantic (Catalyst's
+#       InferFiltersFromConstraints clones downstream expressions into
+#       scan-level filters where CSE evaluates them on PRE-gate rows,
+#       so the division itself must be total) — the whole embedding
+#       family changed, output-invariant on gated data; behind-window:
+#       sim_cosine_topk, sim_cosine_topk_lsh, sim_cosine_topk_ivf,
+#       sim_cosine_topk_quantized, sim_cosine_topk_filtered,
+#       sim_label_centroids, sim_kmeans_step, sim_embedding_covariance,
+#       dedup_embedding_cosine, dedup_semantic; and the JSON magnitude
+#       guard (rel_json_extract, in-window via the (3b) refresh).
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance;

@@ -304,6 +304,13 @@ def _apply_embedding_extremes(emb: pa.Table) -> pa.Table:
     d["embedding"][12] = None
     d["embedding"][13] = []
     d["label"][14] = None
+    # all-zero vector: norm 0 -> cosine 0/0, an ANSI DIVIDE_BY_ZERO
+    # stop-the-query error in Spark vs NULL in DuckDB (8 queries when
+    # first planted) — gated at the scan with the other failed-output
+    # shapes. The denormal-norm vector is armor: its norm accumulates
+    # fine in DOUBLE, so it must NOT be gated.
+    d["embedding"][15] = [0.0] * EMB_DIM
+    d["embedding"][16] = [5e-39] * EMB_DIM
     return pa.table({k: pa.array(v, emb.schema.field(k).type)
                      for k, v in d.items()})
 
