@@ -15,9 +15,11 @@ integers exactly in any order, and derive the float
 ONCE with a single expression whose text is shared with the DuckDB
 oracle. Per-row quantization uses round-to-nearest, not floor: the
 grid matches the data's decimal precision, so nearest recovers the
-intended decimal exactly (no systematic truncation bias), and a binary
-double is never exactly halfway on the 1e-6 grid, so both engines
-round identically.
+intended decimal exactly (no systematic truncation bias). Nearest is
+EMITTED as floor(x*unit + 0.5) — see `_qterm` — because round(DOUBLE)
+takes Spark's per-row BigDecimal path while the floor form is pure
+IEEE arithmetic, identical in both engines at every input including
+grid halves (which ≤6-decimal data never produces anyway).
 
 For sums of IRRATIONAL per-row terms (logs in BM25 / cross-entropy),
 the same shape applies at a 1e12 grid with floor() — there is no
@@ -64,10 +66,28 @@ def _grid_round(value_sql: str, scale: int, unit: str = "1e6") -> str:
             f"/ 1e{scale}")
 
 
+def _qterm(expr: str, unit: str, fn: str) -> str:
+    """Per-row quantization term text, shared by Spark and the oracle.
+
+    fn="round" (nearest, the money/value default) is emitted as
+    floor(x*unit + 0.5) rather than round(x*unit): the two agree
+    everywhere except exact grid halves — which ≤6-decimal inputs
+    never produce (see module doc) — but round(DOUBLE) takes Spark's
+    BigDecimal HALF_UP path (an allocation per row; measured 1.32 s
+    vs 0.36 s for the floor form summing 50M rows), while floor is
+    pure IEEE arithmetic inside whole-stage codegen and bit-identical
+    in every engine BY CONSTRUCTION, halves included (half toward
+    +inf, the repo-wide convention of `_grid_round`/`ieee_round`).
+    fn="floor" (the irrational-term grids) is unchanged."""
+    if fn == "round":
+        return f"floor(({expr}) * {unit} + 0.5E0)"
+    return f"{fn}(({expr}) * {unit})"
+
+
 def usum_sql(expr: str, scale: int = 4, unit: str = "1e6",
              huge: str = "BIGINT", fn: str = "round") -> str:
     """DuckDB text of the exact rounded sum (Spark twin: `usum`)."""
-    s = f"sum(CAST({fn}(({expr}) * {unit}) AS {huge}))"
+    s = f"sum(CAST({_qterm(expr, unit, fn)} AS {huge}))"
     return _grid_round(s, scale, unit)
 
 
@@ -84,7 +104,7 @@ def uavg_sql(expr: str, scale: int = 6, unit: str = "1e6",
     avg() excludes them. The grid-mean S/n is rounded to an integer
     grid value with the same floor-half idiom as `_grid_round` (the
     quotient can land exactly on a half), then scaled out."""
-    grid_mean = (f"floor(CAST(sum(CAST({fn}(({expr}) * {unit}) "
+    grid_mean = (f"floor(CAST(sum(CAST({_qterm(expr, unit, fn)} "
                  f"AS {huge})) AS DOUBLE) / count({expr}) + 0.5E0)")
     return _grid_round(grid_mean, scale, unit)
 
@@ -99,7 +119,7 @@ def uwin_sql(expr: str, over: str, scale: int = 4, unit: str = "1e6",
              huge: str = "HUGEINT", fn: str = "round") -> str:
     """Windowed form of `usum_sql` for oracle texts: the quantized sum
     runs OVER the given window clause, the derivation is shared."""
-    s = f"sum(CAST({fn}(({expr}) * {unit}) AS {huge})) OVER {over}"
+    s = f"sum(CAST({_qterm(expr, unit, fn)} AS {huge})) OVER {over}"
     return _grid_round(s, scale, unit)
 
 
@@ -108,7 +128,7 @@ def uterm(expr: str, unit: str = "1e6", fn: str = "round",
     """Per-row quantized integer term, for window/stream aggregation
     paths where the sum is applied separately (`F.sum(uterm(..)).over`
     or streaming state). Pair with `uderive` on the summed column."""
-    return F.expr(f"CAST({fn}(({expr}) * {unit}) AS {huge})")
+    return F.expr(f"CAST({_qterm(expr, unit, fn)} AS {huge})")
 
 
 def uderive(col: str, scale: int = 4, unit: str = "1e6") -> Column:

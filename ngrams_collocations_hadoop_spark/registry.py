@@ -165,6 +165,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       sim_label_centroids, sim_kmeans_step, sim_embedding_covariance,
 #       dedup_embedding_cosine, dedup_semantic; and the JSON magnitude
 #       guard (rel_json_extract, in-window via the (3b) refresh).
+#   (f) the quantizer-emission change (functions/exact.py::_qterm —
+#       the per-row nearest quantizer is now emitted as the IEEE
+#       floor(x*unit + 0.5) form instead of round(x*unit), removing
+#       Spark's per-row BigDecimal path; measured 3.6x on the
+#       quantizing sum): every usum/uavg/uterm/uwin default-grid
+#       query changed on BOTH engine texts together, output-invariant
+#       on ≤6-decimal data (equivalence + cross-engine + order-
+#       independence pinned in tests/test_exact.py); the fn="floor"
+#       irrational grids are unchanged. Behind-window changed queries
+#       (pricing_summary, rollup/cube/pivot, star_join,
+#       window_running, incremental_agg, scalar_subquery, unpivot was
+#       in-window, streaming value sums, hypertable/equidepth
+#       in-window, kmeans_step, label_centroids...) are almost all
+#       already in the group-(b) r06 refresh queue, so the rotation
+#       plan is unchanged.
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance;
