@@ -35,7 +35,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact, derived once with the shared floor-half text
     updates = (o.filter(F.col("o_orderstatus") == "O")
                .withColumn("o_totalprice", F.expr(
-                   "floor((CAST(round(o_totalprice * 1e7) AS BIGINT) * 11 "
+                   "floor((CAST(floor(o_totalprice * 1e7 + 0.5E0) AS BIGINT) * 11 "
                    "+ 5000) / 10000) / 1e4")))
     max_key = 10_000_000
     inserts = (load_table(spark, sf_dir, "customer")
@@ -50,7 +50,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MERGE_UPSERT = """
 WITH updates AS (
     SELECT o_orderkey, o_custkey, o_orderstatus,
-           floor((CAST(round(o_totalprice * 1e7) AS BIGINT) * 11
+           floor((CAST(floor(o_totalprice * 1e7 + 0.5E0) AS BIGINT) * 11
                   + 5000) / 10000) / 1e4 AS o_totalprice
     FROM orders WHERE o_orderstatus = 'O'
     UNION ALL

@@ -861,7 +861,7 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the native aggregates' NULL contract."""
     e = load_table(spark, sf_dir, "events") \
         .filter(F.col("value").isNotNull())
-    qx = "CAST(round(value * 1e6) AS BIGINT)"
+    qx = "CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)"
     moments = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.expr(f"CAST({qx} AS DECIMAL(38,0))")).alias("_sx"),
@@ -878,12 +878,12 @@ ORACLE_CORR_STATS = f"""
 WITH moments AS (
     SELECT event_type,
            count(*) AS _n,
-           sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)) AS _sx,
-           sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
-               * CAST(round(value * 1e6) AS BIGINT)) AS _sxx,
+           sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS HUGEINT)) AS _sx,
+           sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS HUGEINT)
+               * CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)) AS _sxx,
            sum(CAST(user_id AS HUGEINT)) AS _sy,
            sum(CAST(user_id AS HUGEINT) * user_id) AS _syy,
-           sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
+           sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS HUGEINT)
                * user_id) AS _sxy
     FROM {EVENTS_VFIN}
     WHERE value IS NOT NULL AND ts IS NOT NULL
@@ -998,7 +998,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership at the boundary. NULL values are excluded (no
     measurement, no anomaly)."""
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    qx = "CAST(round(value * 1e6) AS BIGINT)"
+    qx = "CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)"
     w = Window.partitionBy("event_type")
     e = (e.withColumn("_n", F.count(F.lit(1)).over(w))
          .withColumn("_sx", F.sum(F.expr(
@@ -1029,10 +1029,10 @@ FROM (SELECT event_id, event_type, value,
              {_ZSCORE_EXPR} AS zscore
       FROM (SELECT event_id, event_type, value,
                    count(*) OVER w AS _n,
-                   sum(CAST(CAST(round(value * 1e6) AS BIGINT)
+                   sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)
                        AS HUGEINT)) OVER w AS _sx,
-                   sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT)
-                       * CAST(round(value * 1e6) AS BIGINT)) OVER w AS _sxx
+                   sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS HUGEINT)
+                       * CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)) OVER w AS _sxx
             FROM {EVENTS_VFIN}
             WHERE value IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY event_type)))
@@ -1419,7 +1419,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·|2q−med_u2| > 3·mad_u4 — no float ever decides membership."""
     e = _t(spark, sf_dir, "events").select(
         "event_type", "value",
-        F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("q"))
+        F.expr("CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)").alias("q"))
     med = (e.groupBy("event_type")
            .agg(F.expr("CAST(percentile(q, 0.5) * 2 AS BIGINT)")
                 .alias("med_u2")))
@@ -1450,7 +1450,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MAD_OUTLIERS = f"""
 WITH ev AS (
     SELECT event_type, value,
-           CAST(round(value * 1e6) AS BIGINT) AS q
+           CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS q
     FROM {EVENTS_VFIN} WHERE ts IS NOT NULL),
 med AS (
     SELECT event_type, CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med_u2
@@ -2129,7 +2129,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                               # exact 10% bump in 1e7-unit ints —
                               # same idiom as q_merge_upsert
                               F.expr(
-                                  "floor((CAST(round(o_totalprice * 1e7) "
+                                  "floor((CAST(floor(o_totalprice * 1e7 + 0.5E0) "
                                   "AS BIGINT) * 11 + 5000) / 10000) / 1e4"))
                        .otherwise(F.col("o_totalprice")))
            .select(F.col("o_orderkey").alias("k"), rh.alias("h_new")))
@@ -2153,7 +2153,7 @@ new AS (
     SELECT o_orderkey AS k,
            md5(concat_ws('|', o_custkey::VARCHAR, o_orderpriority,
                round(CASE WHEN o_orderpriority = '1-URGENT'
-                          THEN floor((CAST(round(o_totalprice * 1e7)
+                          THEN floor((CAST(floor(o_totalprice * 1e7 + 0.5E0)
                                AS BIGINT) * 11 + 5000) / 10000) / 1e4
                           ELSE o_totalprice END, 4)::VARCHAR)) AS h
     FROM orders WHERE o_orderkey % 7 <> 0)

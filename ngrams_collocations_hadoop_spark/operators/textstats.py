@@ -1198,7 +1198,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tok.join(lm, on="token")
             .groupBy("doc_id", "lang")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.sum(F.round(F.col("lr") * 1e6).cast("long")).alias("s"))
+                 F.sum(F.expr("CAST(floor(lr * 1e6 + 0.5E0) AS BIGINT)"))
+                 .alias("s"))
             .select("doc_id", "lang", "n_tokens",
                     # floor-half micro-mean, not round(): s/(1e6·n) can
                     # land exactly on a round-6 half where the engines'
@@ -1224,7 +1225,7 @@ lm AS (
     FROM cnt_r r LEFT JOIN cnt_t t ON r.token = t.token
     CROSS JOIN totals CROSS JOIN totals_t)
 SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(floor(CAST(sum(CAST(round(lr * 1e6) AS BIGINT)) AS DOUBLE)
+       CAST(floor(CAST(sum(CAST(floor(lr * 1e6 + 0.5E0) AS BIGINT)) AS DOUBLE)
                   / count(*) + 0.5E0) AS DOUBLE) / 1e6 AS dsir_logweight
 FROM tok JOIN lm USING (token)
 GROUP BY doc_id, lang
