@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.exact import ieee_round, ieee_round_sql
+from ..functions.exact import ieee_round
 
 META_SCHEMA = ("doc_id long, source string, n_bytes long, "
                "header_byte long, mime string")

@@ -28,21 +28,17 @@ from .dedup import (
     _components_over,
     q_dedup_minhash_lsh,
 )
-from .textstats import _CORE_STOP_LIST, _sql_str_array
+from .textstats import _CORE_STOP_LIST
 from .textstats import PACK_CTX
 
-# Quality-score expression shared by both composed-pipeline oracles.
-# Rounded through ieee_round_sql, NOT round(): the score is a rational
-# of token counts and can land exactly on a 6-decimal boundary, where
-# the engines' round() disagree — and the score feeds a >= threshold
-# filter, so a last-digit flap changes survivorship.
-_SCORE_SQL = f"""least(((length(text) - len(tokens) + 1)::DOUBLE
-                            / len(tokens)) / 10, 1.0) * 0.3
-                     + (1 - len(list_filter(tokens, t -> list_contains(
-                           {_sql_str_array(_CORE_STOP_LIST)}, t)))::DOUBLE
-                           / len(tokens)) * 0.3
-                     + (len(list_distinct(tokens))::DOUBLE
-                        / len(tokens)) * 0.4"""
+# Quality-score expression shared by both composed-pipeline oracles —
+# imported from textstats (ONE definition of the formula package-wide:
+# the score feeds a >= threshold survivorship filter here, so a copy
+# that drifted from text_quality's would silently disagree about which
+# documents survive). Rounded through ieee_round_sql, NOT round(): the
+# score is a rational of token counts and can land exactly on a
+# 6-decimal boundary, where the engines' round() disagree.
+from .textstats import _QSCORE_FROM_TEXT_SQL as _SCORE_SQL
 
 
 # Keep documents whose blended quality score (the text_quality formula,

@@ -561,7 +561,15 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "AS DOUBLE) + 0.5E0) AS LONG) END").alias("k"),
         )
         .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 6).alias("avg_k"),
+        # exact integer sum + one shared IEEE derivation, not
+        # round(avg(k), 6): avg-of-BIGINT is the rational-output class
+        # where the engines' round() disagree at 6-decimal binary
+        # boundaries (the seed-505/953 find), and the engines' avg()
+        # internals differ besides. count(k), not count(*): avg
+        # excludes NULLs.
+        .agg(ieee_round(
+                 F.expr("CAST(sum(CAST(k AS DECIMAL(38,0))) AS DOUBLE) "
+                        "/ count(k)"), 6).alias("avg_k"),
              F.max("k").alias("max_k"),
              F.count(F.lit(1)).alias("n"))
     )
@@ -569,7 +577,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACT = f"""
 SELECT event_type,
-       round(avg(k), 6) AS avg_k, max(k) AS max_k, count(*) AS n
+       {ieee_round_sql("CAST(sum(CAST(k AS HUGEINT)) AS DOUBLE) / count(k)", 6)} AS avg_k,
+       max(k) AS max_k, count(*) AS n
 FROM (SELECT event_type,
              CASE WHEN json_valid(props)
                    AND abs(TRY_CAST(json_extract_string(props, '$.k')
@@ -707,10 +716,22 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       merged sketch while a broken merge (>5σ) turns it false.
     - ``approx_pXX_within_eps``: the t-digest value lies between the
       exact quantiles at q∓0.01 — accuracy 10000 guarantees rank error
-      ≤ 1e-4·N, a 100× margin, and the window bounds are themselves
-      exact (both engines reproduce them bit-for-bit).
+      ≤ 1e-4·N, a 100× margin. The bounds stay on the engines' native
+      percentile(): a low-bit interpolation difference cannot flip a
+      strict-inequality window except exactly ON the bound.
     This is the ``dedup_simhash_check`` pattern: assert the invariant
     as data, hash-check the assertion.
+
+    The HASHED exact_p50/exact_p99 columns do NOT use the engines'
+    percentile()/quantile_cont(): their interpolation formulas are not
+    specified to the ulp, so a hashed last digit could flap (the
+    q_mad_outliers lesson). Instead both engines interpolate exactly
+    over micro-quantized integers: per-group row_number + count give
+    the order statistics, lo/r come from exact integer arithmetic
+    (p·(n−1) = 100·lo + r), and pXX·100 = v_lo·(100−r) + v_hi·r is an
+    exact BIGINT — the rank-and-interpolate exact baseline, same cost
+    class as the in-buffer sort percentile() it replaces (per-group
+    sort; the sketch columns remain the scale path).
 
     Quantiles are projected as scalar columns (not array<double>):
     driver/BI result canonicalizers hash row values, and nested arrays
@@ -727,36 +748,92 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     quants = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
     exacts = F.expr(
-        "percentile(value, array(0.5, 0.99, 0.49, 0.51, 0.985, 0.995))")
+        "percentile(value, array(0.49, 0.51, 0.985, 0.995))")
     aq, eq = F.col("_aq"), F.col("_eq")
-    return e.groupBy("event_type").agg(
+    sketch = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01)
         .alias("_approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         quants.alias("_aq"), exacts.alias("_eq"),
-        F.count("value").alias("_n_vals"),
-    ).filter(F.col("_n_vals") >= SKETCH_MIN_GROUP).select(
-        "event_type", "exact_users",
-        F.round(eq[0], 4).alias("exact_p50"),
-        F.round(eq[1], 4).alias("exact_p99"),
-        (F.abs(F.col("_approx_users") - F.col("exact_users"))
-         <= F.greatest(F.lit(0.05) * F.col("exact_users"), F.lit(2.0)))
-        .alias("approx_users_within_rsd"),
-        aq[0].between(eq[2], eq[3]).alias("approx_p50_within_eps"),
-        aq[1].between(eq[4], eq[5]).alias("approx_p99_within_eps"),
-    )
+        F.count("value").alias("_n_vals"))
+    # The HASHED percentile columns are exact integer interpolation
+    # (the q_mad_outliers doubling idiom, generalized): rank micro-
+    # quantized values per group, then p = (v_lo*(100-r) + v_hi*r)/100
+    # with lo/r from exact integer arithmetic — no engine percentile()
+    # in any hashed value (their interpolation formulas are not
+    # specified to the ulp). floor(num/100.0) is exact here: num <
+    # 2^53 and the true quotient is never within an ulp of an integer
+    # from below. The engines' percentile() survives only inside the
+    # within-eps BOOLEAN bounds, where a low-bit difference cannot
+    # flip the comparison except ON the bound (and those booleans are
+    # oracled as literal TRUE regardless).
+    w = Window.partitionBy("event_type").orderBy("q")
+    ranked = (e.filter(F.col("value").isNotNull())
+              .select("event_type", F.expr(
+                  "CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)").alias("q"))
+              .withColumn("rn", F.row_number().over(w) - F.lit(1))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("event_type"))))
+    def _pct_u100(p: int) -> F.Column:
+        lo = f"CAST(floor(({p} * (n - 1)) / 100.0) AS BIGINT)"
+        r = f"({p} * (n - 1) - 100 * {lo})"
+        return F.sum(F.expr(
+            f"CASE WHEN rn = {lo} THEN (100 - {r}) * q "
+            f"WHEN rn = {lo} + 1 AND {r} > 0 THEN {r} * q END"))
+    pct = ranked.groupBy("event_type").agg(
+        _pct_u100(50).alias("_p50_u100"), _pct_u100(99).alias("_p99_u100"))
+    return sketch.filter(F.col("_n_vals") >= SKETCH_MIN_GROUP) \
+        .join(pct, on="event_type").select(
+            "event_type", "exact_users",
+            F.expr("floor((CAST(_p50_u100 AS DOUBLE) + 5000) / 10000) "
+                   "/ 1e4").alias("exact_p50"),
+            F.expr("floor((CAST(_p99_u100 AS DOUBLE) + 5000) / 10000) "
+                   "/ 1e4").alias("exact_p99"),
+            (F.abs(F.col("_approx_users") - F.col("exact_users"))
+             <= F.greatest(F.lit(0.05) * F.col("exact_users"), F.lit(2.0)))
+            .alias("approx_users_within_rsd"),
+            aq[0].between(eq[0], eq[1]).alias("approx_p50_within_eps"),
+            aq[1].between(eq[2], eq[3]).alias("approx_p99_within_eps"),
+        )
 
 
 ORACLE_APPROX_SKETCHES = f"""
-SELECT event_type,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       round(quantile_cont(value, 0.5), 4) AS exact_p50,
-       round(quantile_cont(value, 0.99), 4) AS exact_p99,
+WITH ranked AS (
+    SELECT event_type, CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS q,
+           row_number() OVER (PARTITION BY event_type ORDER BY q) - 1
+               AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM {EVENTS_VFIN} WHERE ts IS NOT NULL AND value IS NOT NULL),
+pct AS (
+    SELECT event_type,
+           sum(CASE WHEN rn = CAST(floor((50 * (n - 1)) / 100.0) AS BIGINT)
+                    THEN (100 - (50 * (n - 1) - 100 * CAST(floor((50 * (n - 1)) / 100.0) AS BIGINT))) * q
+                    WHEN rn = CAST(floor((50 * (n - 1)) / 100.0) AS BIGINT) + 1
+                         AND (50 * (n - 1) - 100 * CAST(floor((50 * (n - 1)) / 100.0) AS BIGINT)) > 0
+                    THEN (50 * (n - 1) - 100 * CAST(floor((50 * (n - 1)) / 100.0) AS BIGINT)) * q END)
+               AS p50_u100,
+           sum(CASE WHEN rn = CAST(floor((99 * (n - 1)) / 100.0) AS BIGINT)
+                    THEN (100 - (99 * (n - 1) - 100 * CAST(floor((99 * (n - 1)) / 100.0) AS BIGINT))) * q
+                    WHEN rn = CAST(floor((99 * (n - 1)) / 100.0) AS BIGINT) + 1
+                         AND (99 * (n - 1) - 100 * CAST(floor((99 * (n - 1)) / 100.0) AS BIGINT)) > 0
+                    THEN (99 * (n - 1) - 100 * CAST(floor((99 * (n - 1)) / 100.0) AS BIGINT)) * q END)
+               AS p99_u100
+    FROM ranked GROUP BY event_type)
+SELECT s.event_type,
+       s.exact_users,
+       floor((CAST(p.p50_u100 AS DOUBLE) + 5000) / 10000) / 1e4
+           AS exact_p50,
+       floor((CAST(p.p99_u100 AS DOUBLE) + 5000) / 10000) / 1e4
+           AS exact_p99,
        TRUE AS approx_users_within_rsd,
        TRUE AS approx_p50_within_eps,
        TRUE AS approx_p99_within_eps
-FROM {EVENTS_VFIN} WHERE ts IS NOT NULL GROUP BY event_type
-HAVING count(value) >= {SKETCH_MIN_GROUP}
+FROM (SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             count(value) AS n_vals
+      FROM {EVENTS_VFIN} WHERE ts IS NOT NULL GROUP BY event_type
+      HAVING count(value) >= {SKETCH_MIN_GROUP}) s
+JOIN pct p USING (event_type)
 """
 
 
@@ -793,20 +870,30 @@ WINDOW w AS (PARTITION BY o_orderpriority
 
 
 # Shared Spark/DuckDB derivation texts for the moment-sum family.
-# Inputs: _n (pair count), _sx/_sxx (value micro-sums, 1e6/1e12 grids),
-# _sy/_syy (user_id integer sums), _sxy (cross micro-sum). Each stat is
-# one fixed expression over exactly-summed integers — order-independent
-# where the engines' native Welford/co-moment merges are not.
+# Inputs, univariate (value non-NULL rows): _n (count), _sx/_sxx
+# (value micro-sums, 1e6/1e12 grids). Inputs, bivariate (COMPLETE
+# pairs — value AND user_id non-NULL, the pairwise-deletion set
+# corr/covar use): _np (pair count), _sxp/_sxxp (pair-restricted value
+# micro-sums), _sy/_syy (user_id integer sums), _sxy (cross
+# micro-sum). The split matters: var_pop(v) runs over every measured
+# row while corr(v,u) must restrict EVERY moment — including the x
+# moments — to complete pairs, or the result is not the statistic of
+# any dataset. Each stat is one fixed expression over exactly-summed
+# integers — order-independent where the engines' native
+# Welford/co-moment merges are not.
 # No pow(): Math.pow (Java) and libm pow (DuckDB) are not correctly
 # rounded and can differ by 1 ulp even on squares; plain * is an exact
 # IEEE op, identical in both engines.
 _VX = ("(CAST(_sxx AS DOUBLE) / 1e12 "
        "- (CAST(_sx AS DOUBLE) / 1e6) * (CAST(_sx AS DOUBLE) / 1e6) "
        "/ _n) / _n")
+_VXP = ("(CAST(_sxxp AS DOUBLE) / 1e12 "
+        "- (CAST(_sxp AS DOUBLE) / 1e6) * (CAST(_sxp AS DOUBLE) / 1e6) "
+        "/ _np) / _np")
 _VY = ("(CAST(_syy AS DOUBLE) "
-       "- CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE) / _n) / _n")
+       "- CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE) / _np) / _np")
 _CNUM = ("CAST(_sxy AS DOUBLE) / 1e6 "
-         "- CAST(_sx AS DOUBLE) / 1e6 * CAST(_sy AS DOUBLE) / _n")
+         "- CAST(_sxp AS DOUBLE) / 1e6 * CAST(_sy AS DOUBLE) / _np")
 
 
 def _r6(expr: str) -> str:
@@ -831,11 +918,12 @@ def _r6(expr: str) -> str:
 
 _CORR_EXPRS = [
     "CAST(_n AS BIGINT) AS n",
-    _r6(f"CASE WHEN ({_VX}) * ({_VY}) > 0E0 "
-        f"THEN ({_CNUM}) / _n / sqrt(({_VX}) * ({_VY})) END")
+    _r6(f"CASE WHEN ({_VXP}) * ({_VY}) > 0E0 "
+        f"THEN ({_CNUM}) / _np / sqrt(({_VXP}) * ({_VY})) END")
     + " AS corr_vu",
-    _r6(f"({_CNUM}) / _n") + " AS covar_pop_vu",
-    _r6(f"CASE WHEN _n > 1 THEN ({_CNUM}) / (_n - 1) END")
+    _r6(f"CASE WHEN _np > 0 THEN ({_CNUM}) / _np END")
+    + " AS covar_pop_vu",
+    _r6(f"CASE WHEN _np > 1 THEN ({_CNUM}) / (_np - 1) END")
     + " AS covar_samp_vu",
     _r6(f"sqrt(greatest({_VX}, 0E0))") + " AS stddev_pop_v",
     _r6(f"CASE WHEN _n > 1 THEN "
@@ -855,17 +943,24 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     native Welford/co-moment aggregates, whose merge order and update
     algebra differ between Spark and DuckDB in the low bits. Still one
     single-pass mergeable partial-agg shuffle — integer sums are the
-    original mergeable sketch. Rows with NULL value are excluded (the
-    pairwise-deletion semantics corr/covar use). Degenerate cases
-    (n = 1, zero variance) yield NULL via explicit CASE guards,
-    matching the native aggregates' NULL contract."""
+    original mergeable sketch. NULL handling matches the native
+    aggregates exactly: var/stddev(v) run over every non-NULL value
+    row, while the bivariate stats restrict EVERY moment (x included)
+    to complete (value, user_id) pairs — true pairwise deletion.
+    Degenerate cases (no pairs, n = 1, zero variance) yield NULL via
+    explicit CASE guards, matching the native NULL contract."""
     e = load_table(spark, sf_dir, "events") \
         .filter(F.col("value").isNotNull())
     qx = "CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)"
+    qxp = f"CASE WHEN user_id IS NOT NULL THEN {qx} END"
     moments = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.expr(f"CAST({qx} AS DECIMAL(38,0))")).alias("_sx"),
         F.sum(F.expr(f"CAST({qx} AS DECIMAL(38,0)) * {qx}")).alias("_sxx"),
+        F.count(F.col("user_id")).alias("_np"),
+        F.sum(F.expr(f"CAST({qxp} AS DECIMAL(38,0))")).alias("_sxp"),
+        F.sum(F.expr(f"CAST({qxp} AS DECIMAL(38,0)) * {qxp}"))
+        .alias("_sxxp"),
         F.sum(F.expr("CAST(user_id AS DECIMAL(38,0))")).alias("_sy"),
         F.sum(F.expr("CAST(user_id AS DECIMAL(38,0)) * user_id"))
         .alias("_syy"),
@@ -881,6 +976,16 @@ WITH moments AS (
            sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS HUGEINT)) AS _sx,
            sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS HUGEINT)
                * CAST(floor(value * 1e6 + 0.5E0) AS BIGINT)) AS _sxx,
+           count(user_id) AS _np,
+           sum(CAST(CASE WHEN user_id IS NOT NULL
+                    THEN CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) END
+                    AS HUGEINT)) AS _sxp,
+           sum(CAST(CASE WHEN user_id IS NOT NULL
+                    THEN CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) END
+                    AS HUGEINT)
+               * CASE WHEN user_id IS NOT NULL
+                 THEN CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) END)
+               AS _sxxp,
            sum(CAST(user_id AS HUGEINT)) AS _sy,
            sum(CAST(user_id AS HUGEINT) * user_id) AS _syy,
            sum(CAST(CAST(floor(value * 1e6 + 0.5E0) AS BIGINT) AS HUGEINT)

@@ -24,8 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import (ieee_round, ieee_round_sql,
-                               uavg, uavg_sql)
+from ..functions.exact import ieee_round, uavg, uavg_sql
 
 from ..sources.tables import load_table
 from .dedup import cosine_expr

@@ -180,6 +180,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       in-window, kmeans_step, label_centroids...) are almost all
 #       already in the group-(b) r06 refresh queue, so the rotation
 #       plan is unchanged.
+#   (g) the late-r05 review pass (self-review of the round's diff;
+#       all strict-verified green + fuzz at HEAD): rel_corr_stats now
+#       implements TRUE pairwise deletion (pair-restricted x-moments
+#       _sxp/_sxxp/_np; previously _n mixed all value rows into the
+#       bivariate stats — semantics wrong on NULL-uid corpora though
+#       both engines agreed; pinned against the NATIVE aggregates in
+#       test_storage_skew.py); rel_json_extract's avg_k and
+#       rel_approx_sketches' exact_p50/p99 left the engine-divergent
+#       round(avg())/percentile-interpolation class (exact integer
+#       sums; rank-and-interpolate over micro-ints); the streaming
+#       epoch gate literal is timezone-anchored; the stateful
+#       operator's q_micro matches the _qterm half convention. All
+#       streaming oracle texts were hoisted into three shared
+#       constants (proven byte-identical before/after). Behind-window
+#       changed: rel_corr_stats, rel_approx_sketches (both already in
+#       the r06 refresh queue); in-window: rel_json_extract,
+#       stream_stateful_totals, every streaming query (gate literal,
+#       output-invariant).
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance;

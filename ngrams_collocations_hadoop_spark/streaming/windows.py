@@ -26,6 +26,25 @@ from ..sources.tables import _ensure_session_confs, normalize_timestamps
 
 SESSION_GAP_SECONDS = 1800
 
+# DuckDB text of the gated streaming events scan — the oracle mirror of
+# `_gate_epoch` (epoch gate + non-finite-measurement gate), defined
+# ONCE so a scan-gate policy change edits one constant instead of
+# every streaming oracle (this module changed the gate three times in
+# one round: ts gate, non-finite gate, epoch gate). Three shapes:
+# the plain gated scan, the keyed variant for stream-stream joins
+# (NULL join identities gated out — Spark's state-store key equality
+# is binary, so NULL keys MATCH each other there, unlike batch `=`),
+# and the finite-only form for oracles that window nothing.
+STREAM_EVENTS_SQL = (
+    "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, "
+    "CASE WHEN isfinite(value) THEN value END AS value) FROM events "
+    "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')")
+STREAM_EVENTS_KEYED_SQL = STREAM_EVENTS_SQL[:-1] \
+    + " AND user_id IS NOT NULL)"
+EVENTS_FINITE_SQL = (
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END "
+    "AS value) FROM events)")
+
 
 def _corpus_parts(sf_dir: str) -> list[str]:
     """The events fixture's file list: either the single parquet file,
@@ -101,8 +120,14 @@ def _gate_epoch(stream: DataFrame) -> DataFrame:
     reach the quantizing sums (CAST(non-finite AS BIGINT) is silent
     0/LONG_MAX in Spark, a hard error in the DuckDB oracles)."""
     v = F.col("value")
+    # timestamp_seconds(0), not lit('1970-01-01').cast('timestamp'):
+    # a string literal is interpreted in the SESSION timezone, so the
+    # gate boundary would drift off UTC epoch-0 under a non-UTC
+    # session. _ensure_session_confs pins UTC before any plan here is
+    # built, so this was latent, not live — but the gate should not
+    # depend on that ordering.
     return (stream
-            .filter(F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+            .filter(F.col("ts") >= F.timestamp_seconds(F.lit(0)))
             .withColumn("value",
                         F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
                                F.lit(None).cast("double")).otherwise(v)))
@@ -180,7 +205,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_TUMBLING = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
        count(*) AS n, {usum_sql("value")} AS sum_value
-FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
+FROM {STREAM_EVENTS_SQL} events
 GROUP BY 1, 2
 """
 
@@ -216,7 +241,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # new one. A `>=` here diverges exactly at the boundary — found by the
 # adversarial fuzz, which plants gaps of exactly SESSION_GAP_SECONDS.
 ORACLE_STREAM_SESSION = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'),
+WITH ev AS {STREAM_EVENTS_SQL},
 gapped AS (
     SELECT user_id, ts, value, event_id,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
@@ -254,11 +279,12 @@ def _count_fn(key, pdf_iter, state):
     import math
 
     def q_micro(v: float) -> int:
-        # SQL round() is half-AWAY-FROM-ZERO; Python round() is
-        # banker's, which diverges whenever v*1e6 lands exactly on a
-        # half in double (e.g. 2.5e-06*1e6 == 2.5: SQL 3, Python 2)
-        return (math.floor(v * 1e6 + 0.5) if v >= 0
-                else -math.floor(-v * 1e6 + 0.5))
+        # floor(v*1e6 + 0.5) — byte-for-byte the _qterm emission the
+        # SQL twins use (half toward +inf; Python round() would be
+        # banker's and math.floor here is exact IEEE like SQL floor),
+        # so the state matches the oracle's quantized sum at EVERY
+        # input, negative exact halves included.
+        return math.floor(v * 1e6 + 0.5)
 
     n, total, nv = state.get if state.exists else (0, 0, 0)
     for pdf in pdf_iter:
@@ -305,7 +331,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_STATEFUL = f"""
 SELECT user_id, count(*) AS n_events, {usum_sql("value")} AS total_value
-FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+FROM {EVENTS_FINITE_SQL} events
 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY user_id
 """
 
@@ -361,7 +387,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_DEDUP = f"""
 SELECT event_type, count(*) AS n, {usum_sql("value")} AS sum_value
-FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+FROM {EVENTS_FINITE_SQL} events
 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
 """
 
@@ -394,7 +420,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_SLIDING = f"""
 WITH slid AS (
     SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')),
+    FROM {STREAM_EVENTS_SQL}),
 wins AS (
     SELECT b AS win_start, value FROM slid
     UNION ALL
@@ -435,7 +461,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_ENRICH = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, c_mktsegment,
        count(*) AS n, {usum_sql("value")} AS sum_value
-FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') e
+FROM {STREAM_EVENTS_SQL} e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
@@ -490,7 +516,7 @@ def q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_PAIR_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL)
+WITH ev AS {STREAM_EVENTS_KEYED_SQL}
 SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
        CAST(floor(epoch(r.ts)) AS BIGINT)
          - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
@@ -634,12 +660,12 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every event arrives twice (the dup stream), and the merge sink's final
 # state is the cumulative update-mode aggregate — i.e. the doubled
 # totals, exactly.
-ORACLE_STREAM_MERGE_SINK = """
+ORACLE_STREAM_MERGE_SINK = f"""
 SELECT event_type,
        CAST(2 * count(*) AS BIGINT) AS n,
        CAST(2 * sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
            AS sum_value_micro
-FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events) events
+FROM {EVENTS_FINITE_SQL} events
 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
 """
 
@@ -684,7 +710,7 @@ ORACLE_STREAM_WINDOW_TOPK = f"""
 WITH agg AS (
     SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
            count(*) AS n
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01') events
+    FROM {STREAM_EVENTS_SQL} events
     WHERE event_type IS NOT NULL
     GROUP BY 1, 2),
 ranked AS (
@@ -755,7 +781,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
+WITH ev AS {STREAM_EVENTS_KEYED_SQL},
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us
@@ -894,7 +920,7 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_FULL_OUTER_JOIN = f"""
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' AND user_id IS NOT NULL),
+WITH ev AS {STREAM_EVENTS_KEYED_SQL},
 wm AS (
     SELECT (epoch_us(max(ts)) // 1000) * 1000
            - {OUTER_WM_SECONDS} * 1000000 AS wm_us

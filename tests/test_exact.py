@@ -76,3 +76,33 @@ def test_usum_is_partition_order_independent(spark):
     one = df.coalesce(1).agg(usum("x").alias("s")).collect()[0].s
     many = df.repartition(13).agg(usum("x").alias("s")).collect()[0].s
     assert one == many
+
+
+def test_inlined_ieee_round_copies_match_helper_emission():
+    """Several oracle f-strings carry the EXPANDED text of
+    ieee_round_sql (baked in when the round()-boundary class was
+    closed package-wide) rather than composing the helper. This scans
+    every registry oracle for that expansion shape and asserts each
+    copy is byte-identical to what ieee_round_sql emits TODAY for the
+    same expression and scale — so a future change to the shared
+    derivation (e.g. the 4e9 magnitude guard) cannot silently desync
+    an inlined oracle copy from its Spark-side ieee_round twin."""
+    import re
+
+    from ngrams_collocations_hadoop_spark.functions.exact import (
+        ieee_round_sql)
+    from ngrams_collocations_hadoop_spark.registry import ORACLES
+
+    pat = re.compile(
+        r"CASE WHEN abs\(\((.+?)\)\) < [0-9e.]+ "
+        r"THEN floor\(\(\1\) \* 1e(\d+) \+ 0\.5E0\) / 1e\2 "
+        r"ELSE \(\1\) END", re.S)
+    n = 0
+    for name, sql in ORACLES.items():
+        for m in pat.finditer(sql):
+            expr, scale = m.group(1), int(m.group(2))
+            assert m.group(0) == ieee_round_sql(expr, scale), (
+                f"{name}: inlined ieee_round copy desynced from helper")
+            n += 1
+    # the copies exist today; if a refactor composes them away, update
+    assert n >= 20, n

@@ -258,3 +258,49 @@ def test_rolling_slope_recovers_linear_trend(spark, tmp_path):
     out = q_rolling_slope(spark, sf).collect()
     assert len(out) == 7   # rows SLOPE_H .. SLOPE_H+6
     assert all(r.slope_per_step == 0.25 for r in out), out
+
+
+def test_corr_stats_matches_native_aggregates_with_null_uids(spark,
+                                                             tmp_path):
+    """q_corr_stats must implement the NATIVE aggregates' NULL
+    semantics on a corpus with NULL user_ids: var/stddev(v) over every
+    measured row, corr/covar over complete (value, user_id) pairs
+    only. The DuckDB oracle mirrors the moment formulas, so it cannot
+    catch a shared semantic error — this pins against F.corr/F.covar/
+    F.var themselves (atol: Welford vs exact moments differ in low
+    bits, which is WHY the query uses moments)."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        q_corr_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # one group; every third row has a NULL user_id, values vary
+    rows = [(i, t0 + datetime.timedelta(minutes=i),
+             None if i % 3 == 0 else (i * 7) % 23,
+             "t", float(i % 11) + i * 0.01, "{}")
+            for i in range(60)]
+    sf = str(tmp_path)
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    got = q_corr_stats(spark, sf).collect()[0]
+    ref = (spark.read.parquet(f"{sf}/events.parquet")
+           .agg(F.corr("value", "user_id").alias("corr_vu"),
+                F.covar_pop("value", "user_id").alias("covar_pop_vu"),
+                F.covar_samp("value", "user_id").alias("covar_samp_vu"),
+                F.stddev_pop("value").alias("stddev_pop_v"),
+                F.stddev_samp("value").alias("stddev_samp_v"),
+                F.var_pop("value").alias("var_pop_v"),
+                F.var_samp("value").alias("var_samp_v"))
+           .collect()[0])
+    for c in ("corr_vu", "covar_pop_vu", "covar_samp_vu",
+              "stddev_pop_v", "stddev_samp_v", "var_pop_v",
+              "var_samp_v"):
+        assert abs(got[c] - ref[c]) < 1e-5, (c, got[c], ref[c])
