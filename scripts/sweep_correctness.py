@@ -45,7 +45,10 @@ def main() -> None:
     from ngrams_collocations_hadoop_spark.sources.tables import TABLE_NAMES
 
     names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark(app_name="sweep")
+    # no console progress bars: their carriage returns splice into the
+    # PASS/FAIL lines, breaking line-anchored grep over the log
+    spark = get_spark(app_name="sweep", extra_conf={
+        "spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
