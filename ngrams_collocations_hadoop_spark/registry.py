@@ -198,6 +198,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       the r06 refresh queue); in-window: rel_json_extract,
 #       stream_stateful_totals, every streaming query (gate literal,
 #       output-invariant).
+#   (h) the sf0.1 strict-sweep campaign (the full registry verified at
+#       10x the adjudication scale) found dedup_pagerank hash-flapping
+#       6/1538 rows: the per-round float sum(rank/deg) is accumulation-
+#       order dependent and per-round rounding does not absorb an
+#       ulp-of-boundary sum — invisible at sf0.01. pagerank() now
+#       iterates INTEGER micro-rank state with exact per-edge floored
+#       contributions (both oracles rewritten identically); re-verified
+#       hash-exact at sf0.01 AND sf0.1. Behind-window changed:
+#       dedup_pagerank, dedup_pagerank_lsh, stream_dedup (NULL-id gate,
+#       contract-invariant) — r06 rotation front with the rest.
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance;

@@ -30,20 +30,16 @@ SESSION_GAP_SECONDS = 1800
 # `_gate_epoch` (epoch gate + non-finite-measurement gate), defined
 # ONCE so a scan-gate policy change edits one constant instead of
 # every streaming oracle (this module changed the gate three times in
-# one round: ts gate, non-finite gate, epoch gate). Three shapes:
-# the plain gated scan, the keyed variant for stream-stream joins
+# one round: ts gate, non-finite gate, epoch gate). Two shapes: the
+# plain gated scan, and the keyed variant for stream-stream joins
 # (NULL join identities gated out — Spark's state-store key equality
-# is binary, so NULL keys MATCH each other there, unlike batch `=`),
-# and the finite-only form for oracles that window nothing.
+# is binary, so NULL keys MATCH each other there, unlike batch `=`).
 STREAM_EVENTS_SQL = (
     "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, "
     "CASE WHEN isfinite(value) THEN value END AS value) FROM events "
     "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')")
 STREAM_EVENTS_KEYED_SQL = STREAM_EVENTS_SQL[:-1] \
     + " AND user_id IS NOT NULL)"
-EVENTS_FINITE_SQL = (
-    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END "
-    "AS value) FROM events)")
 
 
 def _corpus_parts(sf_dir: str) -> list[str]:
@@ -83,6 +79,18 @@ def _link_layout(d: str, pairs: list[tuple[str, str]]) -> str:
     return d
 
 
+def _dir_slug(abspath: str) -> str:
+    """Injective /tmp-dir name for a corpus path: readable flattened
+    form PLUS a short hash of the exact path — flattening '/' to '_'
+    alone collides distinct paths (/data/sf_1 vs /data/sf/1), and two
+    harnesses sharing a colliding link dir would re-point each other's
+    symlinks mid-stream."""
+    import hashlib
+
+    return (abspath.strip("/").replace("/", "_")
+            + "_" + hashlib.md5(abspath.encode()).hexdigest()[:8])
+
+
 def _stream_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; the fixture is
     a single parquet file (or a fuzz-rewritten directory of parts).
@@ -94,7 +102,7 @@ def _stream_dir(sf_dir: str) -> str:
     # relative to the /tmp link dir (dangling symlink), and the dir
     # name would alias distinct working-directory spellings.
     sf_dir = os.path.abspath(sf_dir)
-    d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events"
+    d = f"/tmp/ncs_stream/{_dir_slug(sf_dir)}_events"
     parts = _corpus_parts(sf_dir)
     if len(parts) == 1:
         pairs = [(f"{d}/events.parquet", parts[0])]
@@ -132,16 +140,43 @@ def _gate_epoch(stream: DataFrame) -> DataFrame:
                         F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
                                F.lit(None).cast("double")).otherwise(v)))
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Batch-peeked stream schemas, keyed by fixture path (immutable files;
+# fuzz corpora get fresh tmp dirs). The peek pays a file-listing +
+# footer read per call otherwise, and the self-join queries build two
+# streams per run.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _event_stream(spark: SparkSession, sf_dir: str,
+                  dir_fn=None, max_files_per_trigger: int | None = None
+                  ) -> DataFrame:
     """readStream over the events parquet (schema from a batch peek;
     ns→µs conversion identical to the batch loader). Session confs are
     set defensively — the driver harness runs these under its own bare
     SparkSession, where the nanos-timestamp parquet would otherwise
-    fail to read."""
+    fail to read.
+
+    ``dir_fn`` picks the stream directory shape (default single-
+    delivery ``_stream_dir``; the dedup/merge queries pass
+    ``_dup_stream_dir``), and ``max_files_per_trigger`` bounds the
+    micro-batch — ONE builder for every streaming source so the
+    scan-gate and timestamp policy live in one place. The fixture path
+    is passed to ``normalize_timestamps`` so the parquet footer's unit
+    annotation decides the epoch divisor exactly as the batch loader
+    does — without it, a future ms/us-encoded int64 corpus would be
+    silently mis-scaled 1000x instead of failing loudly."""
     _ensure_session_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
-    return _gate_epoch(normalize_timestamps(stream))
+    path = f"{sf_dir}/events.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet((dir_fn or _stream_dir)(sf_dir))
+    return _gate_epoch(normalize_timestamps(stream, path))
 
 
 # State-store partition count for the run-to-completion harness. Every
@@ -156,26 +191,37 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_STATE_PARTITIONS = 8
 
 
-def _run_to_completion(result: DataFrame, name: str,
-                       output_mode: str) -> DataFrame:
-    """Drive the streaming query over all available input and return the
-    materialized result table.
+import contextlib
 
-    Shuffle partitions are pinned to ``STREAM_STATE_PARTITIONS`` for
-    the duration of the run (the conf is read at micro-batch planning,
-    inside awaitTermination) and restored afterwards so batch queries
-    on the same session keep their own sizing."""
-    spark = result.sparkSession
+
+@contextlib.contextmanager
+def _pinned_state_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to STREAM_STATE_PARTITIONS
+    for the duration of a streaming run (the conf is read at
+    micro-batch planning, inside awaitTermination) and restore it
+    afterwards so batch queries on the same session keep their own
+    sizing. One helper for every streaming driver — the sizing policy
+    (e.g. executor-core-based on a real cluster) changes in one
+    place."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(STREAM_STATE_PARTITIONS))
     try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_to_completion(result: DataFrame, name: str,
+                       output_mode: str) -> DataFrame:
+    """Drive the streaming query over all available input and return the
+    materialized result table."""
+    spark = result.sparkSession
+    with _pinned_state_partitions(spark):
         q = (result.writeStream.outputMode(output_mode)
              .format("memory").queryName(name)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -326,13 +372,16 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = F.max(F.struct("n_events", "total_value")).alias("s")
     return (out.groupBy("user_id").agg(final)
             .select("user_id", F.col("s.n_events").alias("n_events"),
-                    F.round("s.total_value", 4).alias("total_value")))
+                    # no round(): _count_fn already derives a
+                    # grid-exact <=4-decimal value, and round(x, k) is
+                    # the engine-divergent primitive exact.py bans
+                    F.col("s.total_value").alias("total_value")))
 
 
 ORACLE_STREAM_STATEFUL = f"""
 SELECT user_id, count(*) AS n_events, {usum_sql("value")} AS total_value
-FROM {EVENTS_FINITE_SQL} events
-WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY user_id
+FROM {STREAM_EVENTS_SQL} events
+GROUP BY user_id
 """
 
 
@@ -347,7 +396,7 @@ def _dup_stream_dir(sf_dir: str) -> str:
     # same abspath + stale-link guard as _stream_dir: a relative sf_dir
     # would resolve the link target against /tmp (dangling symlink).
     sf_dir = os.path.abspath(sf_dir)
-    d = f"/tmp/ncs_stream/{sf_dir.strip('/').replace('/', '_')}_events_dup"
+    d = f"/tmp/ncs_stream/{_dir_slug(sf_dir)}_events_dup"
     pairs = [(f"{d}/events_{i:03d}_{tag}.parquet", tgt)
              for i, tgt in enumerate(_corpus_parts(sf_dir))
              for tag in ("a", "b")]
@@ -365,7 +414,13 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     which is exact only when a duplicate can't arrive later than the
     watermark delay; the fixture's event times span 30 days, so the
     bounded variant would be arrival-order-dependent here."""
-    return (stream.dropDuplicates(["event_id"])
+    # A NULL event_id is unidentifiable — no delivery of it can ever be
+    # recognized as a duplicate, and Spark's dropDuplicates treats NULL
+    # keys as EQUAL (state-store binary key equality), collapsing
+    # distinct null-id events where the count oracle keeps both. Gate
+    # them out, same policy as the keyed stream-stream joins.
+    return (stream.filter(F.col("event_id").isNotNull())
+            .dropDuplicates(["event_id"])
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  usum("value").alias("sum_value")))
@@ -375,20 +430,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup over a doubled input: every event is delivered
     twice; the output must equal single-delivery batch counts — a
     self-checking oracle (any dedup failure doubles n)."""
-    _ensure_session_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _gate_epoch(normalize_timestamps(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(_dup_stream_dir(sf_dir))))
+    stream = _event_stream(spark, sf_dir, dir_fn=_dup_stream_dir,
+                           max_files_per_trigger=1)
     return _run_to_completion(
         dedup_stream(stream), "stream_dedup_out", "complete")
 
 
 ORACLE_STREAM_DEDUP = f"""
 SELECT event_type, count(*) AS n, {usum_sql("value")} AS sum_value
-FROM {EVENTS_FINITE_SQL} events
-WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
+FROM {STREAM_EVENTS_SQL} events
+WHERE event_id IS NOT NULL
+GROUP BY event_type
 """
 
 
@@ -545,12 +597,10 @@ def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped events; the per-type rollup on top is a batch aggregation
     over that table, keeping the streaming fragment exactly the
     operator under test."""
-    _ensure_session_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _gate_epoch(normalize_timestamps(
-        spark.readStream.schema(schema)
-        .parquet(_dup_stream_dir(sf_dir))))
-    deduped = (stream.withWatermark("ts", "10 minutes")
+    stream = _event_stream(spark, sf_dir, dir_fn=_dup_stream_dir)
+    # NULL event_id gate: same policy and reason as dedup_stream
+    deduped = (stream.filter(F.col("event_id").isNotNull())
+               .withWatermark("ts", "10 minutes")
                .dropDuplicatesWithinWatermark(["event_id"]))
     sink = _run_to_completion(
         deduped, "stream_dedup_bounded_out", "append")
@@ -605,9 +655,15 @@ def stream_merge_to_table(spark: SparkSession, stream: DataFrame,
         else:
             merged = batch
         # Plan reads the same path it overwrites: materialize the merge
-        # before the write truncates the source.
+        # before the write truncates the source — and UNPERSIST the
+        # checkpoint blocks after the write, or a continuous pipeline
+        # accumulates one full table copy in block storage per
+        # micro-batch until executors evict or OOM.
         out = merged.localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(table_path)
+        try:
+            out.write.mode("overwrite").parquet(table_path)
+        finally:
+            out.unpersist()
 
     # update mode: each micro-batch delivers the keys whose aggregate
     # changed; the merge replaces exactly those rows, so the table
@@ -635,25 +691,16 @@ def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the query re-runnable and deterministic."""
     import tempfile
 
-    _ensure_session_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _gate_epoch(normalize_timestamps(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_dup_stream_dir(sf_dir))))
+    stream = _event_stream(spark, sf_dir, dir_fn=_dup_stream_dir,
+                           max_files_per_trigger=1)
     agg = (stream.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.floor(F.col("value") * 1e6)).cast("long")
                 .alias("sum_value_micro")))
     base = tempfile.mkdtemp(prefix="ncs_merge_sink_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(STREAM_STATE_PARTITIONS))
-    try:
+    with _pinned_state_partitions(spark):
         stream_merge_to_table(spark, agg, f"{base}/table", f"{base}/cp",
                               key_cols=["event_type"])
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(f"{base}/table")
 
 
@@ -665,8 +712,8 @@ SELECT event_type,
        CAST(2 * count(*) AS BIGINT) AS n,
        CAST(2 * sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
            AS sum_value_micro
-FROM {EVENTS_FINITE_SQL} events
-WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01' GROUP BY event_type
+FROM {STREAM_EVENTS_SQL} events
+GROUP BY event_type
 """
 
 

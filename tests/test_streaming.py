@@ -398,3 +398,41 @@ def test_session_window_exact_gap_boundary(spark):
             .groupBy("user_id", F.session_window("ts", "30 minutes"))
             .agg(F.count(F.lit(1)).alias("n"))).collect()
     assert sorted(r.n for r in out2) == [1, 1]  # 1µs over: split
+
+
+def test_stream_dedup_gates_null_event_ids(spark, tmp_path):
+    """NULL event_ids are unidentifiable (no delivery can be recognized
+    as a duplicate) and Spark's dropDuplicates treats NULL keys as
+    EQUAL — binary state-store key equality — so without the gate two
+    DISTINCT null-id events collapse to one. The data contract says
+    event_id is a primary key (NOT NULL + UNIQUE), so this is armor
+    beyond the contract: the gate must drop null-id rows entirely,
+    matching the oracle's `WHERE event_id IS NOT NULL`."""
+    import pandas as pd
+
+    from ngrams_collocations_hadoop_spark.operators.relational import (
+        EVENTS_US,  # noqa: F401 — proves the batch-side import path
+    )
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        q_stream_dedup,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(20):
+        rows.append((None if i % 5 == 0 else i,
+                     t0 + dt.timedelta(minutes=i), 1, "t",
+                     float(i), "{}"))
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["event_id"] = pdf["event_id"].astype("Int64")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = q_stream_dedup(spark, sf).collect()
+    # 20 rows, 4 with NULL ids (i = 0,5,10,15) -> every doubled
+    # delivery of the 16 identified events dedups to one; the 4
+    # null-id rows are gated out, NOT collapsed to a single survivor.
+    assert len(out) == 1
+    assert out[0].n == 16
