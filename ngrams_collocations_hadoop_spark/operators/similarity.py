@@ -49,7 +49,14 @@ def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is 0/0 — an ANSI DIVIDE_BY_ZERO stop-the-query error in
     Spark (double division IS ANSI-checked) vs NULL in DuckDB, and
     semantically undefined either way. Denormal-tiny norms are fine
-    (the norm is accumulated in DOUBLE), only exact zero is gated."""
+    (the norm is accumulated in DOUBLE), only exact zero is gated.
+
+    A NULL COMPONENT inside the vector is dropped here by three-valued
+    logic (the exists() predicate is NULL, never TRUE, so NOT exists
+    filters the row); the DuckDB oracles must mirror it EXPLICITLY
+    (`x IS NULL` filter) because list_filter discards NULL lambda
+    results — without the mirror the oracle keeps the row and
+    hard-errors in list_dot_product."""
     return load_table(spark, sf_dir, "embeddings").filter(F.expr(
         "embedding IS NOT NULL AND size(embedding) = 64 AND "
         "NOT exists(embedding, x -> isnan(x) "
@@ -86,7 +93,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            list_dot_product(q.v, c.v)
@@ -149,7 +156,7 @@ def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_FILTERED = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 keep AS (SELECT doc_id FROM documents
          WHERE n_chars >= {FILTER_MIN_CHARS}),
 scored AS (
@@ -266,7 +273,7 @@ def _hyperplanes_values_sql() -> str:
 
 
 ORACLE_COSINE_TOPK_LSH = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 hyp(table_id, bit, h) AS (VALUES
     {_hyperplanes_values_sql()}),
 buckets AS (
@@ -387,7 +394,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COSINE_TOPK_IVF = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cents AS (
     SELECT vec_id AS cent_id, v AS cv FROM e
     WHERE vec_id % {CENTROID_STRIDE} = 0),
@@ -481,7 +488,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LABEL_CENTROIDS = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 u AS (
     SELECT label,
            list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
@@ -569,7 +576,7 @@ WITH e AS (
            list_transform(embedding::DOUBLE[],
                x -> CAST(least({QUANT_SCALE}, greatest(-{QUANT_SCALE},
                     round(x * {QUANT_SCALE}))) AS BIGINT)) AS q
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 n AS (
     SELECT vec_id, v, q,
            list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS qn
@@ -640,7 +647,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBEDDING_COVARIANCE = """
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 xi AS (
     SELECT v, CAST(i - 1 AS BIGINT) AS i, v[i] AS xi
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -718,7 +725,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KMEANS_STEP = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -805,7 +812,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_SEMANTIC = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {KMEANS_K}),
 dists AS (
     SELECT e.vec_id, cent.cid, e.v,
@@ -932,7 +939,7 @@ def _power_oracle() -> str:
     per round, integer-exact throughout, HUGEINT where Spark uses
     DECIMAL(38,0)."""
     head = f"""
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 xi AS (
     SELECT CAST(i - 1 AS BIGINT) AS pos, v[i] AS x
     FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
@@ -1079,7 +1086,7 @@ def _pq_oracle() -> str:
     code_cols = ", ".join(
         f"(min(struct_pack(d := {d2(m)}, c := cid))).c" for m in range(PQ_M))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
 cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                 AS cid, v AS cv
          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),

@@ -208,6 +208,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #       hash-exact at sf0.01 AND sf0.1. Behind-window changed:
 #       dedup_pagerank, dedup_pagerank_lsh, stream_dedup (NULL-id gate,
 #       contract-invariant) — r06 rotation front with the rest.
+#   (i) the dedup.py review pass: connected_components_star's
+#       termination test was WRONG (no-target-is-a-child alone does
+#       not imply one-parent-per-child; counterexample graph stops a
+#       round early, splitting a component — ~0.7% of random graphs;
+#       fixtures never triggered it) — fixed + counterexample +
+#       30-random-graph equivalence pinned in test_dedup_similarity.
+#       Oracle-side only: every embedding oracle's gate now mirrors
+#       Spark's three-valued NULL-component drop (list_filter ignores
+#       NULL lambda results; hazard planted at embeddings[17]).
+#       Plan-only: pagerank/k_core/adamic_adar checkpoint the directed
+#       edge list BEFORE the bidirectional union (the LSH edge source
+#       computed 2-4x per job otherwise), and dedup_simhash filters
+#       hamming before its dedup shuffle. Behind-window changed (Spark
+#       side): dedup_components_star, dedup_simhash — r06 front.
 # Changed-and-behind-window queries go to the FRONT of the r06
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance;

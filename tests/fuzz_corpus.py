@@ -311,6 +311,13 @@ def _apply_embedding_extremes(emb: pa.Table) -> pa.Table:
     # fine in DOUBLE, so it must NOT be gated.
     d["embedding"][15] = [0.0] * EMB_DIM
     d["embedding"][16] = [5e-39] * EMB_DIM
+    # NULL COMPONENT inside an otherwise-valid vector: Spark's
+    # three-valued `NOT exists(..)` gate evaluates NULL on it and
+    # drops the row, but DuckDB's list_filter drops NULL lambda
+    # results, so the old oracle gate KEPT the row and then
+    # hard-errored in list_dot_product — the gate now mirrors with an
+    # explicit x IS NULL test.
+    d["embedding"][17] = [0.5] * (EMB_DIM - 1) + [None]
     return pa.table({k: pa.array(v, emb.schema.field(k).type)
                      for k, v in d.items()})
 

@@ -389,3 +389,39 @@ def test_persisted_lsh_matches_incremental(spark):
     b = {(r.doc_new, r.doc_match, r.jaccard)
          for r in q_dedup_incremental_lsh(spark, SF_SMALL).collect()}
     assert a == b and len(a) > 0
+
+
+def test_star_contraction_multi_parent_termination(spark):
+    """Regression for the premature-termination bug: edges
+    (1,3),(3,4),(4,5),(2,5) contract in ONE round to
+    {(3,1),(4,1),(3,2),(5,2)} — no target is also a child, but node 3
+    has TWO parents, so stopping there splits the single component
+    {1..5} in two and emits node 3 twice. The fixed test also requires
+    one-parent-per-child. Plus a randomized sweep against the
+    pointer-jumping engine (the review's simulation hit the bug on
+    ~0.7% of random graphs)."""
+    import random
+
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    ce = spark.createDataFrame(
+        [(1, 3), (3, 4), (4, 5), (2, 5)], ["src", "dst"])
+    got = {(r["node"], r["component"]) for r in
+           connected_components_star(ce).collect()}
+    assert got == {(n, 1) for n in (1, 2, 3, 4, 5)}, got
+
+    rng = random.Random(20240815)
+    for trial in range(30):
+        n = rng.randint(4, 12)
+        m = rng.randint(3, 14)
+        edges = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(m)]
+        df = spark.createDataFrame(edges, ["src", "dst"]) \
+            .filter("src != dst")
+        if df.count() == 0:
+            continue
+        a = {(r["node"], r["component"]) for r in
+             connected_components(df).collect()}
+        b = {(r["node"], r["component"]) for r in
+             connected_components_star(df).collect()}
+        assert a == b, (trial, sorted(edges), sorted(a ^ b))
