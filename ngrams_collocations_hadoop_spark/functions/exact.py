@@ -78,7 +78,17 @@ def _qterm(expr: str, unit: str, fn: str) -> str:
     pure IEEE arithmetic inside whole-stage codegen and bit-identical
     in every engine BY CONSTRUCTION, halves included (half toward
     +inf, the repo-wide convention of `_grid_round`/`ieee_round`).
-    fn="floor" (the irrational-term grids) is unchanged."""
+    fn="floor" (the irrational-term grids) is unchanged.
+
+    Magnitude envelope: the no-grid-halves argument holds only while
+    |x|*unit stays well below 2^52 (|x| ≲ 4.5e9 at the 1e6 grid) —
+    above that the double product x*unit can itself land exactly on
+    k+0.5, where floor(+0.5) rounds negative halves toward +inf while
+    a true nearest-round of the decimal would not. Both engines share
+    this text so there is no cross-engine divergence, but callers
+    feeding values beyond the envelope get the floor-half convention,
+    not the input's decimal. All current grids (money/value columns,
+    |x| < 1e7) sit far inside it."""
     if fn == "round":
         return f"floor(({expr}) * {unit} + 0.5E0)"
     return f"{fn}(({expr}) * {unit})"

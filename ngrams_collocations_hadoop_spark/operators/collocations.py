@@ -44,6 +44,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..constants import LLR_ROUND, TOP_K
+from ..functions.exact import ieee_round
 from ..functions.llr import llr
 from ..functions.text import clean_token, decade
 from ..sources.ngram_source import (
@@ -233,6 +234,13 @@ def score_collocations(c12_df: DataFrame, c1_df: DataFrame,
 
     Output: (lang, decade, w1, w2, c1, c2, c12, n_total, llr) with llr
     rounded to LLR_ROUND decimals (cross-engine float comparability).
+    Rounding uses ``ieee_round`` (floor(x*1e6 + 0.5)/1e6), not
+    ``F.round``: round(DOUBLE) takes Spark's per-row BigDecimal HALF_UP
+    path (~3.7x the floor form per row — the single hottest expression
+    at corpus scale), while the floor form is pure IEEE arithmetic
+    inside whole-stage codegen and bit-identical in both engines
+    (oracle.py emits the same text; llr is ln-irrational so a
+    half-boundary value has ~2^-52 probability either way).
     """
     u1 = c1_df.select("lang", "decade",
                       F.col("word").alias("w1"), "c1")
@@ -257,7 +265,12 @@ def score_collocations(c12_df: DataFrame, c1_df: DataFrame,
         .join(u2, on=["lang", "decade", "w2"], how="inner")
         .join(F.broadcast(totals_df), on=["lang", "decade"], how="inner")
         .filter(valid)
-        .withColumn("llr", F.round(llr(c1c, c2c, c12c, nc), LLR_ROUND))
+        # Two-step projection: _llr_raw is referenced 3x by ieee_round's
+        # guard; the raw alias keeps LLR single-eval (CollapseProject
+        # refuses to inline a non-cheap alias referenced >1x, and codegen
+        # subexpression elimination covers it regardless).
+        .withColumn("_llr_raw", llr(c1c, c2c, c12c, nc))
+        .withColumn("llr", ieee_round(F.col("_llr_raw"), LLR_ROUND))
     )
     return scored.select("lang", "decade", "w1", "w2",
                          "c1", "c2", "c12", "n_total", "llr")

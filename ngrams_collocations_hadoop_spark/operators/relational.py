@@ -782,8 +782,14 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN rn = {lo} + 1 AND {r} > 0 THEN {r} * q END"))
     pct = ranked.groupBy("event_type").agg(
         _pct_u100(50).alias("_p50_u100"), _pct_u100(99).alias("_p99_u100"))
+    # Null-safe join (ADVICE r05): groupBy/PARTITION BY put NULL
+    # event_type rows in their own group on both engines, but a plain
+    # equi-join here would silently drop that group from the output —
+    # <=> preserves it (the sketch_reagg fix, applied to this join).
     return sketch.filter(F.col("_n_vals") >= SKETCH_MIN_GROUP) \
-        .join(pct, on="event_type").select(
+        .join(pct.withColumnRenamed("event_type", "_et"),
+              F.col("event_type").eqNullSafe(F.col("_et"))) \
+        .drop("_et").select(
             "event_type", "exact_users",
             F.expr("floor((CAST(_p50_u100 AS DOUBLE) + 5000) / 10000) "
                    "/ 1e4").alias("exact_p50"),
@@ -833,7 +839,7 @@ FROM (SELECT event_type,
              count(value) AS n_vals
       FROM {EVENTS_VFIN} WHERE ts IS NOT NULL GROUP BY event_type
       HAVING count(value) >= {SKETCH_MIN_GROUP}) s
-JOIN pct p USING (event_type)
+JOIN pct p ON s.event_type IS NOT DISTINCT FROM p.event_type
 """
 
 

@@ -109,12 +109,16 @@ c1 AS (
 {c12_cte}
 {totals_cte}
 scored AS (
-    SELECT *
+    -- llr rounding = the shared IEEE floor form (functions.exact.
+    -- ieee_round), lockstep with the Spark side's ieee_round; the
+    -- inner alias keeps the LLR expression single-eval under the
+    -- 3-reference guard.
+    SELECT lang, decade, w1, w2, c1, c2, c12, n_total,
+           {ieee_round_sql('llr0', LLR_ROUND)} AS llr
     FROM (
         SELECT b.lang, b.decade, b.w1, b.w2,
                u1.c1, u2.c1 AS c2, b.c12, t.n_total,
-               round({llr_sql('u1.c1', 'u2.c1', 'b.c12', 't.n_total')},
-                     {LLR_ROUND}) AS llr
+               {llr_sql('u1.c1', 'u2.c1', 'b.c12', 't.n_total')} AS llr0
         FROM c12 b
         JOIN c1 u1 ON u1.lang = b.lang AND u1.decade = b.decade
                   AND u1.word = b.w1
@@ -122,7 +126,7 @@ scored AS (
                   AND u2.word = b.w2
         JOIN totals t ON t.lang = b.lang AND t.decade = b.decade
     )
-    WHERE llr IS NOT NULL
+    WHERE llr0 IS NOT NULL
 )
 """
 

@@ -34,12 +34,17 @@ SESSION_GAP_SECONDS = 1800
 # plain gated scan, and the keyed variant for stream-stream joins
 # (NULL join identities gated out — Spark's state-store key equality
 # is binary, so NULL keys MATCH each other there, unlike batch `=`).
-STREAM_EVENTS_SQL = (
+# Both shapes render from ONE template with a predicate placeholder
+# (ADVICE r05): deriving the keyed form by slicing the plain form's
+# closing parenthesis would silently corrupt it the moment the base
+# text's trailing character changes.
+_STREAM_EVENTS_TMPL = (
     "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts, "
     "CASE WHEN isfinite(value) THEN value END AS value) FROM events "
-    "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01')")
-STREAM_EVENTS_KEYED_SQL = STREAM_EVENTS_SQL[:-1] \
-    + " AND user_id IS NOT NULL)"
+    "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'{extra})")
+STREAM_EVENTS_SQL = _STREAM_EVENTS_TMPL.format(extra="")
+STREAM_EVENTS_KEYED_SQL = _STREAM_EVENTS_TMPL.format(
+    extra=" AND user_id IS NOT NULL")
 
 
 def _corpus_parts(sf_dir: str) -> list[str]:
@@ -140,11 +145,22 @@ def _gate_epoch(stream: DataFrame) -> DataFrame:
                         F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
                                F.lit(None).cast("double")).otherwise(v)))
 
-# Batch-peeked stream schemas, keyed by fixture path (immutable files;
-# fuzz corpora get fresh tmp dirs). The peek pays a file-listing +
-# footer read per call otherwise, and the self-join queries build two
-# streams per run.
-_SCHEMA_CACHE: dict[str, object] = {}
+# Batch-peeked stream schemas, keyed by (fixture path, mtime_ns, size)
+# so an in-place rewrite of the corpus — the fuzz harnesses' pattern —
+# invalidates the entry instead of delivering a stale schema (ADVICE
+# r05). The peek pays a file-listing + footer read per call otherwise,
+# and the self-join queries build two streams per run.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _schema_cache_key(path: str) -> tuple[str, int, int]:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, -1, -1)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str,
@@ -167,10 +183,11 @@ def _event_stream(spark: SparkSession, sf_dir: str,
     silently mis-scaled 1000x instead of failing loudly."""
     _ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = _SCHEMA_CACHE.get(path)
+    cache_key = _schema_cache_key(path)
+    schema = _SCHEMA_CACHE.get(cache_key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[cache_key] = schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",
