@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "sim_pq_topk",           # PQ encode + ADC scoring (ANN family)
     "pipeline_ingest",       # incremental-ingest composition
     "dedup_persisted_lsh",   # bucketed band-index build + batch match
+    # match-only lifecycle row (VERDICT r05 #3): must run AFTER
+    # dedup_persisted_lsh in this list — that row's build leaves the
+    # state-keyed index table in the catalog, so every timed run here
+    # is the amortized per-ingest cost with the build hoisted.
+    "dedup_persisted_lsh_match",
 ]
 
 
@@ -60,17 +65,29 @@ def main() -> None:
     # vs 1.6 s clean on identical code.
     import gc
 
+    import statistics
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         QUERIES[name](spark, "/root/testdata/sf0.001") \
             .write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(3):  # best-of-3: the env shows multi-second
-            t0 = time.time()  # transient stalls that can eat 2 runs
+        runs: list[float] = []
+        # 3 runs; 5 for the sub-3 s queries, whose ±0.5 s box scatter
+        # a 3-run min cannot adjudicate (VERDICT r05 #2). All run
+        # times are emitted so regressions vs jitter are attributable
+        # from the artifact alone: a real regression shifts the
+        # MEDIAN; a transient stall widens max-min with a stable min.
+        while len(runs) < 3 or (len(runs) < 5
+                                and statistics.median(runs) < 3.0):
+            t0 = time.time()
             (QUERIES[name](spark, sf_dir)
              .write.format("noop").mode("overwrite").save())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)   # headline stays min: continuity
+        medians[name] = round(statistics.median(runs), 3)
+        all_runs[name] = runs
         spark.catalog.clearCache()
         gc.collect()  # drop checkpoint/block refs so ContextCleaner
         #               can reclaim them before the next query
@@ -79,9 +96,11 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,          # per-query MIN (the r01-r05 basis)
+        "queries_median": medians,   # dispersion: shifts = regressions
+        "queries_runs": all_runs,    # every run time, in order
         "sf": float(sf),
-        "runs_per_query": 3,  # each timing is best-of-3 after warm-up
+        "runs_per_query": "3, or 5 when median < 3 s; timing = min",
     }
     prev = _latest_recorded_bench()
     if prev:
@@ -90,6 +109,12 @@ def main() -> None:
             n: round(t - prev["queries"][n], 3)
             for n, t in timings.items() if n in prev.get("queries", {})
         }
+        if "queries_median" in prev:
+            out["delta_median_vs_prev"] = {
+                n: round(m - prev["queries_median"][n], 3)
+                for n, m in medians.items()
+                if n in prev["queries_median"]
+            }
     print(json.dumps(out))
 
 

@@ -226,39 +226,172 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rotation together with the r02 refresh queue (most of group (b)
 # IS that queue, so the rotation plan is unchanged in substance;
 # group (e)'s seven join them).
+#
+# r06 window (this round): 5 changed (llr rounding switched to the
+# shared ieee_round floor form on ALL THREE surfaces — DataFrame,
+# Spark-SQL flagship, DuckDB oracle — retiring the last hot-path
+# BigDecimal round(), VERDICT r05 #4; approx_sketches' exact-pct join
+# made null-safe, ADVICE r05) + 1 new (dedup_persisted_lsh_match —
+# the lifecycle's match-only job, VERDICT r05 #3) + the full 23-query
+# r02 refresh queue (determinism-pass-edited members first) + the 5
+# late-r05-changed behind-window queries (pagerank pair, stream_dedup,
+# components_star, simhash) + the 16 stalest r03 rows prioritizing
+# late-r05-edited ones (stream_pair_join, salted_join, the LSH/recall
+# block). Accounting after r06: no query's newest official row older
+# than r03; the r07 refresh queue head is the remaining r03 block
+# (text_train_test_split .. stream_enrich), then the r04 block led by
+# the group-(e) embedding family (sim_cosine_topk et al., which
+# changed in late r05 without fresh official rows).
 QUERIES: dict[str, QueryFn] = {
-    # --- (1) implementation changed this round ---
-    "rel_gap_fill": rel.q_gap_fill,                 # densify + LOCF
-    "text_weighted_sample": textstats.q_weighted_sample,  # A-ES priorities
-    "sim_power_iteration": similarity.q_power_iteration,  # PCA top component
-    "stream_full_outer_join": sw.q_stream_full_outer_join,  # both-side nulls
-    # --- (2) new this round ---
-    "dedup_persisted_lsh": dedup.q_dedup_persisted_lsh,  # bucketed index lifecycle
-    "colloc_topk_quirk": co.q_topk_quirk,           # deterministic bit-parity
-    # --- (3a) never officially adjudicated (r04 "(2b)" block) ---
-    "rel_ewma": rel.q_ewma,                         # exact windowed smoothing
-    "dedup_link_prediction": dedup.q_dedup_link_prediction,  # AA missed-pair triage
-    "stream_outer_join": sw.q_stream_outer_join,    # null-emitting eviction
-    "rel_scd2": rel.q_scd2_history,                 # dimension history build
-    "dedup_kcore": dedup.q_dedup_kcore,             # dense-cluster peeling
-    "sim_pq_topk": similarity.q_pq_topk,            # 4-bit ADC index
-    "sim_pq_recall": similarity.q_sim_pq_recall,    # honest PQ recall row
-    "rel_pit_enrich": asof.q_pit_enrich,            # leakage-safe PIT join
-    "text_containment": textstats.q_containment,    # overlap coeff pairs
-    "rel_sketch_reagg": rel.q_sketch_reagg,         # HLL union rollup
-    "rel_cusum": rel.q_cusum,                       # change-point detector
-    "rel_retention_cohorts": rel.q_retention_cohorts,  # cohort matrix
-    "stream_scd2_enrich": sw.q_stream_scd2_enrich,  # versioned-dim join
-    "rel_attribution": asof.q_attribution,          # last-touch credit
-    "text_char_entropy": textstats.q_char_entropy,  # gibberish detector
-    "pipeline_ingest": pipeline.q_ingest_pipeline,  # incremental crawl
-    "rel_sliding_distinct": rel.q_sliding_distinct, # window set-union count
-    "rel_profile": rel.q_profile,                   # one-pass ingest gate
-    "rel_snapshot_diff": rel.q_snapshot_diff,       # CDC table compare
-    "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,  # cc(v)
-    "rel_rolling_slope": rel.q_rolling_slope,       # windowed OLS trend
-    "text_heaps": textstats.q_heaps,                # vocab growth exponent
-    # --- (3b) newest green row is r02 (stalest official evidence) ---
+    # --- (1) implementation changed this round (r06: llr ieee_round on all three colloc surfaces; approx_sketches null-safe join) ---
+    "colloc_scored": co.q_scored,
+    "colloc_topk": co.q_topk,
+    "colloc_hebrew_topk": co.q_hebrew_topk,
+    "colloc_topk_quirk": co.q_topk_quirk,
+    "rel_approx_sketches": rel.q_approx_sketches,
+    # --- (2) new this round (persisted-LSH lifecycle split, VERDICT r05 #3) ---
+    "dedup_persisted_lsh_match": dedup.q_dedup_persisted_lsh_match,
+    # --- (3a) r02 refresh queue (VERDICT r05 #1) - late-r05 determinism-pass-edited first ---
+    "rel_star_join": rel.q_star_join,
+    "rel_corr_stats": rel.q_corr_stats,
+    "rel_rollup": rel.q_rollup,
+    "rel_cube": rel.q_cube,
+    "rel_pivot": rel.q_pivot,
+    "rel_window_running": rel.q_window_running,
+    "rel_pricing_summary": rel.q_pricing_summary,
+    "colloc_topk_sql": sql_api.sql_flagship,
+    "colloc_assoc": ng.q_assoc_scores,
+    "colloc_pmi_topk": ng.q_pmi_topk,
+    "colloc_condprob": ng.q_condprob,
+    "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,
+    "colloc_vocab_growth": ng.q_vocab_growth,
+    "ngram_trigram_counts": ng.q_trigram_counts,
+    "rel_percentiles": rel.q_percentiles,
+    "rel_distinct_agg": rel.q_distinct_agg,
+    "rel_semi_join": rel.q_semi_join,
+    "rel_anti_join": rel.q_anti_join,
+    "rel_outer_join": rel.q_outer_join,
+    "rel_topk_per_group": rel.q_topk_per_group,
+    "rel_global_topn": rel.q_global_topn,
+    "rel_window_ranks": rel.q_window_ranks,
+    "rel_set_ops": rel.q_set_ops,
+    # --- (3b) changed late-r05 behind the window (groups (h)/(i)/(d)) ---
+    "dedup_pagerank": dedup.q_dedup_pagerank,
+    "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
+    "stream_dedup": sw.q_stream_dedup,
+    "dedup_components_star": dedup.q_dedup_components_star,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    # --- (3c) stalest r03 block - late-r05-edited first ---
+    "stream_pair_join": sw.q_stream_pair_join,
+    "rel_salted_join": skew.q_salted_join,
+    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
+    "sim_lsh_recall": similarity.q_sim_lsh_recall,
+    "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
+    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
+    "dedup_simhash_check": dedup.q_dedup_simhash_check,
+    "rel_incremental_agg": rel.q_incremental_agg,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_triangles": dedup.q_dedup_triangles,
+    "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
+    "rel_string_agg": rel.q_string_agg,
+    "rel_bucketed_join": storage.q_bucketed_join,
+    "text_quality": textstats.q_text_quality,
+    "text_lang_id": textstats.q_lang_id,
+    "text_fingerprint": textstats.q_fingerprint,
+    # ================= end of the 50-query r06 window =================
+    # --- (4) tail, oldest official evidence first: r03 ---
+    "text_train_test_split": textstats.q_train_test_split,
+    "text_pii_redact": textstats.q_pii_redact,
+    "text_repetition": textstats.q_repetition,
+    "text_corpus_stats": textstats.q_corpus_stats,
+    "text_tfidf": textstats.q_tfidf,
+    "text_stratified_sample": textstats.q_stratified_sample,
+    "text_doc_chunks": textstats.q_doc_chunks,
+    "text_pack_sequences": textstats.q_pack_sequences,
+    "text_mixture_weights": textstats.q_mixture_weights,
+    "text_curriculum_buckets": textstats.q_curriculum_buckets,
+    "mm_binary_stats": multimodal.q_mm_binary_stats,
+    "mm_frame_sample": multimodal.q_mm_frame_sample,
+    "mm_image_dims": multimodal.q_mm_image_dims,
+    "stream_tumbling": sw.q_stream_tumbling,
+    "stream_session": sw.q_stream_session,
+    "stream_sliding": sw.q_stream_sliding,
+    "stream_enrich": sw.q_stream_enrich,
+    # --- (4) newest green row is r04 ---
+    "sim_embedding_covariance": similarity.q_embedding_covariance,
+    "rel_equidepth_histogram": rel.q_equidepth_histogram,
+    "text_dup_spans": textstats.q_dup_spans,
+    "text_contamination": textstats.q_contamination,
+    "mm_resize": multimodal.q_mm_resize,
+    "dedup_components": dedup.q_dedup_components,
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
+    "dedup_keep_one": dedup.q_dedup_keep_one,
+    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
+    "pipeline_training_prep": pipeline.q_training_prep,
+    "sim_kmeans_step": similarity.q_kmeans_step,
+    "text_dup_span_positions": textstats.q_dup_span_positions,
+    "text_dup_span_removal": textstats.q_dup_span_removal,
+    "stream_merge_sink": sw.q_stream_merge_sink,
+    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,
+    "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,
+    "text_group_sample": textstats.q_group_sample,
+    "sim_ivf_recall": similarity.q_sim_ivf_recall,
+    "dedup_semantic": similarity.q_dedup_semantic,
+    "text_dsir_weights": textstats.q_dsir_weights,
+    "text_shard_assign": textstats.q_shard_assign,
+    "text_bpe_pairs": textstats.q_bpe_pairs,
+    "rel_mad_outliers": rel.q_mad_outliers,
+    "stream_window_topk": sw.q_stream_window_topk,
+    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,
+    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,
+    "pipeline_export": pipeline.q_export_manifest,
+    "rel_grouping_sets": rel.q_grouping_sets,
+    "rel_interval_overlap": rel.q_interval_overlap,
+    "rel_bloom_prefilter": skew.q_bloom_prefilter,
+    "text_zipf": textstats.q_zipf,
+    "text_kl_drift": textstats.q_kl_drift,
+    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,
+    "text_token_positions": textstats.q_token_positions,
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_fingerprint": dedup.q_dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
+    "sim_cosine_topk": similarity.q_cosine_topk,
+    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
+    "sim_label_centroids": similarity.q_label_centroids,
+    "text_bm25": textstats.q_bm25,
+    "text_token_count": textstats.q_token_count,
+    "colloc_unigram_counts": co.q_unigram_counts,
+    "colloc_bigram_counts": co.q_bigram_counts,
+    "colloc_totals": co.q_totals,
+    # --- (4) newest green row is r05 (last round's window) ---
+    "rel_gap_fill": rel.q_gap_fill,
+    "text_weighted_sample": textstats.q_weighted_sample,
+    "sim_power_iteration": similarity.q_power_iteration,
+    "stream_full_outer_join": sw.q_stream_full_outer_join,
+    "dedup_persisted_lsh": dedup.q_dedup_persisted_lsh,
+    "rel_ewma": rel.q_ewma,
+    "dedup_link_prediction": dedup.q_dedup_link_prediction,
+    "stream_outer_join": sw.q_stream_outer_join,
+    "rel_scd2": rel.q_scd2_history,
+    "dedup_kcore": dedup.q_dedup_kcore,
+    "sim_pq_topk": similarity.q_pq_topk,
+    "sim_pq_recall": similarity.q_sim_pq_recall,
+    "rel_pit_enrich": asof.q_pit_enrich,
+    "text_containment": textstats.q_containment,
+    "rel_sketch_reagg": rel.q_sketch_reagg,
+    "rel_cusum": rel.q_cusum,
+    "rel_retention_cohorts": rel.q_retention_cohorts,
+    "stream_scd2_enrich": sw.q_stream_scd2_enrich,
+    "rel_attribution": asof.q_attribution,
+    "text_char_entropy": textstats.q_char_entropy,
+    "pipeline_ingest": pipeline.q_ingest_pipeline,
+    "rel_sliding_distinct": rel.q_sliding_distinct,
+    "rel_profile": rel.q_profile,
+    "rel_snapshot_diff": rel.q_snapshot_diff,
+    "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,
+    "rel_rolling_slope": rel.q_rolling_slope,
+    "text_heaps": textstats.q_heaps,
     "rel_json_extract": rel.q_json_extract,
     "rel_tumbling_window": rel.q_tumbling_window,
     "rel_sliding_window": rel.q_sliding_window,
@@ -271,136 +404,23 @@ QUERIES: dict[str, QueryFn] = {
     "rel_merge_upsert": mg.q_merge_upsert,
     "rel_scalar_subquery": rel.q_scalar_subquery,
     "rel_global_sort": rel.q_global_sort,
-    "rel_window_range": rel.q_window_range,         # time-RANGE frame
-    "rel_funnel": rel.q_funnel,                     # staged min-ts cascade
+    "rel_window_range": rel.q_window_range,
+    "rel_funnel": rel.q_funnel,
     "rel_anomaly_zscore": rel.q_anomaly_zscore,
-    "rel_event_transitions": rel.q_event_transitions,  # Markov matrix
-    "rel_key_skew": rel.q_key_skew,                 # shuffle-key profiler
-    "rel_fuzzy_match": rel.q_fuzzy_match,           # blocked edit-distance
-    "rel_unpivot": rel.q_unpivot,                   # wide->long Expand pass
+    "rel_event_transitions": rel.q_event_transitions,
+    "rel_key_skew": rel.q_key_skew,
+    "rel_fuzzy_match": rel.q_fuzzy_match,
+    "rel_unpivot": rel.q_unpivot,
     "rel_window_firstlast": rel.q_window_firstlast,
-    # --- (3c) stateful streaming refresh (r03; VERDICT r04 item #7) ---
     "stream_stateful_totals": sw.q_stream_stateful_totals,
     "stream_dedup_bounded": sw.q_stream_dedup_bounded,
-    # ================= end of the 50-query r05 window =================
-    # --- (4) newest green row is r02 — refresh queue head for r06 ---
-    "colloc_topk_sql": sql_api.sql_flagship,        # same pipeline, pure SQL
-    "colloc_assoc": ng.q_assoc_scores,              # C1 generalized (4 measures)
-    "colloc_pmi_topk": ng.q_pmi_topk,
-    "colloc_condprob": ng.q_condprob,               # bigram LM P(w2|w1)
-    "colloc_doc_cross_entropy": ng.q_doc_cross_entropy,  # LM quality filter
-    "colloc_vocab_growth": ng.q_vocab_growth,       # diachronic vocabulary
-    "ngram_trigram_counts": ng.q_trigram_counts,    # n>2 generalization
-    "rel_pricing_summary": rel.q_pricing_summary,   # A1-A5 shapes
-    "rel_percentiles": rel.q_percentiles,
-    "rel_distinct_agg": rel.q_distinct_agg,
-    "rel_rollup": rel.q_rollup,
-    "rel_cube": rel.q_cube,
-    "rel_pivot": rel.q_pivot,
-    "rel_star_join": rel.q_star_join,               # J1/J2 + broadcast J3
-    "rel_semi_join": rel.q_semi_join,
-    "rel_anti_join": rel.q_anti_join,               # J4 shape
-    "rel_outer_join": rel.q_outer_join,
-    "rel_topk_per_group": rel.q_topk_per_group,     # T1-T3 shape
-    "rel_global_topn": rel.q_global_topn,
-    "rel_window_running": rel.q_window_running,
-    "rel_window_ranks": rel.q_window_ranks,
-    "rel_corr_stats": rel.q_corr_stats,
-    "rel_set_ops": rel.q_set_ops,
-    # --- (4) newest green row is r03 ---
-    "rel_string_agg": rel.q_string_agg,
-    "rel_incremental_agg": rel.q_incremental_agg,   # mergeable-state rollup
-    "rel_salted_join": skew.q_salted_join,          # X1 + skew mitigation
-    "rel_bucketed_join": storage.q_bucketed_join,   # X1 persisted (zero-exchange)
-    "rel_approx_sketches": rel.q_approx_sketches,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
-    "dedup_simhash_check": dedup.q_dedup_simhash_check,
-    "dedup_pagerank": dedup.q_dedup_pagerank,
-    "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
-    "dedup_triangles": dedup.q_dedup_triangles,
-    "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
-    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
-    "sim_lsh_recall": similarity.q_sim_lsh_recall,
-    "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
-    "text_quality": textstats.q_text_quality,
-    "text_lang_id": textstats.q_lang_id,
-    "text_fingerprint": textstats.q_fingerprint,
-    "text_train_test_split": textstats.q_train_test_split,
-    "text_pii_redact": textstats.q_pii_redact,
-    "text_repetition": textstats.q_repetition,
-    "text_corpus_stats": textstats.q_corpus_stats,
-    "text_tfidf": textstats.q_tfidf,
-    "text_stratified_sample": textstats.q_stratified_sample,
-    "text_doc_chunks": textstats.q_doc_chunks,      # context-window chunking
-    "text_pack_sequences": textstats.q_pack_sequences,  # concat-and-split packing
-    "text_mixture_weights": textstats.q_mixture_weights,  # temperature sampling
-    "text_curriculum_buckets": textstats.q_curriculum_buckets,
-    "mm_binary_stats": multimodal.q_mm_binary_stats,
-    "mm_frame_sample": multimodal.q_mm_frame_sample,
-    "mm_image_dims": multimodal.q_mm_image_dims,    # codec-free header parse
-    "colloc_hebrew_topk": co.q_hebrew_topk,         # second-corpus (RTL) parity
-    "stream_tumbling": sw.q_stream_tumbling,
-    "stream_session": sw.q_stream_session,
-    "stream_dedup": sw.q_stream_dedup,
-    "stream_sliding": sw.q_stream_sliding,
-    "stream_enrich": sw.q_stream_enrich,
-    "stream_pair_join": sw.q_stream_pair_join,
-    # --- (4) newest green row is r04 ---
-    "sim_embedding_covariance": similarity.q_embedding_covariance,
-    "rel_equidepth_histogram": rel.q_equidepth_histogram,
-    "text_dup_spans": textstats.q_dup_spans,        # cross-doc span duplication
-    "text_contamination": textstats.q_contamination,
-    "mm_resize": multimodal.q_mm_resize,            # downsample via mapInPandas
-    "dedup_components": dedup.q_dedup_components,
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,
-    "dedup_keep_one": dedup.q_dedup_keep_one,
-    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
-    "pipeline_training_prep": pipeline.q_training_prep,  # composed end-to-end
-    "colloc_scored": co.q_scored,                   # J1+J2+J3+C1+P7
-    "colloc_topk": co.q_topk,                       # + T1-T3 (flagship)
-    "sim_kmeans_step": similarity.q_kmeans_step,    # _kmeans_assign refactor
-    "text_dup_span_positions": textstats.q_dup_span_positions,  # span intervals
-    "text_dup_span_removal": textstats.q_dup_span_removal,  # the removal pass
-    "stream_merge_sink": sw.q_stream_merge_sink,    # foreachBatch upsert table
-    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,  # batch-vs-index
-    "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,  # hybrid
-    "text_group_sample": textstats.q_group_sample,  # exactly-k per stratum
-    "dedup_components_star": dedup.q_dedup_components_star,  # star contraction
-    "sim_ivf_recall": similarity.q_sim_ivf_recall,  # honest IVF recall row
-    "dedup_semantic": similarity.q_dedup_semantic,  # SemDeDup within clusters
-    "text_dsir_weights": textstats.q_dsir_weights,  # importance resampling
-    "text_shard_assign": textstats.q_shard_assign,  # training-export layout
-    "text_bpe_pairs": textstats.q_bpe_pairs,        # BPE merge-step counts
-    "rel_mad_outliers": rel.q_mad_outliers,         # robust outlier profile
-    "stream_window_topk": sw.q_stream_window_topk,  # streaming leaderboard
-    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,   # content-defined chunks
-    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,  # label prop
-    "pipeline_export": pipeline.q_export_manifest,  # dsir->shard->manifest
-    "rel_grouping_sets": rel.q_grouping_sets,       # explicit set algebra
-    "rel_interval_overlap": rel.q_interval_overlap, # sweep-line prefix sum
-    "rel_bloom_prefilter": skew.q_bloom_prefilter,  # runtime-filter join
-    "text_zipf": textstats.q_zipf,                  # power-law corpus health
-    "text_kl_drift": textstats.q_kl_drift,          # split distribution shift
-    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,  # MOSS
-    "text_token_positions": textstats.q_token_positions,
-    "dedup_exact": dedup.q_dedup_exact,
-    "dedup_fingerprint": dedup.q_dedup_fingerprint,
-    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
-    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
-    "sim_cosine_topk": similarity.q_cosine_topk,
-    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
-    "sim_label_centroids": similarity.q_label_centroids,
-    "text_bm25": textstats.q_bm25,
-    "text_token_count": textstats.q_token_count,
-    "colloc_unigram_counts": co.q_unigram_counts,   # A2 (+P1-P6, J4)
-    "colloc_bigram_counts": co.q_bigram_counts,     # A3 (+P1-P6, J4)
-    "colloc_totals": co.q_totals,                   # A4
 }
 
 ORACLES: dict[str, str] = {
     "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,
+    # match-only job: same pair set — the index contents are identical,
+    # only WHEN the index shuffle is paid differs (build vs per-query)
+    "dedup_persisted_lsh_match": dedup.ORACLE_DEDUP_PERSISTED_LSH,
     "colloc_topk_quirk": oracle.colloc_topk_quirk_sql(),
     "colloc_unigram_counts": oracle.colloc_unigram_counts_sql(),
     "colloc_bigram_counts": oracle.colloc_bigram_counts_sql(),

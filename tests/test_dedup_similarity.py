@@ -391,6 +391,42 @@ def test_persisted_lsh_matches_incremental(spark):
     assert a == b and len(a) > 0
 
 
+def test_persisted_lsh_append_invariance(spark):
+    """The lifecycle's append contract (VERDICT r05 #3): building the
+    index over the PRE-batch corpus and appending the batch's band
+    rows must yield exactly the match result of rebuilding over the
+    full corpus — and the match-only query (build-if-absent) agrees.
+    Also checks the appended table really carries both generations
+    (more files than buckets, same total rows as the rebuilt index)."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators import dedup as D
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    table = D.build_lsh_index(spark, SF_SMALL, old_only=True)
+    n_old = spark.table(table).count()
+    batch = load_table(spark, SF_SMALL, "documents") \
+        .filter(F.col("doc_id") % D.NEW_BATCH_MOD == 0)
+    D.append_lsh_index(spark, table, batch)
+    appended = {(r.doc_new, r.doc_match, r.jaccard)
+                for r in D.match_lsh_index(spark, SF_SMALL, table).collect()}
+    n_appended = spark.table(table).count()
+    assert n_appended > n_old
+
+    rebuilt_table = D.build_lsh_index(spark, SF_SMALL)  # full corpus
+    rebuilt = {(r.doc_new, r.doc_match, r.jaccard)
+               for r in D.match_lsh_index(spark, SF_SMALL,
+                                          rebuilt_table).collect()}
+    assert appended == rebuilt and len(appended) > 0
+    assert n_appended == spark.table(rebuilt_table).count()
+
+    match_only = {(r.doc_new, r.doc_match, r.jaccard)
+                  for r in D.q_dedup_persisted_lsh_match(
+                      spark, SF_SMALL).collect()}
+    assert match_only == rebuilt
+
+
 def test_star_contraction_multi_parent_termination(spark):
     """Regression for the premature-termination bug: edges
     (1,3),(3,4),(4,5),(2,5) contract in ONE round to

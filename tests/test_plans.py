@@ -461,6 +461,43 @@ def test_persisted_lsh_index_side_has_no_exchange(spark):
     assert plan.count("Sort ") == 1, plan
 
 
+def test_persisted_lsh_match_only_plan(spark):
+    """The MATCH-ONLY job (the lifecycle's amortized steady state) has
+    the same zero-exchange index side as the build+match form — the
+    build having happened in a separate job must not change the match
+    plan. After an APPEND (extra bucket files), the index side still
+    joins with no exchange; only a bucket-local Sort may appear."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators import dedup as D
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    D.build_lsh_index(spark, SF_SMALL)
+    plan = physical_plan(D.q_dedup_persisted_lsh_match(spark, SF_SMALL))
+    assert "SortMergeJoin" in plan, plan
+    band_exchanges = set(re.findall(
+        r"Exchange hashpartitioning\(band_id[^\n\[]*\[plan_id=(\d+)",
+        plan))
+    assert len(band_exchanges) == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+    # Post-append: >1 file per bucket forfeits sorted-scan propagation
+    # (a bucket-local Sort appears) but NEVER the exchange elimination.
+    table = D.build_lsh_index(spark, SF_SMALL, old_only=True)
+    D.append_lsh_index(spark, table, load_table(spark, SF_SMALL,
+                                                "documents")
+                       .filter(F.col("doc_id") % D.NEW_BATCH_MOD == 0))
+    plan2 = physical_plan(D.match_lsh_index(spark, SF_SMALL, table))
+    band_exchanges2 = set(re.findall(
+        r"Exchange hashpartitioning\(band_id[^\n\[]*\[plan_id=(\d+)",
+        plan2))
+    assert len(band_exchanges2) == 1, plan2
+    # restore the compacted full-corpus index for later tests/queries
+    D.build_lsh_index(spark, SF_SMALL)
+
+
 def test_bench_queries_shuffle_budget(spark):
     """Shuffle-budget regression guard for the headline (bench)
     queries: the number of DISTINCT shuffle exchanges in the initial
