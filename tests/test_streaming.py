@@ -436,3 +436,128 @@ def test_stream_dedup_gates_null_event_ids(spark, tmp_path):
     # null-id rows are gated out, NOT collapsed to a single survivor.
     assert len(out) == 1
     assert out[0].n == 16
+
+
+# --- RocksDB state-store parity (VERDICT r05 #6) -------------------------
+#
+# The 14 streaming queries run on the default HDFS-backed state store;
+# at 100 TB state (cross-batch dedup keys, two-sided join state) the
+# RocksDB provider is the production story — state lives off-heap /
+# on-disk instead of in executor JVM memory. Results and restart
+# semantics must be provider-independent.
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+class _state_store:
+    def __init__(self, spark, provider_class: str | None):
+        self.spark, self.provider = spark, provider_class
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(_PROVIDER_KEY, None)
+        if self.provider is not None:
+            self.spark.conf.set(_PROVIDER_KEY, self.provider)
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(_PROVIDER_KEY)
+        else:
+            self.spark.conf.set(_PROVIDER_KEY, self.old)
+        return False
+
+
+def test_rocksdb_state_store_parity(spark):
+    """Every stateful-operator family — windowed agg, watermarked
+    dedup, two-sided outer join state, applyInPandasWithState custom
+    state, session windows — must match the DuckDB oracle bit-for-bit
+    under the RocksDB provider exactly as it does under the default
+    provider (the registry's standing gate)."""
+    from .conftest import SF_SMALL
+    from .util_diff import assert_query_matches_oracle
+
+    names = ["stream_tumbling", "stream_dedup_bounded",
+             "stream_full_outer_join", "stream_stateful_totals",
+             "stream_session"]
+    with _state_store(spark, ROCKSDB_PROVIDER):
+        for n in names:
+            assert_query_matches_oracle(spark, n, SF_SMALL)
+
+
+def test_rocksdb_checkpoint_restart(spark, tmp_path):
+    """The checkpoint/restart contract under RocksDB: a stateful agg
+    resumes from its RocksDB state store after the query stops —
+    the second run reads ONLY the new file and its complete-mode table
+    equals the batch aggregate over all data. Also asserts the
+    provider actually engaged (rocksdb metrics in the progress)."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        tumbling_agg,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(eid, minutes, etype, value):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), 100,
+                etype, value, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch1 = [ev(1, 0, "click", 1.0), ev(2, 30, "click", 2.0),
+              ev(3, 70, "view", 4.0)]
+    batch2 = [ev(4, 80, "click", 8.0), ev(5, 140, "view", 16.0)]
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+
+    def to_pq(rows, path):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(path, index=False)
+
+    to_pq(batch1, f"{indir}/b1.parquet")
+    schema = spark.read.parquet(indir).schema
+
+    def run_once(qname):
+        stream = (spark.readStream.schema(schema).parquet(indir)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        q = (tumbling_agg(stream)
+             .writeStream.outputMode("complete")
+             .format("memory").queryName(qname)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        n_in = sum(p["numInputRows"] for p in q.recentProgress)
+        metrics = set()
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                metrics |= set(op.get("customMetrics", {}))
+        out = {(r.win_start, r.event_type): (r.n, r.sum_value)
+               for r in spark.table(qname).collect()}
+        return n_in, out, metrics
+
+    with _state_store(spark, ROCKSDB_PROVIDER):
+        n1, out1, metrics1 = run_once("rocksdb_run1")
+        assert n1 == len(batch1)
+        assert out1[(t0, "click")] == (2, 3.0)
+        # the provider really is RocksDB, not silently the default
+        assert any("rocksdb" in m.lower() for m in metrics1), metrics1
+
+        to_pq(batch2, f"{indir}/b2.parquet")
+        n2, out2, _ = run_once("rocksdb_run2")
+        assert n2 == len(batch2), (n2, len(batch2))
+        batch = {(r.win_start, r.event_type): (r.n, r.sum_value)
+                 for r in (spark.read.parquet(indir)
+                           .groupBy(F.window("ts", "1 hour"), "event_type")
+                           .agg(F.count(F.lit(1)).alias("n"),
+                                F.round(F.sum("value"), 4)
+                                .alias("sum_value"))
+                           .select(F.col("window.start").alias("win_start"),
+                                   "event_type", "n", "sum_value")
+                           ).collect()}
+        assert out2 == batch and len(out2) == 4
