@@ -535,6 +535,10 @@ def test_bench_queries_shuffle_budget(spark):
         "text_dsir_weights": 4,
         "sim_pq_topk": 3,
         "pipeline_ingest": 14,
+        # both lifecycle forms: batch band shuffle + candidate
+        # repartition + verify joins — the INDEX side contributes none
+        "dedup_persisted_lsh": 9,
+        "dedup_persisted_lsh_match": 9,
     }
     pat = re.compile(r"Exchange (hashpartitioning|rangepartitioning|"
                      r"RoundRobinPartitioning|SinglePartition)")
