@@ -426,6 +426,17 @@ def test_persisted_lsh_append_invariance(spark):
                       spark, SF_SMALL).collect()}
     assert match_only == rebuilt
 
+    # Double-append idempotence: re-appending the same batch (the
+    # retry/at-least-once ingest case) duplicates band ROWS but not
+    # output PAIRS — the candidate stage's pair-level dropDuplicates
+    # absorbs it. A production compaction would dedup the rows; the
+    # match result must not depend on when that happens.
+    D.append_lsh_index(spark, table, batch)
+    twice = {(r.doc_new, r.doc_match, r.jaccard)
+             for r in D.match_lsh_index(spark, SF_SMALL, table).collect()}
+    assert twice == rebuilt
+    assert spark.table(table).count() > n_appended
+
 
 def test_star_contraction_multi_parent_termination(spark):
     """Regression for the premature-termination bug: edges

@@ -470,17 +470,19 @@ class _state_store:
 
 
 def test_rocksdb_state_store_parity(spark):
-    """Every stateful-operator family — windowed agg, watermarked
-    dedup, two-sided outer join state, applyInPandasWithState custom
-    state, session windows — must match the DuckDB oracle bit-for-bit
-    under the RocksDB provider exactly as it does under the default
-    provider (the registry's standing gate)."""
+    """EVERY streaming registry query — windowed/sliding/session aggs,
+    watermarked dedup (both forms), inner/outer/full-outer join state,
+    applyInPandasWithState custom state, SCD2 enrich, leaderboard,
+    merge sink, plus the stateless enrich for completeness — must
+    match its DuckDB oracle bit-for-bit under the RocksDB provider
+    exactly as under the default provider (the registry's standing
+    gate)."""
+    from ngrams_collocations_hadoop_spark.registry import QUERIES
+
     from .conftest import SF_SMALL
     from .util_diff import assert_query_matches_oracle
 
-    names = ["stream_tumbling", "stream_dedup_bounded",
-             "stream_full_outer_join", "stream_stateful_totals",
-             "stream_session"]
+    names = sorted(n for n in QUERIES if n.startswith("stream_"))
     with _state_store(spark, ROCKSDB_PROVIDER):
         for n in names:
             assert_query_matches_oracle(spark, n, SF_SMALL)
