@@ -41,7 +41,12 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              # epoch gate, dense PQ codebook, json casts)
              "stream_session", "stream_stateful_totals",
              "rel_json_extract", "rel_mad_outliers", "rel_star_join",
-             "sim_pq_topk", "text_curriculum_buckets"]:
+             "sim_pq_topk", "text_curriculum_buckets",
+             # r06 changes: ieee_round llr (all three surfaces) and
+             # the persisted-LSH lifecycle split (bucketed catalog
+             # table under a bare session's own warehouse)
+             "colloc_scored", "colloc_topk_sql",
+             "dedup_persisted_lsh_match"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
