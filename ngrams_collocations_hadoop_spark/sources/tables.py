@@ -10,6 +10,7 @@ become a tiny DataFrame used with `F.broadcast` anti-joins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..constants import stopword_rows
 
@@ -169,6 +170,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+# ``doc_id`` is the documents table's PRIMARY KEY — a precondition, not
+# a guarantee the engine re-derives per query. A corpus that violates
+# it (re-crawled content under the same id, at-least-once redelivery)
+# makes id-keyed multiplicities ILL-DEFINED, and the r06 dup-id probe
+# measured exactly that: dedup_minhash_lsh / dedup_simhash emit
+# engine-dependent duplicate pair rows and text_heaps' cumulative
+# vocabulary becomes order-ambiguous. Re-deduplicating on every scan
+# would bolt a corpus-wide shuffle onto every documents query at
+# 100 TB; the production answer is resolution ONCE at ingest — this
+# operator — after which every downstream query is total again
+# (test-pinned on the hazard corpus in tests/test_registry_fuzz.py).
+
+def resolve_document_identity(df: DataFrame) -> DataFrame:
+    """Keep exactly one row per doc_id, chosen by a content-
+    deterministic, engine-shared rule — min md5(text), with NULL text
+    folded to '' and a NULL-flag tiebreak so the keeper never depends
+    on row order or NULL placement. Run at ingest (once per batch),
+    not per query. ``RESOLVE_DOCUMENTS_SQL`` is the DuckDB twin."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.col("text").isNull())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+RESOLVE_DOCUMENTS_SQL = """
+SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY md5(coalesce(text, '')), coalesce(text, ''),
+                 (text IS NULL)) AS _rn
+    FROM documents) WHERE _rn = 1
+"""
+
+
+def document_id_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate check for the doc_id PK precondition: one row per
+    violated id with its multiplicity and how many DISTINCT texts hide
+    behind it (distinct_texts > 1 = a real re-crawl conflict, not just
+    redelivery). Empty result = the corpus satisfies the contract."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("copies"),
+                 F.countDistinct(F.coalesce(F.col("text"), F.lit("")))
+                 .alias("distinct_texts"))
+            .filter(F.col("copies") > 1))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -185,3 +185,80 @@ def test_partition_invariance_on_shuffled_split_corpus(spark, tmp_path):
         if not a.equals(b):
             bad.append(name)
     assert not bad, f"partition-order dependent: {bad}"
+
+
+@pytest.mark.fuzz
+def test_identity_resolution_restores_totality_on_dup_doc_ids(
+        spark, tmp_path):
+    """doc_id is the documents PK — a PRECONDITION (found by the r06
+    dup-id probe): planting duplicate ids (exact redelivery AND
+    re-crawled different text) makes id-keyed pair multiplicities
+    engine-dependent in dedup_minhash_lsh / dedup_simhash and the
+    cumulative vocabulary order-ambiguous in text_heaps. This test
+    pins BOTH halves of the contract: (a) the violation is detected
+    (document_id_violations is non-empty and flags the re-crawl
+    conflicts), and (b) resolving identity ONCE at ingest
+    (resolve_document_identity, the production placement) makes every
+    probed documents query total again — Spark and DuckDB agree on
+    the resolved corpus, and DuckDB's RESOLVE_DOCUMENTS_SQL twin picks
+    the SAME keeper rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ngrams_collocations_hadoop_spark.sources.tables import (
+        RESOLVE_DOCUMENTS_SQL,
+        document_id_violations,
+        resolve_document_identity,
+    )
+
+    d = write_fuzz_corpus(101, str(tmp_path))
+    t = pq.read_table(f"{d}/documents.parquet")
+    pdf = t.to_pandas()
+    dup_same = pdf.iloc[[1, 3, 5]].copy()          # exact redelivery
+    dup_diff = pdf.iloc[[2, 4]].copy()             # re-crawl conflict
+    dup_diff["text"] = (dup_diff["text"].astype(str)
+                        + " recrawl extra tokens here")
+    out = pd.concat([pdf, dup_same, dup_diff], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False, schema=t.schema),
+        f"{d}/documents.parquet")
+
+    # (a) the gate sees the violation, and classifies it
+    viol = {r.doc_id: (r.copies, r.distinct_texts)
+            for r in document_id_violations(spark, d).collect()}
+    assert len(viol) == 5
+    assert sum(1 for _, dt in viol.values() if dt > 1) == 2  # re-crawls
+
+    # the unresolved corpus genuinely diverges (the hazard is real)
+    assert run_fuzz(spark, d, ["dedup_minhash_lsh"])
+
+    # (b) resolve once at ingest -> every probed query total again
+    resolved = resolve_document_identity(
+        spark.read.parquet(f"{d}/documents.parquet"))
+    # Spark keeper set == the DuckDB twin's keeper set (rule parity)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    duck_keep = con.execute(
+        f"SELECT doc_id, coalesce(text, '') FROM ({RESOLVE_DOCUMENTS_SQL})"
+    ).fetchall()
+    con.close()
+    spark_keep = [(r.doc_id, r.text if r.text is not None else "")
+                  for r in resolved.select("doc_id", "text").collect()]
+    assert sorted(spark_keep) == sorted(duck_keep)
+
+    # preserve the original arrow schema: a bare pandas round-trip
+    # would promote nullable int64 columns (n_chars) to float64
+    pq.write_table(
+        pa.Table.from_pandas(resolved.toPandas(), preserve_index=False,
+                             schema=t.schema),
+        f"{d}/documents.parquet")
+    # the pre-resolution probe persisted doc token sets; the rewritten
+    # path produces an IDENTICAL logical plan, which the CacheManager
+    # would serve from the stale InMemoryRelation
+    spark.catalog.clearCache()
+    spark.catalog.refreshByPath(f"{d}/documents.parquet")
+    probed = [n for n in FUZZ_QUERIES
+              if n.startswith(("dedup_", "text_", "colloc_", "mm_"))]
+    failures = run_fuzz(spark, d, probed)
+    assert not failures, f"post-resolution: {failures}"
