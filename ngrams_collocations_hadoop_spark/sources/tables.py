@@ -210,6 +210,74 @@ SELECT * EXCLUDE (_rn) FROM (
 """
 
 
+# The same precondition holds for embeddings.vec_id: the r06 dup-id
+# probe measured hyperplane-LSH ANN emitting engine-dependent duplicate
+# candidate rows and the PQ ADC index CRASHING outright (its dense
+# positional codebook ids assume one row per vec_id) under duplicate
+# ids. Loud beats silent, but the contract is the same: resolve at
+# ingest. The keeper rule avoids float FORMATTING entirely — engines
+# never agree on float-to-string — by ordering on the micro-quantized
+# INTEGER rendering of the vector (exact in both engines). The
+# per-element rendering is TOTAL over the hazards real embedding feeds
+# contain (NULL components, NaN, ±Inf, out-of-envelope magnitudes):
+# each maps to a distinct sentinel so ordering stays deterministic and
+# neither engine ever casts a non-finite double to BIGINT (a hard
+# error in DuckDB, silent saturation in non-ANSI Spark). The CASE text
+# is shared verbatim by the Spark expression, the DuckDB twin, and the
+# violation check.
+
+_EMB_ELEM_CASE = (
+    "CASE WHEN x IS NULL THEN -9223372036854775808 "
+    "WHEN isnan(CAST(x AS DOUBLE)) THEN -9223372036854775807 "
+    "WHEN CAST(x AS DOUBLE) >= 4e9 THEN 9223372036854775807 "
+    "WHEN CAST(x AS DOUBLE) <= -4e9 THEN -9223372036854775806 "
+    "ELSE CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5E0) AS BIGINT) END")
+_EMB_KEY_SPARK = ("CASE WHEN embedding IS NULL THEN array() "
+                  f"ELSE transform(embedding, x -> {_EMB_ELEM_CASE}) END")
+_EMB_KEY_DUCK = ("CASE WHEN embedding IS NULL THEN [] "
+                 f"ELSE list_transform(embedding, x -> {_EMB_ELEM_CASE}) "
+                 "END")
+
+
+def resolve_embedding_identity(df: DataFrame) -> DataFrame:
+    """Keep exactly one row per vec_id, engine-shared deterministic
+    rule: non-NULL embedding first, then lexicographic compare of the
+    total 1e6-grid integer rendering (``_EMB_ELEM_CASE``), then label.
+    Run at ingest; ``RESOLVE_EMBEDDINGS_SQL`` is the DuckDB twin."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("embedding").isNull(), F.expr(_EMB_KEY_SPARK),
+        F.coalesce(F.col("label").cast("long"),
+                   F.lit(-(2 ** 63))))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+RESOLVE_EMBEDDINGS_SQL = f"""
+SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY (embedding IS NULL),
+                 {_EMB_KEY_DUCK},
+                 coalesce(CAST(label AS BIGINT), -9223372036854775808)
+    ) AS _rn
+    FROM embeddings) WHERE _rn = 1
+"""
+
+
+def embedding_id_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id PK check, the embeddings twin of
+    ``document_id_violations`` (distinct_vectors counts the integer
+    renderings, so it is exact, not format-dependent)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (e.groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("copies"),
+                 F.countDistinct(F.expr(_EMB_KEY_SPARK))
+                 .alias("distinct_vectors"))
+            .filter(F.col("copies") > 1))
+
+
 def document_id_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-gate check for the doc_id PK precondition: one row per
     violated id with its multiplicity and how many DISTINCT texts hide

@@ -262,3 +262,76 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
               if n.startswith(("dedup_", "text_", "colloc_", "mm_"))]
     failures = run_fuzz(spark, d, probed)
     assert not failures, f"post-resolution: {failures}"
+
+
+@pytest.mark.fuzz
+def test_identity_resolution_restores_totality_on_dup_vec_ids(
+        spark, tmp_path):
+    """The embeddings twin of the dup-doc_id contract (r06 probe):
+    duplicate vec_ids make hyperplane-LSH ANN emit engine-dependent
+    duplicate candidate rows and CRASH the PQ ADC index (dense
+    positional codebook ids assume one row per id). Pins: (a) the
+    gate detects and classifies the violation, (b) the unresolved
+    corpus genuinely breaks, (c) ingest-time resolution
+    (resolve_embedding_identity; DuckDB twin picks the same keepers
+    via the integer-rendering rule, no float formatting anywhere)
+    restores the whole embeddings family."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ngrams_collocations_hadoop_spark.sources.tables import (
+        _EMB_KEY_DUCK,
+        _EMB_KEY_SPARK,
+        RESOLVE_EMBEDDINGS_SQL,
+        embedding_id_violations,
+        resolve_embedding_identity,
+    )
+
+    d = write_fuzz_corpus(101, str(tmp_path))
+    t = pq.read_table(f"{d}/embeddings.parquet")
+    pdf = t.to_pandas()
+    dup_same = pdf.iloc[[1, 3]].copy()             # exact redelivery
+    dup_diff = pdf.iloc[[2]].copy()                # re-embedded vector
+    dup_diff["embedding"] = dup_diff["embedding"].apply(
+        lambda v: [x * 0.5 + 0.01 for x in v])
+    out = pd.concat([pdf, dup_same, dup_diff], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False, schema=t.schema),
+        f"{d}/embeddings.parquet")
+
+    viol = {r.vec_id: (r.copies, r.distinct_vectors)
+            for r in embedding_id_violations(spark, d).collect()}
+    assert len(viol) == 3
+    assert sum(1 for _, dv in viol.values() if dv > 1) == 1
+
+    assert run_fuzz(spark, d, ["sim_cosine_topk_lsh"])
+
+    resolved = resolve_embedding_identity(
+        spark.read.parquet(f"{d}/embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    duck_keep = con.execute(
+        f"SELECT vec_id, {_EMB_KEY_DUCK} "
+        f"FROM ({RESOLVE_EMBEDDINGS_SQL})").fetchall()
+    con.close()
+    spark_keep = [
+        (r.vec_id, r.k) for r in resolved.selectExpr(
+            "vec_id", f"{_EMB_KEY_SPARK} AS k").collect()]
+    assert sorted(spark_keep) == sorted(
+        (v, list(k)) for v, k in duck_keep)
+
+    pq.write_table(
+        pa.Table.from_pandas(resolved.toPandas(), preserve_index=False,
+                             schema=t.schema),
+        f"{d}/embeddings.parquet")
+    spark.catalog.clearCache()
+    spark.catalog.refreshByPath(f"{d}/embeddings.parquet")
+    probed = ["sim_cosine_topk", "sim_cosine_topk_lsh",
+              "sim_cosine_topk_ivf", "sim_cosine_topk_quantized",
+              "sim_cosine_topk_filtered", "sim_pq_topk",
+              "sim_label_centroids", "sim_kmeans_step",
+              "sim_embedding_covariance", "dedup_embedding_cosine",
+              "dedup_semantic", "sim_power_iteration"]
+    failures = run_fuzz(spark, d, probed)
+    assert not failures, f"post-resolution: {failures}"
