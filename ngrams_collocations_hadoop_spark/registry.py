@@ -242,6 +242,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (text_train_test_split .. stream_enrich), then the r04 block led by
 # the group-(e) embedding family (sim_cosine_topk et al., which
 # changed in late r05 without fresh official rows).
+# r07 candidate campaign (from the r06 dup-id probe): doc_id/vec_id
+# PK-ness is a tooled PRECONDITION (sources/tables.py::
+# resolve_document_identity / resolve_embedding_identity +
+# *_id_violations; divergences + post-resolution totality pinned in
+# test_registry_fuzz.py). If r07 wants the stronger guarantee —
+# id-keyed queries TOTAL under duplicate ids without resolution —
+# fold dup-ids into fuzz_corpus.py and align the 5 affected queries'
+# multiplicity semantics (minhash_lsh, simhash, heaps, cosine_topk_lsh,
+# pq_topk); everything else measured total already.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round (r06: llr ieee_round on all three colloc surfaces; approx_sketches null-safe join) ---
     "colloc_scored": co.q_scored,
