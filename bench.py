@@ -71,6 +71,19 @@ def main() -> None:
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:
+        if name == "dedup_persisted_lsh_match":
+            # Guard the list-order coupling (VERDICT r06 watch item):
+            # this row is only the amortized MATCH cost because the
+            # dedup_persisted_lsh row before it left the state-keyed
+            # index in the catalog. A reorder would silently turn the
+            # timing into build+match — fail loudly instead.
+            from ngrams_collocations_hadoop_spark.operators.dedup import (
+                lsh_index_table)
+            assert spark.catalog.tableExists(
+                lsh_index_table(sf_dir, spark)), (
+                "dedup_persisted_lsh_match must run AFTER "
+                "dedup_persisted_lsh (build hoisted); reordering would "
+                "silently time build+match")
         QUERIES[name](spark, "/root/testdata/sf0.001") \
             .write.format("noop").mode("overwrite").save()
         runs: list[float] = []

@@ -188,14 +188,29 @@ def resolve_document_identity(df: DataFrame) -> DataFrame:
     """Keep exactly one row per doc_id, chosen by a content-
     deterministic, engine-shared rule — min md5(text), with NULL text
     folded to '' and a NULL-flag tiebreak so the keeper never depends
-    on row order or NULL placement. Run at ingest (once per batch),
-    not per query. ``RESOLVE_DOCUMENTS_SQL`` is the DuckDB twin."""
+    on row order or NULL placement. The ordering covers EVERY column,
+    not just text: duplicate ids with identical text but divergent
+    metadata (re-crawl under a different source tag, a lang-id rerun)
+    would otherwise tie, making the keeper's metadata — consumed
+    downstream by lang grouping, source mixture weights — row-order/
+    engine-dependent, the exact nondeterminism this operator exists
+    to close (ADVICE r06). Each nullable tiebreak is a
+    (coalesce, IS NULL) pair so '' and NULL stay distinguishable and
+    neither engine's NULL placement leaks in. Run at ingest (once per
+    batch), not per query. ``RESOLVE_DOCUMENTS_SQL`` is the DuckDB
+    twin (full-row keeper parity pinned in test_registry_fuzz.py)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(
         F.md5(F.coalesce(F.col("text"), F.lit(""))),
         F.coalesce(F.col("text"), F.lit("")),
-        F.col("text").isNull())
+        F.col("text").isNull(),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.col("lang").isNull(),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.col("source").isNull(),
+        F.coalesce(F.col("n_chars"), F.lit(-(2 ** 63)).cast("long")),
+        F.col("n_chars").isNull())
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 
@@ -205,7 +220,11 @@ SELECT * EXCLUDE (_rn) FROM (
     SELECT *, row_number() OVER (
         PARTITION BY doc_id
         ORDER BY md5(coalesce(text, '')), coalesce(text, ''),
-                 (text IS NULL)) AS _rn
+                 (text IS NULL),
+                 coalesce(lang, ''), (lang IS NULL),
+                 coalesce(source, ''), (source IS NULL),
+                 coalesce(n_chars, -9223372036854775808),
+                 (n_chars IS NULL)) AS _rn
     FROM documents) WHERE _rn = 1
 """
 

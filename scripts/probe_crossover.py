@@ -56,6 +56,35 @@ def build_corpus(spark, factor: int) -> str:
     return out
 
 
+def build_long_corpus(spark, mult: int) -> str:
+    """The DOC-LENGTH axis (VERDICT r06 #5): same doc COUNT as sf0.1,
+    text grown ``mult``x by appending mult-1 salted copies of the
+    doc's own tokens (each copy suffixed per generation, so the token
+    SET — what minhash walks — really grows ~mult x and near-dup pairs
+    keep their Jaccard structure). Measures whether per-doc text CPU
+    (tokenize + 64-perm minhash), which BOTH lifecycle variants pay on
+    the batch side but only the incremental variant re-pays on the
+    corpus side, dwarfs the persisted path's index read as docs grow
+    toward production sizes — the one SCALING.md claim that was still
+    extrapolation."""
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/len{mult}"
+    target = f"{out}/documents.parquet"
+    if os.path.exists(target):
+        return out
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    copies = [F.col("text")] + [
+        F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda t, i=i: F.concat(t, F.lit(f"x{i}"))),
+            " ")
+        for i in range(1, mult)]
+    grown = docs.withColumn("text", F.concat_ws(" ", *copies))
+    grown.repartition(8).write.mode("overwrite").parquet(target)
+    return out
+
+
 def timed(fn, runs: int = 3) -> tuple[float, list[float]]:
     ts = []
     for _ in range(runs):
@@ -66,13 +95,19 @@ def timed(fn, runs: int = 3) -> tuple[float, list[float]]:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    doclen_mode = "--doclen" in args
+    if doclen_mode:
+        args.remove("--doclen")
+    factors = [int(a) for a in args] or ([1, 10, 50] if doclen_mode
+                                         else [1, 4, 16])
     from ngrams_collocations_hadoop_spark.operators import dedup as D
     from ngrams_collocations_hadoop_spark.session import get_spark
 
     spark = get_spark(app_name="crossover")
     for f in factors:
-        sf_dir = build_corpus(spark, f)
+        sf_dir = (build_long_corpus(spark, f) if doclen_mode
+                  else build_corpus(spark, f))
 
         def run_incremental():
             D.q_dedup_incremental_lsh(spark, sf_dir) \
@@ -85,23 +120,22 @@ def main() -> None:
         # hoisted build (timed once, reported separately). The bucket
         # count is the probe's second axis: the index-side merge join
         # runs at bucket parallelism, so a FIXED bucket count caps the
-        # match at 8-way no matter the corpus — production scales
-        # buckets with the corpus (NCS_LSH_BUCKETS, default: scale 8
-        # linearly with the factor, the policy a table refresh would
-        # apply).
-        n_buckets = int(os.environ.get("NCS_LSH_BUCKETS", 8 * f))
-        old_buckets = D.LSH_INDEX_BUCKETS
-        D.LSH_INDEX_BUCKETS = n_buckets
-        try:
-            t0 = time.time()
-            table = D.build_lsh_index(spark, sf_dir)
-            build_s = round(time.time() - t0, 2)
-            m_best, m_runs = timed(lambda: run_match(table))
-        finally:
-            D.LSH_INDEX_BUCKETS = old_buckets
+        # match at 8-way no matter the corpus. Since r07 the build's
+        # own corpus-scaled policy (dedup.lsh_index_buckets — one
+        # bucket per LSH_BUCKET_BYTES of input, the linear rule this
+        # probe measured) applies by default; NCS_LSH_BUCKETS
+        # overrides for experiments.
+        n_env = os.environ.get("NCS_LSH_BUCKETS")
+        n_buckets = (int(n_env) if n_env
+                     else D.lsh_index_buckets(sf_dir, spark))
+        t0 = time.time()
+        table = D.build_lsh_index(spark, sf_dir, n_buckets=n_buckets)
+        build_s = round(time.time() - t0, 2)
+        m_best, m_runs = timed(lambda: run_match(table))
         i_best, i_runs = timed(run_incremental)
         n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        print(f"x{f}: docs={n} buckets={n_buckets} build={build_s}s "
+        axis = "len" if doclen_mode else "x"
+        print(f"{axis}{f}: docs={n} buckets={n_buckets} build={build_s}s "
               f"match_only={m_best}s {m_runs} "
               f"incremental={i_best}s {i_runs} "
               f"ratio_match/incr={m_best / i_best:.2f}", flush=True)

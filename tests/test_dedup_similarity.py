@@ -438,6 +438,89 @@ def test_persisted_lsh_append_invariance(spark):
     assert spark.table(table).count() > n_appended
 
 
+def test_lsh_compaction_contract(spark):
+    """The lifecycle's COMPACTION contract (VERDICT r06 #7), the other
+    half of the append story: after appends have left duplicate band
+    rows and multiple files per bucket, a compaction (build_lsh_index
+    re-run) must restore (a) exactly one file per bucket, (b) the
+    duplicate-free row set (= the appended table's distinct band
+    rows), and (c) the match plan's sorted-scan propagation — the
+    bucket-local Sort the append introduced is gone (Sort count back
+    to 1, the batch side's own merge-join sort)."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators import dedup as D
+    from ngrams_collocations_hadoop_spark.plans.checks import physical_plan
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    table = D.build_lsh_index(spark, SF_SMALL, old_only=True)
+    batch = load_table(spark, SF_SMALL, "documents") \
+        .filter(F.col("doc_id") % D.NEW_BATCH_MOD == 0)
+    D.append_lsh_index(spark, table, batch)
+    D.append_lsh_index(spark, table, batch)   # retry: duplicate rows
+    n_buckets = D.table_num_buckets(spark, table)
+    assert len(spark.table(table).inputFiles()) > n_buckets
+    appended_rows = spark.table(table).count()
+    appended_distinct = (spark.table(table)
+                         .dropDuplicates(["doc_id", "band_id"]).count())
+    assert appended_rows > appended_distinct   # dups really exist
+
+    compacted = D.build_lsh_index(spark, SF_SMALL)
+    # (a) one file per bucket again
+    assert len(spark.table(compacted).inputFiles()) \
+        == D.table_num_buckets(spark, compacted)
+    # (b) duplicate band rows gone: the compacted index is exactly
+    # the appended table's distinct row set
+    assert spark.table(compacted).count() == appended_distinct
+    # (c) sorted-scan propagation restored: no bucket-local Sort on
+    # the index side (1 Sort = the freshly-shuffled batch side's)
+    plan = physical_plan(D.match_lsh_index(spark, SF_SMALL, compacted))
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_lsh_bucket_policy_and_match_parallelism(spark):
+    """The bucket count is a first-class build parameter (VERDICT r06
+    #4): (a) the corpus-scaled default follows the probe's linear
+    bytes-per-bucket rule with the floor at the fixture scale; (b) an
+    explicit count lands in the table's catalog bucket spec AND its
+    file layout — which is what caps match parallelism, the probe's
+    measured bottleneck — and the append path reads the count back
+    from the catalog, so a scaled build and a later append can never
+    disagree (ADVICE r06); (c) the bucket count is LAYOUT ONLY: the
+    match result is identical across counts."""
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators import dedup as D
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    # (a) policy: fixture-sized corpora sit at the floor
+    assert D.lsh_index_buckets(SF_SMALL, spark) == D.LSH_INDEX_BUCKETS
+
+    base = {(r.doc_new, r.doc_match, r.jaccard)
+            for r in D.match_lsh_index(
+                spark, SF_SMALL, D.build_lsh_index(spark, SF_SMALL))
+            .collect()}
+
+    # (b) explicit count -> catalog spec + one file per bucket
+    table = D.build_lsh_index(spark, SF_SMALL, n_buckets=16)
+    assert D.table_num_buckets(spark, table) == 16
+    assert len(spark.table(table).inputFiles()) == 16
+    # append honors the TABLE's spec, not the module floor
+    batch = load_table(spark, SF_SMALL, "documents") \
+        .filter(F.col("doc_id") % D.NEW_BATCH_MOD == 0)
+    D.append_lsh_index(spark, table, batch)
+    assert len(spark.table(table).inputFiles()) == 32  # 16 + 16
+
+    # (c) same pairs at 16 buckets, even post-append
+    scaled = {(r.doc_new, r.doc_match, r.jaccard)
+              for r in D.match_lsh_index(spark, SF_SMALL, table)
+              .collect()}
+    assert scaled == base and len(base) > 0
+    D.build_lsh_index(spark, SF_SMALL)   # restore the default layout
+
+
 def test_star_contraction_multi_parent_termination(spark):
     """Regression for the premature-termination bug: edges
     (1,3),(3,4),(4,5),(2,5) contract in ONE round to

@@ -218,7 +218,14 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
     dup_diff = pdf.iloc[[2, 4]].copy()             # re-crawl conflict
     dup_diff["text"] = (dup_diff["text"].astype(str)
                         + " recrawl extra tokens here")
-    out = pd.concat([pdf, dup_same, dup_diff], ignore_index=True)
+    # same-text, divergent-METADATA duplicates (a lang-id rerun / a
+    # different source tag): without full-row tiebreaks the keeper's
+    # metadata would be row-order dependent (ADVICE r06)
+    dup_meta = pdf.iloc[[6, 7]].copy()
+    dup_meta["source"] = "recrawl"
+    dup_meta["lang"] = ["de", None]
+    out = pd.concat([pdf, dup_same, dup_diff, dup_meta],
+                    ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(out, preserve_index=False, schema=t.schema),
         f"{d}/documents.parquet")
@@ -226,7 +233,7 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
     # (a) the gate sees the violation, and classifies it
     viol = {r.doc_id: (r.copies, r.distinct_texts)
             for r in document_id_violations(spark, d).collect()}
-    assert len(viol) == 5
+    assert len(viol) == 7
     assert sum(1 for _, dt in viol.values() if dt > 1) == 2  # re-crawls
 
     # the unresolved corpus genuinely diverges (the hazard is real)
@@ -235,16 +242,24 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
     # (b) resolve once at ingest -> every probed query total again
     resolved = resolve_document_identity(
         spark.read.parquet(f"{d}/documents.parquet"))
-    # Spark keeper set == the DuckDB twin's keeper set (rule parity)
+    # FULL-ROW keeper parity with the DuckDB twin (not just
+    # (doc_id, text)): divergent keeper metadata feeds downstream
+    # lang/source groupings, so it must be rule-determined too
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{d}/documents.parquet')")
     duck_keep = con.execute(
-        f"SELECT doc_id, coalesce(text, '') FROM ({RESOLVE_DOCUMENTS_SQL})"
-    ).fetchall()
+        f"SELECT doc_id, coalesce(text, ''), coalesce(lang, '<null>'), "
+        f"coalesce(source, '<null>'), coalesce(n_chars, -1) "
+        f"FROM ({RESOLVE_DOCUMENTS_SQL})").fetchall()
     con.close()
-    spark_keep = [(r.doc_id, r.text if r.text is not None else "")
-                  for r in resolved.select("doc_id", "text").collect()]
+    spark_keep = [
+        (r.doc_id,
+         r.text if r.text is not None else "",
+         r.lang if r.lang is not None else "<null>",
+         r.source if r.source is not None else "<null>",
+         r.n_chars if r.n_chars is not None else -1)
+        for r in resolved.collect()]
     assert sorted(spark_keep) == sorted(duck_keep)
 
     # preserve the original arrow schema: a bare pandas round-trip
