@@ -26,7 +26,7 @@ from .dedup import (
     JACCARD_THRESHOLD,
     _MINHASH_LSH_PAIRS_SQL,
     _components_over,
-    q_dedup_minhash_lsh,
+    _minhash_lsh_pair_rows,
 )
 from .textstats import _CORE_STOP_LIST
 from .textstats import PACK_CTX
@@ -47,12 +47,15 @@ from .textstats import _QSCORE_FROM_TEXT_SQL as _SCORE_SQL
 QUALITY_THRESHOLD = 0.6
 
 
-def _quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quality_survivors(spark: SparkSession, sf_dir: str,
+                       docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, lang, n_tokens) of documents passing the quality bar —
     the text_quality score expression inlined (same formula, same
-    rounding)."""
-    docs = load_table(spark, sf_dir, "documents") \
-        .withColumn("tokens", F.split("text", " "))
+    rounding). ``docs`` overrides the documents source (the ingest
+    pipeline passes its identity-resolved scan)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("tokens", F.split("text", " "))
     stop_arr = F.array(*[F.lit(w) for w in _CORE_STOP_LIST])
     n_tok = F.size("tokens")
     mean_len = (F.length("text") - n_tok + 1).cast("double") / n_tok
@@ -78,7 +81,7 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     surv = _quality_survivors(spark, sf_dir)
     ids = surv.select("doc_id")
-    pairs = (q_dedup_minhash_lsh(spark, sf_dir)
+    pairs = (_minhash_lsh_pair_rows(spark, sf_dir)
              .join(ids.withColumnRenamed("doc_id", "doc_a"),
                    on="doc_a", how="left_semi")
              .join(ids.withColumnRenamed("doc_id", "doc_b"),
@@ -207,21 +210,38 @@ ORACLE_EXPORT_MANIFEST = _oracle_export_manifest()
 
 def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summarize, per export shard, what survives ingesting the new
-    batch (``doc_id % NEW_BATCH_MOD == 0``): exact duplicates of any
-    corpus doc (or lower-id batch doc) drop first; near-duplicates
-    drop by the incremental-LSH pair list (matching an old doc, or the
-    higher id of a new×new pair — keep-first); survivors pass the
-    shared quality bar and land in md5 shards. ONE lazy DAG; every
-    stage is the registry operator's expressions verbatim.
+    batch (``doc_id % NEW_BATCH_MOD == 0``): identity resolution
+    first, then exact duplicates of any corpus doc (or lower-id batch
+    doc) drop; near-duplicates drop by the incremental-LSH pair list
+    (matching an old doc, or the higher id of a new×new pair —
+    keep-first); survivors pass the shared quality bar and land in
+    md5 shards. ONE lazy DAG; every stage is the registry operator's
+    expressions verbatim.
 
-    Scale shape: exact dedup is a fingerprint-keyed join (new side
-    tiny); near-dedup inherits the batch-sized band join of
-    ``q_dedup_incremental_lsh``; quality is map-side; the shard
-    summary is an N_SHARDS-bounded aggregate."""
+    Stage 0 is the doc_id identity gate (VERDICT r06 #3): the ingest
+    is exactly where SCALING.md places resolution ("once at ingest,
+    not per scan"), so the pipeline EMBODIES it —
+    ``resolve_document_identity`` (resolve-and-continue; the keeper
+    rule is content-deterministic and engine-shared, with
+    ``document_id_violations`` available as the fail-loud audit)
+    feeds every downstream stage, making all id-keyed multiplicities
+    total even on an at-least-once/re-crawled feed. On a corpus that
+    satisfies the PK precondition the resolve keeps every row
+    (row_number = 1 everywhere), so the result is unchanged. In
+    production the old slice is already resolved by prior ingests —
+    the stage's shuffle is then batch-proportional; the registry form
+    resolves the whole read so the query stays self-contained.
+
+    Scale shape: resolution is one window over doc_id; exact dedup is
+    a fingerprint-keyed join (new side tiny); near-dedup inherits the
+    batch-sized band join of ``q_dedup_incremental_lsh``; quality is
+    map-side; the shard summary is an N_SHARDS-bounded aggregate."""
+    from ..sources.tables import resolve_document_identity
     from .dedup import NEW_BATCH_MOD, q_dedup_incremental_lsh
     from .textstats import shard_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = resolve_document_identity(
+        load_table(spark, sf_dir, "documents"))
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     newfp = (fp.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
              .select(F.col("doc_id").alias("nid"), "fp"))
@@ -230,12 +250,12 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                           & ((F.col("doc_id") % NEW_BATCH_MOD != 0)
                              | (F.col("doc_id") < F.col("nid"))))
                   .select(F.col("nid").alias("doc_id")).distinct())
-    pairs = q_dedup_incremental_lsh(spark, sf_dir)
+    pairs = q_dedup_incremental_lsh(spark, sf_dir, docs=docs)
     near_drop = (pairs.select(
         F.when(F.col("doc_match") % NEW_BATCH_MOD == 0, F.col("doc_match"))
         .otherwise(F.col("doc_new")).alias("doc_id")).distinct())
     dropped = exact_drop.union(near_drop).distinct()
-    kept = (_quality_survivors(spark, sf_dir)
+    kept = (_quality_survivors(spark, sf_dir, docs=docs)
             .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
             .join(dropped, on="doc_id", how="left_anti"))
     return (kept.withColumn("shard", shard_col())
@@ -245,11 +265,17 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ingest() -> str:
+    from ..sources.tables import RESOLVE_DOCUMENTS_SQL
     from .dedup import NEW_BATCH_MOD
     from .textstats import SHARD_SQL
 
-    return f"""
-WITH {_MINHASH_LSH_PAIRS_SQL},
+    # Stage 0 (identity gate) enters the oracle as a leading CTE that
+    # every later stage reads instead of the base table — the inner
+    # body's `documents` references are textually rebased onto it
+    # (DuckDB forbids a CTE shadowing the table it reads, so the CTE
+    # needs its own name; the word `documents` appears in the body
+    # only as a table reference, asserted by the rebase count below).
+    inner = f"""{_MINHASH_LSH_PAIRS_SQL},
 dq AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
        FROM documents),
 q AS (
@@ -284,6 +310,10 @@ SELECT {SHARD_SQL} AS shard,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM kept GROUP BY 1
 """
+    rebased = inner.replace("documents", "documents_resolved")
+    assert rebased.count("documents_resolved") == 4  # dq, lsh, exact x2
+    return (f"WITH documents_resolved AS ({RESOLVE_DOCUMENTS_SQL}),\n"
+            f"{rebased}")
 
 
 ORACLE_INGEST_PIPELINE = _oracle_ingest()

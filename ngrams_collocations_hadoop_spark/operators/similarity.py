@@ -232,7 +232,18 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on an ambient-similarity corpus like this fixture (top-k neighbors
     at cosine 0.24-0.49, p ≈ 0.6) hyperplane LSH provably cannot have
     both recall and pruning — the checked `sim_lsh_recall` query makes
-    that number visible instead of hiding it."""
+    that number visible instead of hiding it.
+
+    TOTAL under duplicate vec_ids (r07 identity campaign): the
+    candidate dedup is a (query_id, cand_id) MAX-cosine aggregate —
+    the strongest similarity evidence between the two identities —
+    instead of a dropDuplicates that kept whichever colliding row
+    (with ITS embeddings) an engine happened to hit first. On a
+    PK-satisfying corpus every pair's collisions carry the same two
+    vectors, so max is the identity, and the aggregate replaces the
+    dropDuplicates exchange one-for-one (no extra shuffle; cosine
+    moves before the exchange, where the map-side partial max also
+    shrinks it to one row per pair)."""
     e = load_finite_embeddings(spark, sf_dir)
     banded = e.select(
         "vec_id", "embedding",
@@ -248,10 +259,11 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = banded.select(F.col("vec_id").alias("cand_id"),
                          F.col("embedding").alias("c_emb"),
                          "table_id", "bucket")
-    pairs = (cand.join(F.broadcast(q), on=["table_id", "bucket"])
-             .filter(F.col("cand_id") != F.col("query_id"))
-             .dropDuplicates(["query_id", "cand_id"]))
-    scored = pairs.withColumn("cosine", cosine_expr("q_emb", "c_emb"))
+    scored = (cand.join(F.broadcast(q), on=["table_id", "bucket"])
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .withColumn("cosine", cosine_expr("q_emb", "c_emb"))
+              .groupBy("query_id", "cand_id")
+              .agg(F.max("cosine").alias("cosine")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("cand_id")))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -277,24 +289,27 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embedding
 hyp(table_id, bit, h) AS (VALUES
     {_hyperplanes_values_sql()}),
 buckets AS (
-    SELECT e.vec_id, hyp.table_id,
+    -- grouped per (vec_id, v) ROW, not per vec_id: Spark's bucket is
+    -- a per-row expression, so a duplicate id keeps one bucket per
+    -- vector (grouping by vec_id alone would sum the duplicates' bit
+    -- indicators into a bucket of neither — the r07 identity
+    -- campaign); vectors ride through the join so the cosine is
+    -- computed from the COLLIDING vectors, then max-aggregated per
+    -- pair exactly as the Spark side does
+    SELECT e.vec_id, e.v, hyp.table_id,
            sum(CASE WHEN list_dot_product(e.v, hyp.h) > 0
                     THEN 1::BIGINT << bit ELSE 0 END) AS bucket
     FROM e CROSS JOIN hyp
-    GROUP BY e.vec_id, hyp.table_id),
-pairs AS (
-    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+    GROUP BY e.vec_id, e.v, hyp.table_id),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           max(list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v)))) AS cosine
     FROM buckets q JOIN buckets c
       ON q.table_id = c.table_id AND q.bucket = c.bucket
-    WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id),
-scored AS (
-    SELECT p.query_id, p.cand_id,
-           list_dot_product(qe.v, ce.v)
-             / (sqrt(list_dot_product(qe.v, qe.v))
-                * sqrt(list_dot_product(ce.v, ce.v))) AS cosine
-    FROM pairs p
-    JOIN e qe ON qe.vec_id = p.query_id
-    JOIN e ce ON ce.vec_id = p.cand_id),
+    WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+    GROUP BY 1, 2),
 ranked AS (
     SELECT query_id, cand_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -1048,11 +1063,31 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cid", "cv")
             .persist())  # K rows, consumed by encoding AND query table
     pairs = e.crossJoin(F.broadcast(cent))
+    # vec_id PK PRECONDITION, pinned loudly (r07 identity campaign):
+    # the ADC index is positional (dense 0-based centroid ids, one
+    # code row per vec_id), so duplicate ids can't be made total —
+    # they must be resolved at ingest (resolve_embedding_identity).
+    # The check rides the encoding aggregate that exists anyway: each
+    # unique vec_id contributes exactly one cross-join row per
+    # codebook centroid, so any other count means duplicate id rows
+    # (or a duplicate inside the first-K codebook slice) and raises a
+    # diagnosable error instead of the former out-of-bounds crash.
+    # Zero extra shuffle: count(*) is one more cell in the same
+    # partial agg.
     codes = pairs.groupBy("vec_id").agg(
         F.array(*[
             F.expr(f"min(named_struct('d', {_pq_d2_expr(m, 'v', 'cv')}, "
                    f"'c', cid)).c")
-            for m in range(PQ_M)]).alias("codes"))
+            for m in range(PQ_M)]).alias("codes"),
+        F.count(F.lit(1)).alias("_nc"))
+    codes = (codes.filter(F.assert_true(
+        F.col("_nc") == PQ_K,
+        F.concat(F.lit("embeddings.vec_id PK precondition violated "
+                       "near vec_id="), F.col("vec_id").cast("string"),
+                 F.lit(": duplicate id rows (or a duplicate inside the"
+                       " PQ codebook slice); resolve identities at "
+                       "ingest with resolve_embedding_identity"))
+        ).isNull()).drop("_nc"))
     q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv")))

@@ -1791,18 +1791,28 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-lang docs are excluded for the same reason: the per-doc /
     first-occurrence join is on (lang, doc_id), and NULL join keys
     never match, so a NULL-lang group would carry cum_voc = 0 into
-    the same ln(0) divergence."""
+    the same ln(0) divergence.
+
+    TOTAL under duplicate doc_ids (r07 identity campaign): the
+    cumulative window tiebreaks equal doc_ids by md5(text), so the
+    growth-curve points are content-determined instead of depending
+    on which duplicate row an engine's sort visited first (the one
+    order-ambiguity the r06 dup-id probe measured here). Unique ids
+    never tie, so the extra key is inert on a PK-satisfying corpus;
+    exact redelivery ties on the md5 too, but identical rows are
+    interchangeable — either order yields the same point set."""
     docs = load_table(spark, sf_dir, "documents") \
         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()) \
         .withColumn("toks", F.split("text", " "))
     per_doc = docs.select(
-        "lang", "doc_id", F.size("toks").alias("n_tok"))
+        "lang", "doc_id", F.md5("text").alias("tb"),
+        F.size("toks").alias("n_tok"))
     first = (docs.select("lang", "doc_id",
                          F.explode(F.array_distinct("toks")).alias("w"))
              .groupBy("lang", "w").agg(F.min("doc_id").alias("fd"))
              .groupBy("lang", F.col("fd").alias("doc_id"))
              .agg(F.count(F.lit(1)).alias("new_words")))
-    w = (Window.partitionBy("lang").orderBy("doc_id")
+    w = (Window.partitionBy("lang").orderBy("doc_id", "tb")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pts = (per_doc.join(first, on=["lang", "doc_id"], how="left")
            .withColumn("cum_tok", F.sum("n_tok").over(w))
@@ -1827,9 +1837,10 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_HEAPS = f"""
-WITH d AS (SELECT lang, doc_id, string_split(text, ' ') AS toks
+WITH d AS (SELECT lang, doc_id, md5(text) AS tb,
+                  string_split(text, ' ') AS toks
            FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
-per_doc AS (SELECT lang, doc_id, len(toks) AS n_tok FROM d),
+per_doc AS (SELECT lang, doc_id, tb, len(toks) AS n_tok FROM d),
 first AS (
     SELECT lang, fd AS doc_id, count(*) AS new_words
     FROM (SELECT lang, w, min(doc_id) AS fd
@@ -1842,7 +1853,7 @@ pts AS (
            ln(CAST(sum(n_tok) OVER lw AS DOUBLE)) AS x,
            ln(CAST(sum(coalesce(new_words, 0)) OVER lw AS DOUBLE)) AS y
     FROM per_doc LEFT JOIN first USING (lang, doc_id)
-    WINDOW lw AS (PARTITION BY lang ORDER BY doc_id
+    WINDOW lw AS (PARTITION BY lang ORDER BY doc_id, tb
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 mom AS (
     SELECT lang,

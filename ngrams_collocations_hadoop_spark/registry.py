@@ -251,16 +251,159 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # fold dup-ids into fuzz_corpus.py and align the 5 affected queries'
 # multiplicity semantics (minhash_lsh, simhash, heaps, cosine_topk_lsh,
 # pq_topk); everything else measured total already.
+#
+# r07 window (this round): 9 changed — the identity-totality campaign
+# (VERDICT r06 #2): minhash max-jaccard / simhash min-hamming /
+# cosine-lsh max-cosine TOTAL multiplicity forms (composers keep the
+# raw per-row helpers, byte-identical plans; the recall/check
+# composers of the three changed surfaces ride along), sim_pq_topk's
+# pinned PK-precondition gate (+ its recall composer), text_heaps'
+# content tiebreak, and the ingest pipeline's stage-0 identity gate
+# (VERDICT r06 #3) — then the full 17-query r03 refresh queue and the
+# 24 stalest r04 rows led by the late-r05-edited embedding family
+# (VERDICT r06 #1). All dup-id totality/raise contracts are pinned in
+# test_registry_fuzz.py WITHOUT pre-resolution. Accounting after r07:
+# no query's newest official row older than r04; the r08 refresh
+# queue head is the remaining 22 r04 rows (text_dup_span_positions ..
+# colloc_totals), then the 45 r05 rows.
 QUERIES: dict[str, QueryFn] = {
-    # --- (1) implementation changed this round (r06: llr ieee_round on all three colloc surfaces; approx_sketches null-safe join) ---
+    # --- (1) implementation changed this round (r07: identity-totality
+    #     campaign - minhash max-jaccard / simhash min-hamming /
+    #     cosine-lsh max-cosine total forms + their recall/check
+    #     composers; pq PK-precondition gate; heaps content tiebreak;
+    #     ingest pipeline stage-0 identity gate) ---
+    "pipeline_ingest": pipeline.q_ingest_pipeline,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "dedup_simhash_check": dedup.q_dedup_simhash_check,
+    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
+    "sim_lsh_recall": similarity.q_sim_lsh_recall,
+    "sim_pq_topk": similarity.q_pq_topk,
+    "sim_pq_recall": similarity.q_sim_pq_recall,
+    "text_heaps": textstats.q_heaps,
+    # --- (3a) r03 refresh queue (VERDICT r06 #1: the 17 stalest) ---
+    "text_train_test_split": textstats.q_train_test_split,
+    "text_pii_redact": textstats.q_pii_redact,
+    "text_repetition": textstats.q_repetition,
+    "text_corpus_stats": textstats.q_corpus_stats,
+    "text_tfidf": textstats.q_tfidf,
+    "text_stratified_sample": textstats.q_stratified_sample,
+    "text_doc_chunks": textstats.q_doc_chunks,
+    "text_pack_sequences": textstats.q_pack_sequences,
+    "text_mixture_weights": textstats.q_mixture_weights,
+    "text_curriculum_buckets": textstats.q_curriculum_buckets,
+    "mm_binary_stats": multimodal.q_mm_binary_stats,
+    "mm_frame_sample": multimodal.q_mm_frame_sample,
+    "mm_image_dims": multimodal.q_mm_image_dims,
+    "stream_tumbling": sw.q_stream_tumbling,
+    "stream_session": sw.q_stream_session,
+    "stream_sliding": sw.q_stream_sliding,
+    "stream_enrich": sw.q_stream_enrich,
+    # --- (3b) stalest r04 block - late-r05-edited embedding family
+    #     first, then the LSH-composed family whose shared helper was
+    #     renamed this round (plans byte-identical, refreshed anyway
+    #     since they sit at the rotation head) ---
+    "sim_cosine_topk": similarity.q_cosine_topk,
+    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
+    "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,
+    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
+    "sim_label_centroids": similarity.q_label_centroids,
+    "sim_embedding_covariance": similarity.q_embedding_covariance,
+    "sim_kmeans_step": similarity.q_kmeans_step,
+    "dedup_semantic": similarity.q_dedup_semantic,
+    "sim_ivf_recall": similarity.q_sim_ivf_recall,
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
+    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
+    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,
+    "pipeline_training_prep": pipeline.q_training_prep,
+    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,
+    "dedup_components": dedup.q_dedup_components,
+    "dedup_keep_one": dedup.q_dedup_keep_one,
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_fingerprint": dedup.q_dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+    "rel_equidepth_histogram": rel.q_equidepth_histogram,
+    "text_dup_spans": textstats.q_dup_spans,
+    "text_contamination": textstats.q_contamination,
+    "mm_resize": multimodal.q_mm_resize,
+    "stream_merge_sink": sw.q_stream_merge_sink,
+    # ================= end of the 50-query r07 window =================
+    # --- (4) tail, oldest official evidence first: r04 leftovers ---
+    "text_dup_span_positions": textstats.q_dup_span_positions,
+    "text_dup_span_removal": textstats.q_dup_span_removal,
+    "text_group_sample": textstats.q_group_sample,
+    "text_dsir_weights": textstats.q_dsir_weights,
+    "text_shard_assign": textstats.q_shard_assign,
+    "text_bpe_pairs": textstats.q_bpe_pairs,
+    "rel_mad_outliers": rel.q_mad_outliers,
+    "stream_window_topk": sw.q_stream_window_topk,
+    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,
+    "pipeline_export": pipeline.q_export_manifest,
+    "rel_grouping_sets": rel.q_grouping_sets,
+    "rel_interval_overlap": rel.q_interval_overlap,
+    "rel_bloom_prefilter": skew.q_bloom_prefilter,
+    "text_zipf": textstats.q_zipf,
+    "text_kl_drift": textstats.q_kl_drift,
+    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,
+    "text_token_positions": textstats.q_token_positions,
+    "text_bm25": textstats.q_bm25,
+    "text_token_count": textstats.q_token_count,
+    "colloc_unigram_counts": co.q_unigram_counts,
+    "colloc_bigram_counts": co.q_bigram_counts,
+    "colloc_totals": co.q_totals,
+    # --- (4) newest green row is r05 ---
+    "rel_gap_fill": rel.q_gap_fill,
+    "text_weighted_sample": textstats.q_weighted_sample,
+    "sim_power_iteration": similarity.q_power_iteration,
+    "stream_full_outer_join": sw.q_stream_full_outer_join,
+    "dedup_persisted_lsh": dedup.q_dedup_persisted_lsh,
+    "rel_ewma": rel.q_ewma,
+    "dedup_link_prediction": dedup.q_dedup_link_prediction,
+    "stream_outer_join": sw.q_stream_outer_join,
+    "rel_scd2": rel.q_scd2_history,
+    "dedup_kcore": dedup.q_dedup_kcore,
+    "rel_pit_enrich": asof.q_pit_enrich,
+    "text_containment": textstats.q_containment,
+    "rel_sketch_reagg": rel.q_sketch_reagg,
+    "rel_cusum": rel.q_cusum,
+    "rel_retention_cohorts": rel.q_retention_cohorts,
+    "stream_scd2_enrich": sw.q_stream_scd2_enrich,
+    "rel_attribution": asof.q_attribution,
+    "text_char_entropy": textstats.q_char_entropy,
+    "rel_sliding_distinct": rel.q_sliding_distinct,
+    "rel_profile": rel.q_profile,
+    "rel_snapshot_diff": rel.q_snapshot_diff,
+    "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,
+    "rel_rolling_slope": rel.q_rolling_slope,
+    "rel_json_extract": rel.q_json_extract,
+    "rel_tumbling_window": rel.q_tumbling_window,
+    "rel_sliding_window": rel.q_sliding_window,
+    "rel_sessionize": rel.q_sessionize,
+    "rel_asof_join": asof.q_asof_events_orders,
+    "rel_range_join": interval.q_range_join,
+    "rel_hypertable_rollup": interval.q_hypertable_rollup,
+    "rel_date_math": rel.q_date_math,
+    "rel_string_funcs": rel.q_string_funcs,
+    "rel_merge_upsert": mg.q_merge_upsert,
+    "rel_scalar_subquery": rel.q_scalar_subquery,
+    "rel_global_sort": rel.q_global_sort,
+    "rel_window_range": rel.q_window_range,
+    "rel_funnel": rel.q_funnel,
+    "rel_anomaly_zscore": rel.q_anomaly_zscore,
+    "rel_event_transitions": rel.q_event_transitions,
+    "rel_key_skew": rel.q_key_skew,
+    "rel_fuzzy_match": rel.q_fuzzy_match,
+    "rel_unpivot": rel.q_unpivot,
+    "rel_window_firstlast": rel.q_window_firstlast,
+    "stream_stateful_totals": sw.q_stream_stateful_totals,
+    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
+    # --- (4) newest green row is r06 (last round's window) ---
     "colloc_scored": co.q_scored,
     "colloc_topk": co.q_topk,
     "colloc_hebrew_topk": co.q_hebrew_topk,
     "colloc_topk_quirk": co.q_topk_quirk,
     "rel_approx_sketches": rel.q_approx_sketches,
-    # --- (2) new this round (persisted-LSH lifecycle split, VERDICT r05 #3) ---
     "dedup_persisted_lsh_match": dedup.q_dedup_persisted_lsh_match,
-    # --- (3a) r02 refresh queue (VERDICT r05 #1) - late-r05 determinism-pass-edited first ---
     "rel_star_join": rel.q_star_join,
     "rel_corr_stats": rel.q_corr_stats,
     "rel_rollup": rel.q_rollup,
@@ -284,22 +427,15 @@ QUERIES: dict[str, QueryFn] = {
     "rel_global_topn": rel.q_global_topn,
     "rel_window_ranks": rel.q_window_ranks,
     "rel_set_ops": rel.q_set_ops,
-    # --- (3b) changed late-r05 behind the window (groups (h)/(i)/(d)) ---
     "dedup_pagerank": dedup.q_dedup_pagerank,
     "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
     "stream_dedup": sw.q_stream_dedup,
     "dedup_components_star": dedup.q_dedup_components_star,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    # --- (3c) stalest r03 block - late-r05-edited first ---
     "stream_pair_join": sw.q_stream_pair_join,
     "rel_salted_join": skew.q_salted_join,
-    "sim_cosine_topk_lsh": similarity.q_cosine_topk_lsh,
-    "sim_lsh_recall": similarity.q_sim_lsh_recall,
     "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
     "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
-    "dedup_simhash_check": dedup.q_dedup_simhash_check,
     "rel_incremental_agg": rel.q_incremental_agg,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "dedup_triangles": dedup.q_dedup_triangles,
     "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
     "rel_string_agg": rel.q_string_agg,
@@ -307,123 +443,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": textstats.q_text_quality,
     "text_lang_id": textstats.q_lang_id,
     "text_fingerprint": textstats.q_fingerprint,
-    # ================= end of the 50-query r06 window =================
-    # --- (4) tail, oldest official evidence first: r03 ---
-    "text_train_test_split": textstats.q_train_test_split,
-    "text_pii_redact": textstats.q_pii_redact,
-    "text_repetition": textstats.q_repetition,
-    "text_corpus_stats": textstats.q_corpus_stats,
-    "text_tfidf": textstats.q_tfidf,
-    "text_stratified_sample": textstats.q_stratified_sample,
-    "text_doc_chunks": textstats.q_doc_chunks,
-    "text_pack_sequences": textstats.q_pack_sequences,
-    "text_mixture_weights": textstats.q_mixture_weights,
-    "text_curriculum_buckets": textstats.q_curriculum_buckets,
-    "mm_binary_stats": multimodal.q_mm_binary_stats,
-    "mm_frame_sample": multimodal.q_mm_frame_sample,
-    "mm_image_dims": multimodal.q_mm_image_dims,
-    "stream_tumbling": sw.q_stream_tumbling,
-    "stream_session": sw.q_stream_session,
-    "stream_sliding": sw.q_stream_sliding,
-    "stream_enrich": sw.q_stream_enrich,
-    # --- (4) newest green row is r04 ---
-    "sim_embedding_covariance": similarity.q_embedding_covariance,
-    "rel_equidepth_histogram": rel.q_equidepth_histogram,
-    "text_dup_spans": textstats.q_dup_spans,
-    "text_contamination": textstats.q_contamination,
-    "mm_resize": multimodal.q_mm_resize,
-    "dedup_components": dedup.q_dedup_components,
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,
-    "dedup_keep_one": dedup.q_dedup_keep_one,
-    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
-    "pipeline_training_prep": pipeline.q_training_prep,
-    "sim_kmeans_step": similarity.q_kmeans_step,
-    "text_dup_span_positions": textstats.q_dup_span_positions,
-    "text_dup_span_removal": textstats.q_dup_span_removal,
-    "stream_merge_sink": sw.q_stream_merge_sink,
-    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,
-    "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,
-    "text_group_sample": textstats.q_group_sample,
-    "sim_ivf_recall": similarity.q_sim_ivf_recall,
-    "dedup_semantic": similarity.q_dedup_semantic,
-    "text_dsir_weights": textstats.q_dsir_weights,
-    "text_shard_assign": textstats.q_shard_assign,
-    "text_bpe_pairs": textstats.q_bpe_pairs,
-    "rel_mad_outliers": rel.q_mad_outliers,
-    "stream_window_topk": sw.q_stream_window_topk,
-    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,
-    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,
-    "pipeline_export": pipeline.q_export_manifest,
-    "rel_grouping_sets": rel.q_grouping_sets,
-    "rel_interval_overlap": rel.q_interval_overlap,
-    "rel_bloom_prefilter": skew.q_bloom_prefilter,
-    "text_zipf": textstats.q_zipf,
-    "text_kl_drift": textstats.q_kl_drift,
-    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,
-    "text_token_positions": textstats.q_token_positions,
-    "dedup_exact": dedup.q_dedup_exact,
-    "dedup_fingerprint": dedup.q_dedup_fingerprint,
-    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
-    "dedup_embedding_cosine": dedup.q_dedup_embedding_cosine,
-    "sim_cosine_topk": similarity.q_cosine_topk,
-    "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
-    "sim_label_centroids": similarity.q_label_centroids,
-    "text_bm25": textstats.q_bm25,
-    "text_token_count": textstats.q_token_count,
-    "colloc_unigram_counts": co.q_unigram_counts,
-    "colloc_bigram_counts": co.q_bigram_counts,
-    "colloc_totals": co.q_totals,
-    # --- (4) newest green row is r05 (last round's window) ---
-    "rel_gap_fill": rel.q_gap_fill,
-    "text_weighted_sample": textstats.q_weighted_sample,
-    "sim_power_iteration": similarity.q_power_iteration,
-    "stream_full_outer_join": sw.q_stream_full_outer_join,
-    "dedup_persisted_lsh": dedup.q_dedup_persisted_lsh,
-    "rel_ewma": rel.q_ewma,
-    "dedup_link_prediction": dedup.q_dedup_link_prediction,
-    "stream_outer_join": sw.q_stream_outer_join,
-    "rel_scd2": rel.q_scd2_history,
-    "dedup_kcore": dedup.q_dedup_kcore,
-    "sim_pq_topk": similarity.q_pq_topk,
-    "sim_pq_recall": similarity.q_sim_pq_recall,
-    "rel_pit_enrich": asof.q_pit_enrich,
-    "text_containment": textstats.q_containment,
-    "rel_sketch_reagg": rel.q_sketch_reagg,
-    "rel_cusum": rel.q_cusum,
-    "rel_retention_cohorts": rel.q_retention_cohorts,
-    "stream_scd2_enrich": sw.q_stream_scd2_enrich,
-    "rel_attribution": asof.q_attribution,
-    "text_char_entropy": textstats.q_char_entropy,
-    "pipeline_ingest": pipeline.q_ingest_pipeline,
-    "rel_sliding_distinct": rel.q_sliding_distinct,
-    "rel_profile": rel.q_profile,
-    "rel_snapshot_diff": rel.q_snapshot_diff,
-    "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,
-    "rel_rolling_slope": rel.q_rolling_slope,
-    "text_heaps": textstats.q_heaps,
-    "rel_json_extract": rel.q_json_extract,
-    "rel_tumbling_window": rel.q_tumbling_window,
-    "rel_sliding_window": rel.q_sliding_window,
-    "rel_sessionize": rel.q_sessionize,
-    "rel_asof_join": asof.q_asof_events_orders,
-    "rel_range_join": interval.q_range_join,
-    "rel_hypertable_rollup": interval.q_hypertable_rollup,
-    "rel_date_math": rel.q_date_math,
-    "rel_string_funcs": rel.q_string_funcs,
-    "rel_merge_upsert": mg.q_merge_upsert,
-    "rel_scalar_subquery": rel.q_scalar_subquery,
-    "rel_global_sort": rel.q_global_sort,
-    "rel_window_range": rel.q_window_range,
-    "rel_funnel": rel.q_funnel,
-    "rel_anomaly_zscore": rel.q_anomaly_zscore,
-    "rel_event_transitions": rel.q_event_transitions,
-    "rel_key_skew": rel.q_key_skew,
-    "rel_fuzzy_match": rel.q_fuzzy_match,
-    "rel_unpivot": rel.q_unpivot,
-    "rel_window_firstlast": rel.q_window_firstlast,
-    "stream_stateful_totals": sw.q_stream_stateful_totals,
-    "stream_dedup_bounded": sw.q_stream_dedup_bounded,
 }
+
 
 ORACLES: dict[str, str] = {
     "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,

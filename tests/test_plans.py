@@ -527,14 +527,19 @@ def test_bench_queries_shuffle_budget(spark):
         "rel_star_join": 1,
         "rel_topk_per_group": 1,
         "rel_sessionize": 1,
-        "dedup_minhash_lsh": 6,
+        # +1 in r07: the identity-totality max-jaccard aggregate over
+        # the threshold-filtered survivor pair stream (tiny)
+        "dedup_minhash_lsh": 7,
         "sim_cosine_topk": 1,
         "text_quality": 0,          # map-only: any shuffle is a bug
         "pipeline_training_prep": 3,
         "dedup_semantic": 4,
         "text_dsir_weights": 4,
         "sim_pq_topk": 3,
-        "pipeline_ingest": 14,
+        # +1 in r07: the stage-0 identity-gate window (one doc_id
+        # hash exchange; batch-proportional in production, where the
+        # old slice arrives already resolved)
+        "pipeline_ingest": 15,
         # both lifecycle forms: batch band shuffle + candidate
         # repartition + verify joins — the INDEX side contributes none
         "dedup_persisted_lsh": 9,

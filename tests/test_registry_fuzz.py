@@ -236,8 +236,21 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
     assert len(viol) == 7
     assert sum(1 for _, dt in viol.values() if dt > 1) == 2  # re-crawls
 
-    # the unresolved corpus genuinely diverges (the hazard is real)
-    assert run_fuzz(spark, d, ["dedup_minhash_lsh"])
+    # the r07 identity-TOTALITY campaign: the three documents-side
+    # queries the r06 probe measured engine-dependent are now total
+    # under duplicate ids WITHOUT resolution — minhash/simhash report
+    # per-pair max-Jaccard/min-Hamming over text combinations, heaps
+    # tiebreaks its growth curve by content
+    assert not run_fuzz(
+        spark, d, ["dedup_minhash_lsh", "dedup_simhash", "text_heaps"])
+
+    # the composed ingest pipeline carries its OWN stage-0 identity
+    # gate (VERDICT r06 #3): cross-engine green on the UNRESOLVED
+    # dup-id corpus (both engines resolve identically in-DAG) ...
+    assert not run_fuzz(spark, d, ["pipeline_ingest"])
+    from ngrams_collocations_hadoop_spark.registry import QUERIES
+    pre_pipeline = {tuple(r) for r in
+                    QUERIES["pipeline_ingest"](spark, d).collect()}
 
     # (b) resolve once at ingest -> every probed query total again
     resolved = resolve_document_identity(
@@ -277,6 +290,13 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
               if n.startswith(("dedup_", "text_", "colloc_", "mm_"))]
     failures = run_fuzz(spark, d, probed)
     assert not failures, f"post-resolution: {failures}"
+
+    # ... and the pipeline's in-DAG gate picked exactly the keepers
+    # the ingest-time resolve did (the gate is idempotent: running it
+    # on an already-resolved corpus changes nothing)
+    post_pipeline = {tuple(r) for r in
+                     QUERIES["pipeline_ingest"](spark, d).collect()}
+    assert pre_pipeline == post_pipeline
 
 
 @pytest.mark.fuzz
@@ -319,7 +339,16 @@ def test_identity_resolution_restores_totality_on_dup_vec_ids(
     assert len(viol) == 3
     assert sum(1 for _, dv in viol.values() if dv > 1) == 1
 
-    assert run_fuzz(spark, d, ["sim_cosine_topk_lsh"])
+    # r07 identity-TOTALITY campaign, embeddings side: hyperplane-LSH
+    # ANN is now total without resolution (per-pair max-cosine over
+    # vector combinations) ...
+    assert not run_fuzz(spark, d, ["sim_cosine_topk_lsh"])
+    # ... and the PQ ADC index — positional, NOT totalizable — now
+    # raises its pinned precondition error instead of an out-of-bounds
+    # crash
+    from ngrams_collocations_hadoop_spark.registry import QUERIES
+    with pytest.raises(Exception, match="PK precondition"):
+        QUERIES["sim_pq_topk"](spark, d).collect()
 
     resolved = resolve_embedding_identity(
         spark.read.parquet(f"{d}/embeddings.parquet"))
