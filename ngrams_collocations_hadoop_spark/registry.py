@@ -19,7 +19,7 @@ from .operators import relational as rel
 from .operators import merge as mg
 from .operators import ngrams as ng
 from .operators import skew
-from .sources import storage
+from .sources import storage, tables
 from .streaming import windows as sw
 from . import sql_api
 
@@ -281,6 +281,8 @@ QUERIES: dict[str, QueryFn] = {
     "sim_pq_topk": similarity.q_pq_topk,
     "sim_pq_recall": similarity.q_sim_pq_recall,
     "text_heaps": textstats.q_heaps,
+    # --- (2) new this round: the identity gate's audit as a query ---
+    "ingest_id_audit": tables.q_ingest_id_audit,
     # --- (3a) r03 refresh queue (VERDICT r06 #1: the 17 stalest) ---
     "text_train_test_split": textstats.q_train_test_split,
     "text_pii_redact": textstats.q_pii_redact,
@@ -326,9 +328,11 @@ QUERIES: dict[str, QueryFn] = {
     "text_dup_spans": textstats.q_dup_spans,
     "text_contamination": textstats.q_contamination,
     "mm_resize": multimodal.q_mm_resize,
-    "stream_merge_sink": sw.q_stream_merge_sink,
     # ================= end of the 50-query r07 window =================
-    # --- (4) tail, oldest official evidence first: r04 leftovers ---
+    # --- (4) tail, oldest official evidence first: r04 leftovers
+    #     (stream_merge_sink displaced from the window by the new
+    #     ingest_id_audit - new queries outrank refresh slots) ---
+    "stream_merge_sink": sw.q_stream_merge_sink,
     "text_dup_span_positions": textstats.q_dup_span_positions,
     "text_dup_span_removal": textstats.q_dup_span_removal,
     "text_group_sample": textstats.q_group_sample,
@@ -447,6 +451,7 @@ QUERIES: dict[str, QueryFn] = {
 
 
 ORACLES: dict[str, str] = {
+    "ingest_id_audit": tables.ORACLE_INGEST_ID_AUDIT,
     "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,
     # match-only job: same pair set — the index contents are identical,
     # only WHEN the index shuffle is paid differs (build vs per-query)

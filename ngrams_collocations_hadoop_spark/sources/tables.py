@@ -310,6 +310,62 @@ def document_id_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("copies") > 1))
 
 
+def q_ingest_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest identity GATE as a first-class query: one row
+    summarizing both PK audits — how many doc_ids/vec_ids are
+    violated, the worst multiplicity, and how many are REAL conflicts
+    (distinct texts / distinct vector renderings behind one id —
+    re-crawls and re-embeds, vs mere redelivery). All zeros = the
+    corpus satisfies the contract and every id-keyed operator's
+    precondition holds; production runs this before (or fails over
+    to) ``resolve_document_identity`` / ``resolve_embedding_identity``.
+    Scale shape: two id-keyed count aggregates (map-side partial) each
+    collapsing to one row, then a broadcast single-row cross join —
+    nothing corpus-sized ever moves."""
+    d = (document_id_violations(spark, sf_dir)
+         .agg(F.count(F.lit(1)).cast("long").alias("doc_dup_ids"),
+              F.coalesce(F.max("copies"), F.lit(0)).cast("long")
+              .alias("doc_max_copies"),
+              F.coalesce(F.sum(F.when(F.col("distinct_texts") > 1, 1)
+                               .otherwise(0)), F.lit(0)).cast("long")
+              .alias("doc_conflict_ids")))
+    e = (embedding_id_violations(spark, sf_dir)
+         .agg(F.count(F.lit(1)).cast("long").alias("vec_dup_ids"),
+              F.coalesce(F.max("copies"), F.lit(0)).cast("long")
+              .alias("vec_max_copies"),
+              F.coalesce(F.sum(F.when(F.col("distinct_vectors") > 1, 1)
+                               .otherwise(0)), F.lit(0)).cast("long")
+              .alias("vec_conflict_ids")))
+    return d.crossJoin(F.broadcast(e))
+
+
+ORACLE_INGEST_ID_AUDIT = f"""
+WITH dv AS (
+    SELECT doc_id, count(*) AS copies,
+           count(DISTINCT coalesce(text, '')) AS distinct_texts
+    FROM documents GROUP BY doc_id HAVING count(*) > 1),
+ev AS (
+    SELECT vec_id, count(*) AS copies,
+           count(DISTINCT {_EMB_KEY_DUCK}) AS distinct_vectors
+    FROM embeddings GROUP BY vec_id HAVING count(*) > 1),
+da AS (
+    SELECT CAST(count(*) AS BIGINT) AS doc_dup_ids,
+           CAST(coalesce(max(copies), 0) AS BIGINT) AS doc_max_copies,
+           CAST(coalesce(sum(CASE WHEN distinct_texts > 1 THEN 1
+                                  ELSE 0 END), 0) AS BIGINT)
+               AS doc_conflict_ids
+    FROM dv),
+ea AS (
+    SELECT CAST(count(*) AS BIGINT) AS vec_dup_ids,
+           CAST(coalesce(max(copies), 0) AS BIGINT) AS vec_max_copies,
+           CAST(coalesce(sum(CASE WHEN distinct_vectors > 1 THEN 1
+                                  ELSE 0 END), 0) AS BIGINT)
+               AS vec_conflict_ids
+    FROM ev)
+SELECT * FROM da CROSS JOIN ea
+"""
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for n in TABLE_NAMES:

@@ -154,12 +154,22 @@ _SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 
 
 def _schema_cache_key(path: str) -> tuple[str, int, int]:
+    """(path, mtime, size) — the schema-cache key. On a non-local
+    filesystem os.stat raises; the degradation to path-only keying is
+    WARNED about (ADVICE r06 — the dedup index naming had the same
+    silent fallback), because a rewritten fixture at the same path
+    would then serve a stale cached schema."""
     import os
+    import warnings
 
     try:
         st = os.stat(path)
         return (path, st.st_mtime_ns, st.st_size)
     except OSError:
+        warnings.warn(
+            f"cannot os.stat {path}: streaming schema cache degrades "
+            f"to path-only keying — a rewritten corpus at the same "
+            f"path may serve a stale schema", stacklevel=2)
         return (path, -1, -1)
 
 

@@ -240,9 +240,16 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
     # queries the r06 probe measured engine-dependent are now total
     # under duplicate ids WITHOUT resolution — minhash/simhash report
     # per-pair max-Jaccard/min-Hamming over text combinations, heaps
-    # tiebreaks its growth curve by content
+    # tiebreaks its growth curve by content; and the first-class
+    # audit query agrees with its oracle ON the violating corpus
     assert not run_fuzz(
-        spark, d, ["dedup_minhash_lsh", "dedup_simhash", "text_heaps"])
+        spark, d, ["dedup_minhash_lsh", "dedup_simhash", "text_heaps",
+                   "ingest_id_audit"])
+    from ngrams_collocations_hadoop_spark.sources.tables import (
+        q_ingest_id_audit)
+    audit = q_ingest_id_audit(spark, d).collect()[0]
+    assert (audit.doc_dup_ids, audit.doc_conflict_ids,
+            audit.vec_dup_ids) == (7, 2, 0)
 
     # the composed ingest pipeline carries its OWN stage-0 identity
     # gate (VERDICT r06 #3): cross-engine green on the UNRESOLVED
@@ -341,8 +348,15 @@ def test_identity_resolution_restores_totality_on_dup_vec_ids(
 
     # r07 identity-TOTALITY campaign, embeddings side: hyperplane-LSH
     # ANN is now total without resolution (per-pair max-cosine over
-    # vector combinations) ...
-    assert not run_fuzz(spark, d, ["sim_cosine_topk_lsh"])
+    # vector combinations), and the audit oracle-matches on the
+    # violating corpus ...
+    assert not run_fuzz(spark, d, ["sim_cosine_topk_lsh",
+                                   "ingest_id_audit"])
+    from ngrams_collocations_hadoop_spark.sources.tables import (
+        q_ingest_id_audit)
+    audit = q_ingest_id_audit(spark, d).collect()[0]
+    assert (audit.vec_dup_ids, audit.vec_conflict_ids,
+            audit.doc_dup_ids) == (3, 1, 0)
     # ... and the PQ ADC index — positional, NOT totalizable — now
     # raises its pinned precondition error instead of an out-of-bounds
     # crash
