@@ -259,12 +259,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # composers of the three changed surfaces ride along), sim_pq_topk's
 # pinned PK-precondition gate (+ its recall composer), text_heaps'
 # content tiebreak, and the ingest pipeline's stage-0 identity gate
-# (VERDICT r06 #3) — then the full 17-query r03 refresh queue and the
-# 24 stalest r04 rows led by the late-r05-edited embedding family
-# (VERDICT r06 #1). All dup-id totality/raise contracts are pinned in
-# test_registry_fuzz.py WITHOUT pre-resolution. Accounting after r07:
-# no query's newest official row older than r04; the r08 refresh
-# queue head is the remaining 22 r04 rows (text_dup_span_positions ..
+# (VERDICT r06 #3) — plus 1 new (ingest_id_audit, the identity gate
+# as an oracle-checked query) — then the full 17-query r03 refresh
+# queue and the 23 stalest r04 rows led by the late-r05-edited
+# embedding family (VERDICT r06 #1; stream_merge_sink displaced to
+# the tail head by the new query). All dup-id totality/raise
+# contracts are pinned in test_registry_fuzz.py WITHOUT
+# pre-resolution. Accounting after r07: no query's newest official
+# row older than r04; the r08 refresh queue head is the remaining 23
+# r04 rows (stream_merge_sink, text_dup_span_positions ..
 # colloc_totals), then the 45 r05 rows.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round (r07: identity-totality
