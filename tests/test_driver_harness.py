@@ -46,7 +46,12 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              # the persisted-LSH lifecycle split (bucketed catalog
              # table under a bare session's own warehouse)
              "colloc_scored", "colloc_topk_sql",
-             "dedup_persisted_lsh_match"]:
+             "dedup_persisted_lsh_match",
+             # r07 changes: identity-totality forms, the ingest
+             # pipeline's stage-0 gate, the new audit query
+             "dedup_minhash_lsh", "dedup_simhash",
+             "sim_cosine_topk_lsh", "text_heaps", "pipeline_ingest",
+             "ingest_id_audit"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
