@@ -299,7 +299,12 @@ buckets AS (
     SELECT e.vec_id, e.v, hyp.table_id,
            sum(CASE WHEN list_dot_product(e.v, hyp.h) > 0
                     THEN 1::BIGINT << bit ELSE 0 END) AS bucket
-    FROM e CROSS JOIN hyp
+    -- DISTINCT before the hyperplane cross join: an EXACT-redelivery
+    -- duplicate (same vec_id, same vector) would otherwise land both
+    -- copies in one (vec_id, v, table) group and the bit-indicator
+    -- sum would double the bucket value (found by the r07 dup-id
+    -- campaign, scripts/fuzz_dupid.py seed 7201)
+    FROM (SELECT DISTINCT vec_id, v FROM e) e CROSS JOIN hyp
     GROUP BY e.vec_id, e.v, hyp.table_id),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -722,11 +722,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-text docs are excluded (nothing to pack): size(split(NULL))
     would NULL-poison the running offsets of every later doc's columns
     and emit a NULL boolean whose pandas representation differs
-    between the engines."""
+    between the engines.
+
+    TOTAL under duplicate doc_ids (found by the r07 dup-id campaign,
+    the same order-ambiguity class as text_heaps): the packing order
+    tiebreaks equal doc_ids by md5(text), so every doc's offset is
+    content-determined; unique ids never tie, so the key is inert on
+    a PK-satisfying corpus."""
     docs = load_table(spark, sf_dir, "documents") \
         .filter(F.col("text").isNotNull()).select(
-            "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
-    w = (Window.partitionBy("lang").orderBy("doc_id")
+            "doc_id", "lang", F.md5("text").alias("tb"),
+            F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id", "tb")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)
     start = (cum - F.col("n_tokens")).cast("long")
@@ -740,12 +747,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PACK_SEQUENCES = f"""
 WITH d AS (
-    SELECT doc_id, lang,
+    SELECT doc_id, lang, md5(text) AS tb,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
     FROM documents WHERE text IS NOT NULL),
 c AS (
     SELECT doc_id, lang, n_tokens,
-           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, tb
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cum
     FROM d)
