@@ -240,8 +240,12 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import NEW_BATCH_MOD, q_dedup_incremental_lsh
     from .textstats import shard_col
 
+    # persist: the resolved batch feeds every stage (fingerprints,
+    # LSH tokens, quality) — exactly what production does by WRITING
+    # the resolution output once at ingest; without it the lazy DAG
+    # re-runs the resolve aggregate once per consumer
     docs = resolve_document_identity(
-        load_table(spark, sf_dir, "documents"))
+        load_table(spark, sf_dir, "documents")).persist()
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     newfp = (fp.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
              .select(F.col("doc_id").alias("nid"), "fp"))

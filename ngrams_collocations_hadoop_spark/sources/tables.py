@@ -197,11 +197,20 @@ def resolve_document_identity(df: DataFrame) -> DataFrame:
     to close (ADVICE r06). Each nullable tiebreak is a
     (coalesce, IS NULL) pair so '' and NULL stay distinguishable and
     neither engine's NULL placement leaks in. Run at ingest (once per
-    batch), not per query. ``RESOLVE_DOCUMENTS_SQL`` is the DuckDB
-    twin (full-row keeper parity pinned in test_registry_fuzz.py)."""
-    from pyspark.sql import Window
+    batch), not per query.
 
-    w = Window.partitionBy("doc_id").orderBy(
+    Physical form: min(struct(keys…, full_row)) in ONE hash
+    aggregate, not a row_number window — struct min is lexicographic
+    over the same key sequence (every key is non-NULL by
+    construction, and rows tying on all keys are identical, so the
+    trailing row field never decides), and the aggregate gets
+    map-side partial combining with NO per-partition sort. At ingest
+    scale that is the difference between a sort of every partition
+    and a shuffle of one candidate keeper per (partition, doc_id).
+    ``RESOLVE_DOCUMENTS_SQL`` stays the row_number form — the
+    readable semantic spec — with keeper equivalence between the two
+    forms pinned full-row in test_registry_fuzz.py."""
+    keys = [
         F.md5(F.coalesce(F.col("text"), F.lit(""))),
         F.coalesce(F.col("text"), F.lit("")),
         F.col("text").isNull(),
@@ -210,9 +219,13 @@ def resolve_document_identity(df: DataFrame) -> DataFrame:
         F.coalesce(F.col("source"), F.lit("")),
         F.col("source").isNull(),
         F.coalesce(F.col("n_chars"), F.lit(-(2 ** 63)).cast("long")),
-        F.col("n_chars").isNull())
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+        F.col("n_chars").isNull(),
+    ]
+    row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+    keeper = F.min(F.struct(*[k.alias(f"_k{i}")
+                              for i, k in enumerate(keys)], row))
+    return (df.groupBy("doc_id").agg(keeper.alias("_m"))
+            .select("_m._row.*"))
 
 
 RESOLVE_DOCUMENTS_SQL = """
@@ -262,15 +275,21 @@ def resolve_embedding_identity(df: DataFrame) -> DataFrame:
     """Keep exactly one row per vec_id, engine-shared deterministic
     rule: non-NULL embedding first, then lexicographic compare of the
     total 1e6-grid integer rendering (``_EMB_ELEM_CASE``), then label.
-    Run at ingest; ``RESOLVE_EMBEDDINGS_SQL`` is the DuckDB twin."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("embedding").isNull(), F.expr(_EMB_KEY_SPARK),
-        F.coalesce(F.col("label").cast("long"),
-                   F.lit(-(2 ** 63))))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    Run at ingest; ``RESOLVE_EMBEDDINGS_SQL`` is the DuckDB twin.
+    Same min(struct(keys…, row)) single-aggregate physical form as
+    ``resolve_document_identity`` (no per-partition sort; the integer
+    rendering is NULL-free and label coalesces, so the key sequence
+    is totally ordered and the trailing row never decides)."""
+    keys = [
+        F.col("embedding").isNull(),
+        F.expr(_EMB_KEY_SPARK),
+        F.coalesce(F.col("label").cast("long"), F.lit(-(2 ** 63))),
+    ]
+    row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+    keeper = F.min(F.struct(*[k.alias(f"_k{i}")
+                              for i, k in enumerate(keys)], row))
+    return (df.groupBy("vec_id").agg(keeper.alias("_m"))
+            .select("_m._row.*"))
 
 
 RESOLVE_EMBEDDINGS_SQL = f"""

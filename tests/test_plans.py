@@ -528,29 +528,37 @@ def test_bench_queries_shuffle_budget(spark):
         "rel_topk_per_group": 1,
         "rel_sessionize": 1,
         # +1 in r07: the identity-totality max-jaccard aggregate over
-        # the threshold-filtered survivor pair stream (tiny)
-        "dedup_minhash_lsh": 7,
+        # the threshold-filtered survivor pair stream (tiny); 4 under
+        # distinct-plan_id counting (persist dedup)
+        "dedup_minhash_lsh": 4,
         "sim_cosine_topk": 1,
         "text_quality": 0,          # map-only: any shuffle is a bug
         "pipeline_training_prep": 3,
         "dedup_semantic": 4,
         "text_dsir_weights": 4,
         "sim_pq_topk": 3,
-        # +1 in r07: the stage-0 identity-gate window (one doc_id
-        # hash exchange; batch-proportional in production, where the
-        # old slice arrives already resolved)
-        "pipeline_ingest": 15,
+        # +1 in r07: the stage-0 identity-gate aggregate (one doc_id
+        # hash exchange, persisted so it runs once; batch-proportional
+        # in production, where the old slice arrives already resolved)
+        "pipeline_ingest": 8,
         # both lifecycle forms: batch band shuffle + candidate
         # repartition + verify joins — the INDEX side contributes none
-        "dedup_persisted_lsh": 9,
-        "dedup_persisted_lsh_match": 9,
+        "dedup_persisted_lsh": 5,
+        "dedup_persisted_lsh_match": 5,
     }
-    pat = re.compile(r"Exchange (hashpartitioning|rangepartitioning|"
-                     r"RoundRobinPartitioning|SinglePartition)")
+    # Count DISTINCT exchanges by plan_id (what the docstring always
+    # promised): a persisted subtree's InMemoryRelation prints its
+    # stored plan — including its exchanges — once per REFERENCE, so
+    # a raw occurrence count would charge one exchange N times for
+    # being cached and consumed N times (r07: the ingest pipeline's
+    # persisted resolve printed its one aggregate exchange 7x).
+    pat = re.compile(r"Exchange (?:hashpartitioning|rangepartitioning|"
+                     r"RoundRobinPartitioning|SinglePartition)"
+                     r"[^\n]*?\[plan_id=(\d+)\]")
     over = {}
     for name, bound in budget.items():
         plan = physical_plan(QUERIES[name](spark, SF_SMALL))
-        got = len(pat.findall(plan))
+        got = len(set(pat.findall(plan)))
         if got > bound:
             over[name] = (got, bound)
     assert not over, f"shuffle budget exceeded: {over}"
