@@ -259,16 +259,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # composers of the three changed surfaces ride along), sim_pq_topk's
 # pinned PK-precondition gate (+ its recall composer), text_heaps'
 # content tiebreak, and the ingest pipeline's stage-0 identity gate
-# (VERDICT r06 #3) — plus 1 new (ingest_id_audit, the identity gate
-# as an oracle-checked query) — then the full 17-query r03 refresh
-# queue and the 23 stalest r04 rows led by the late-r05-edited
-# embedding family (VERDICT r06 #1; stream_merge_sink displaced to
-# the tail head by the new query). All dup-id totality/raise
-# contracts are pinned in test_registry_fuzz.py WITHOUT
-# pre-resolution. Accounting after r07: no query's newest official
-# row older than r04; the r08 refresh queue head is the remaining 23
-# r04 rows (stream_merge_sink, text_dup_span_positions ..
-# colloc_totals), then the 45 r05 rows.
+# (VERDICT r06 #3) — plus 2 new (ingest_id_audit, the identity gate
+# as an oracle-checked query; stream_id_resolve, the keeper rule as a
+# streaming operator over divergent at-least-once redeliveries) —
+# then the full 17-query r03 refresh queue and the 22 stalest r04
+# rows led by the late-r05-edited embedding family (VERDICT r06 #1;
+# stream_merge_sink and mm_resize displaced to the tail head by the
+# new queries). All dup-id totality/raise contracts are pinned in
+# test_registry_fuzz.py WITHOUT pre-resolution, and the full-registry
+# dup-id campaign (scripts/fuzz_dupid.py) measures the remaining
+# documented-precondition family. Accounting after r07: no query's
+# newest official row older than r04; the r08 refresh queue head is
+# the remaining 24 r04 rows (mm_resize, stream_merge_sink,
+# text_dup_span_positions .. colloc_totals), then the 45 r05 rows.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round (r07: identity-totality
     #     campaign - minhash max-jaccard / simhash min-hamming /
@@ -284,8 +287,11 @@ QUERIES: dict[str, QueryFn] = {
     "sim_pq_topk": similarity.q_pq_topk,
     "sim_pq_recall": similarity.q_sim_pq_recall,
     "text_heaps": textstats.q_heaps,
-    # --- (2) new this round: the identity gate's audit as a query ---
+    # --- (2) new this round: the identity gate's audit as a query,
+    #     and the keeper rule as a STREAMING operator over divergent
+    #     at-least-once redeliveries ---
     "ingest_id_audit": tables.q_ingest_id_audit,
+    "stream_id_resolve": sw.q_stream_id_resolve,
     # --- (3a) r03 refresh queue (VERDICT r06 #1: the 17 stalest) ---
     "text_train_test_split": textstats.q_train_test_split,
     "text_pii_redact": textstats.q_pii_redact,
@@ -330,8 +336,10 @@ QUERIES: dict[str, QueryFn] = {
     "rel_equidepth_histogram": rel.q_equidepth_histogram,
     "text_dup_spans": textstats.q_dup_spans,
     "text_contamination": textstats.q_contamination,
-    "mm_resize": multimodal.q_mm_resize,
     # ================= end of the 50-query r07 window =================
+    # (mm_resize displaced by stream_id_resolve, same rule as
+    # stream_merge_sink below)
+    "mm_resize": multimodal.q_mm_resize,
     # --- (4) tail, oldest official evidence first: r04 leftovers
     #     (stream_merge_sink displaced from the window by the new
     #     ingest_id_audit - new queries outrank refresh slots) ---
@@ -455,6 +463,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "ingest_id_audit": tables.ORACLE_INGEST_ID_AUDIT,
+    "stream_id_resolve": sw.ORACLE_STREAM_ID_RESOLVE,
     "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,
     # match-only job: same pair set — the index contents are identical,
     # only WHEN the index shuffle is paid differs (build vs per-query)

@@ -471,6 +471,130 @@ GROUP BY event_type
 """
 
 
+# --- streaming identity resolution (keeper rule in-flight) ---------------
+
+def _conflict_stream_dir(sf_dir: str) -> str:
+    """Delivery 1 = the fixture (symlinks); delivery 2 = a
+    deterministic RE-CRAWL CONFLICT of every event — value shifted
+    +0.5, props dropped — written ONCE per corpus STATE (mtime+size
+    keyed, stale conflict files removed; a fuzz fixture rewrite forces
+    a regeneration instead of serving stale payloads). This is the
+    at-least-once + divergent-payload delivery shape that streaming
+    identity resolution exists for: plain dedup can only collapse
+    IDENTICAL redeliveries, a keeper RULE must pick between
+    conflicting ones."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sf_dir = os.path.abspath(sf_dir)
+    d = f"/tmp/ncs_stream/{_dir_slug(sf_dir)}_events_conflict"
+    parts = _corpus_parts(sf_dir)
+    _link_layout(d, [(f"{d}/events_{i:03d}_a.parquet", t)
+                     for i, t in enumerate(parts)])
+    state = "|".join(f"{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+                     for p in parts)
+    conflict = (f"{d}/conflict_"
+                f"{hashlib.md5(state.encode()).hexdigest()[:8]}.parquet")
+    for f in os.listdir(d):
+        p = f"{d}/{f}"
+        if (f.startswith("conflict_") and p != conflict
+                and not os.path.islink(p)):
+            os.remove(p)
+    if not os.path.exists(conflict):
+        t = pa.concat_tables([pq.read_table(p) for p in parts])
+        vi = t.schema.get_field_index("value")
+        t = t.set_column(vi, t.schema.field("value"),
+                         pc.add(t.column("value"), 0.5))
+        pi = t.schema.get_field_index("props")
+        t = t.set_column(pi, t.schema.field("props"),
+                         pa.nulls(t.num_rows, t.schema.field("props").type))
+        pq.write_table(t, conflict + ".tmp")
+        os.replace(conflict + ".tmp", conflict)
+    return d
+
+
+def resolve_stream_identity(stream: DataFrame) -> DataFrame:
+    """Streaming face of ``sources.tables.resolve_document_identity``:
+    keep exactly one row per event_id across however many (possibly
+    DIVERGENT) deliveries arrive, by the same engine-shared keeper
+    rule shape — min over a lexicographic (coalesce, IS NULL) key
+    sequence covering every payload column, computed as one
+    min(struct(keys…, full_row)) streaming aggregate. State per id is
+    one candidate keeper row (merged incrementally per micro-batch —
+    the partial-combine property the min-struct form was chosen for);
+    a production continuous pipeline bounds it with an event-time
+    timeout once no late redelivery can win, exactly like the dedup
+    state note above. NULL event_ids are gated (unidentifiable — and
+    the state store's binary key equality would collapse distinct
+    NULL-id events)."""
+    keys = [
+        F.col("value").isNull(),
+        F.coalesce(F.col("value"), F.lit(0.0)),
+        F.col("props").isNull(),
+        F.coalesce(F.col("props"), F.lit("")),
+        F.col("event_type").isNull(),
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.col("user_id").isNull(),
+        F.coalesce(F.col("user_id"), F.lit(-(2 ** 63)).cast("long")),
+        F.col("ts"),
+    ]
+    row = F.struct(*[F.col(c) for c in stream.columns]).alias("_row")
+    keeper = F.min(F.struct(*[k.alias(f"_k{i}")
+                              for i, k in enumerate(keys)], row))
+    return (stream.filter(F.col("event_id").isNotNull())
+            .groupBy("event_id").agg(keeper.alias("_m"))
+            .select("_m._row.*"))
+
+
+def q_stream_id_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity resolution IN-FLIGHT: every event arrives twice with
+    DIVERGENT payloads (the fixture row and a deterministic re-crawl
+    conflict — value shifted, props dropped); the resolved output must
+    equal the keeper rule applied to both deliveries, which for this
+    conflict shape is exactly the single-delivery batch scan — a
+    self-checking oracle: picking any wrong delivery surfaces a
+    shifted value or a nulled props column in the hash."""
+    stream = _event_stream(spark, sf_dir, dir_fn=_conflict_stream_dir,
+                           max_files_per_trigger=1)
+    return _run_to_completion(
+        resolve_stream_identity(stream), "stream_id_resolve_out",
+        "complete")
+
+
+# Both deliveries reconstructed relationally (the conflict projection
+# is deterministic), then the SAME keeper ordering as a window rank —
+# the readable row_number spec, like RESOLVE_DOCUMENTS_SQL. The
+# delivery-2 branch gates non-finite values through the shared scan
+# gate BEFORE the +0.5 shift; shifting a gated-NULL stays NULL and
+# shifting a non-finite original is gated either way, so the branch
+# gates are equivalent to gating the mutated file.
+ORACLE_STREAM_ID_RESOLVE = f"""
+WITH delivered AS (
+    SELECT * FROM {STREAM_EVENTS_SQL} events
+    WHERE event_id IS NOT NULL
+    UNION ALL
+    SELECT * REPLACE (value + 0.5 AS value,
+                      CAST(NULL AS VARCHAR) AS props)
+    FROM {STREAM_EVENTS_SQL} events
+    WHERE event_id IS NOT NULL)
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_id
+        ORDER BY (value IS NULL), coalesce(value, 0e0),
+                 (props IS NULL), coalesce(props, ''),
+                 (event_type IS NULL), coalesce(event_type, ''),
+                 (user_id IS NULL),
+                 coalesce(user_id, -9223372036854775808),
+                 ts) AS _rn
+    FROM delivered) WHERE _rn = 1
+"""
+
+
 # --- sliding windows + stream-static enrichment --------------------------
 
 def sliding_agg(stream: DataFrame) -> DataFrame:

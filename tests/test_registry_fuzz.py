@@ -48,6 +48,7 @@ FUZZ_QUERIES = [
     "rel_gap_fill", "rel_json_extract", "rel_anomaly_zscore",
     "rel_event_transitions", "rel_funnel", "rel_window_range",
     "rel_approx_sketches", "rel_incremental_agg", "stream_session",
+    "stream_id_resolve",
     # NULL-identity hazard finds (ts/user_id/event_type dropout)
     "rel_sketch_reagg", "rel_pit_enrich", "rel_scd2",
     # embeddings-only

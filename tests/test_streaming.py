@@ -438,6 +438,41 @@ def test_stream_dedup_gates_null_event_ids(spark, tmp_path):
     assert out[0].n == 16
 
 
+def test_stream_id_resolve_picks_keeper_across_divergent_deliveries(
+        spark):
+    """The conflict stream must really deliver every event TWICE with
+    DIVERGENT payloads (value +0.5, props nulled) — otherwise the
+    query degenerates to a dedup and the keeper rule is vacuous — and
+    the resolved output must be exactly the rule's pick (the original
+    row for this conflict shape), not an arbitrary delivery: a wrong
+    pick surfaces as a shifted value or a nulled props."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    from ngrams_collocations_hadoop_spark.streaming.windows import (
+        _conflict_stream_dir,
+        q_stream_id_resolve,
+    )
+
+    base = load_table(spark, SF_SMALL, "events")
+    n_base = base.count()
+    n_props = base.filter(F.col("props").isNotNull()).count()
+    assert n_props > 0  # otherwise the props-nulling conflict is inert
+
+    d = _conflict_stream_dir(SF_SMALL)
+    raw = spark.read.parquet(d)
+    assert raw.count() == 2 * spark.read.parquet(
+        f"{SF_SMALL}/events.parquet").count()
+    # the second delivery genuinely diverges: its props are ALL null
+    assert raw.filter(F.col("props").isNull()).count() >= n_props
+
+    resolved = q_stream_id_resolve(spark, SF_SMALL).toPandas()
+    expected = base.filter(F.col("event_id").isNotNull()).toPandas()
+    cols = sorted(expected.columns)
+    a = resolved[cols].sort_values(cols, ignore_index=True)
+    b = expected[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 # --- RocksDB state-store parity (VERDICT r05 #6) -------------------------
 #
 # The 14 streaming queries run on the default HDFS-backed state store;
