@@ -479,6 +479,30 @@ def test_lsh_compaction_contract(spark):
     assert plan.count("Sort ") == 1, plan
 
 
+def test_lsh_bucket_policy_on_directory_corpus(tmp_path):
+    """The corpus stat must aggregate over part FILES when the corpus
+    is a directory (the production shape): the directory inode's own
+    stat is ~4 KB, which would floor the bucket policy at 8 forever
+    and miss in-place part rewrites in the state key (found by the
+    r07 factor-axis probe rerun — the 9.6 MB 16x corpus got 8
+    buckets)."""
+    import os
+
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        _corpus_stat, lsh_index_buckets)
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part-{i}.parquet").write_bytes(b"x" * 800_000)
+    mtime, size = _corpus_stat(str(tmp_path))
+    assert size == 2_400_000
+    assert lsh_index_buckets(str(tmp_path)) == 32
+    # an in-place part rewrite must move the state key
+    os.utime(d / "part-1.parquet", ns=(mtime + 10**9, mtime + 10**9))
+    assert _corpus_stat(str(tmp_path))[0] > mtime
+
+
 def test_lsh_bucket_policy_and_match_parallelism(spark):
     """The bucket count is a first-class build parameter (VERDICT r06
     #4): (a) the corpus-scaled default follows the probe's linear
