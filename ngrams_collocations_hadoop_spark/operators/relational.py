@@ -2338,3 +2338,107 @@ SELECT event_type, hour,
            / 1e6 AS slope_per_step
 FROM fitted WHERE rn >= {SLOPE_H}
 """
+
+
+# --- Z-order (Morton) clustering layout ----------------------------------
+
+ZORDER_BITS = 8      # per-dimension grid resolution (256 cells)
+ZORDER_BLOCKS = 16   # contiguous curve ranges = the layout's files
+
+
+def _zgrid_sql(col: str, lo: str, hi: str) -> str:
+    """Per-row grid coordinate in [0, 2^ZORDER_BITS): scale `col` by
+    the corpus min/max with pure-IEEE double ops — text shared verbatim
+    by both engines, so bucket boundaries can't diverge. The +1E0
+    denominator keeps max below the top cell; LEAST guards the one
+    case it can't (a range so wide the +1.0 is rounded away)."""
+    n = 1 << ZORDER_BITS
+    return (f"least(CAST(floor((CAST({col} AS DOUBLE) - {lo}) * {n}E0 "
+            f"/ ({hi} - {lo} + 1E0)) AS BIGINT), {n - 1})")
+
+
+def _zinterleave_sql(x: str, y: str) -> str:
+    """Morton code of two ZORDER_BITS-wide coordinates: bit i of `x`
+    lands at position 2i, bit i of `y` at 2i+1. Plain shift/mask
+    integer ops — `>>`/`<<`/`&` parse and evaluate identically in
+    Spark 4 SQL and DuckDB, so the text is shared. Every term is
+    fully parenthesized: shift operators bind LOOSER than `+` in both
+    dialects (C precedence), so a bare `a << 4 + b << 6` chain would
+    parse as `a << (4 + b) << 6` and overflow."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout audit — the data-layout operator a
+    100 TB table needs when scans filter on TWO dimensions: map each
+    event's (user_id, epoch-second) onto a Morton curve, cut the curve
+    into ZORDER_BLOCKS contiguous ranges (the files a layout rewrite —
+    Delta/Iceberg OPTIMIZE ZORDER BY — would produce), and emit each
+    block's min/max envelope on BOTH dimensions plus its row count.
+    Those envelopes ARE the parquet row-group stats a reader prunes
+    on: a linear sort bounds only its leading column, leaving every
+    file's envelope spanning the full range of the second dimension,
+    while Morton interleaving bounds both at ~1/sqrt(blocks) of their
+    range — point/range predicates on EITHER dimension skip most
+    blocks (the property `tests/test_storage_skew.py` pins against
+    the single-column layout).
+
+    Scale shape: one broadcast min/max aggregate (4 numbers), then the
+    grid coordinate, interleave, and block id are all map-side integer
+    expressions inside whole-stage codegen; the only shuffle is the
+    final per-block aggregate, bounded by ZORDER_BLOCKS groups. A
+    production rewrite would repartitionByRange on the same z value
+    and write — the audit and the layout share every expression.
+    Events without a user_id carry no curve position — gated, like the
+    ts scan gate."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", F.col("ts").cast("long").alias("tsec")))
+    stats = ev.agg(
+        F.min(F.col("user_id").cast("double")).alias("umin"),
+        F.max(F.col("user_id").cast("double")).alias("umax"),
+        F.min(F.col("tsec").cast("double")).alias("tmin"),
+        F.max(F.col("tsec").cast("double")).alias("tmax"))
+    zx = _zgrid_sql("user_id", "umin", "umax")
+    zy = _zgrid_sql("tsec", "tmin", "tmax")
+    z = _zinterleave_sql(zx, zy)
+    shift = 2 * ZORDER_BITS - ZORDER_BLOCKS.bit_length() + 1
+    return (ev.crossJoin(F.broadcast(stats))
+            .withColumn("block_id", F.expr(f"({z}) >> {shift}"))
+            .groupBy("block_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("user_id").alias("u_min"),
+                 F.max("user_id").alias("u_max"),
+                 F.min("tsec").alias("t_min"),
+                 F.max("tsec").alias("t_max")))
+
+
+def _zorder_oracle() -> str:
+    zx = _zgrid_sql("user_id", "umin", "umax")
+    zy = _zgrid_sql("tsec", "tmin", "tmax")
+    z = _zinterleave_sql(zx, zy)
+    shift = 2 * ZORDER_BITS - ZORDER_BLOCKS.bit_length() + 1
+    return f"""
+WITH ev AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+    FROM {EVENTS_US} events WHERE user_id IS NOT NULL),
+stats AS (
+    SELECT min(CAST(user_id AS DOUBLE)) AS umin,
+           max(CAST(user_id AS DOUBLE)) AS umax,
+           min(CAST(tsec AS DOUBLE)) AS tmin,
+           max(CAST(tsec AS DOUBLE)) AS tmax
+    FROM ev)
+SELECT ({z}) >> {shift} AS block_id,
+       count(*) AS n_rows,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       min(tsec) AS t_min, max(tsec) AS t_max
+FROM ev CROSS JOIN stats
+GROUP BY 1
+"""
+
+
+ORACLE_ZORDER_LAYOUT = _zorder_oracle()

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import ieee_round, uavg, uavg_sql
+from ..functions.exact import ieee_round, ieee_round_sql, uavg, uavg_sql
 
 from ..sources.tables import load_table
 from .dedup import cosine_expr
@@ -1030,25 +1030,11 @@ def _pq_d2_expr(m: int, v: str, cv: str) -> str:
             f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
 
 
-def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: compress every vector to PQ_M 4-bit
-    codes (argmin sub-vector centroid per subspace), score queries by
-    asymmetric distance computation — the query's exact dot with each
-    sub-centroid is precomputed once (PQ_M·PQ_K values per query) and
-    the per-candidate score is just PQ_M table lookups. The index that
-    makes billion-scale ANN fit in RAM: 4 bytes/vector here vs 256
-    (the completion of the family: brute → LSH → IVF → int8 → PQ).
-
-    Codebooks are one-shot (sub-vectors of the first PQ_K vec_ids —
-    the deterministic-init idiom from k-means/SemDeDup; production
-    would train them with q_kmeans_step per subspace). Scale shape:
-    encoding is ONE groupBy over the corpus×PQ_K broadcast cross join
-    with min_by-style partial aggregation (map-side combine cuts the
-    shuffle to |corpus| rows); scoring joins the tiny
-    query-distance-table broadcast against codes and never touches raw
-    vectors; ranking is WindowGroupLimit top-k. Determinism: argmin is
-    min(named_struct(d2, cid)) — lexicographic, exact tiebreak — and
-    every float fold has fixed index order shared with the oracle."""
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC-scored (query_id, vec_id, approx) candidate stream — the
+    shared stage of ``q_pq_topk`` (rank straight to top-k) and
+    ``q_pq_rerank`` (shortlist PQ_RERANK_C, then exact re-rank).
+    Extracted verbatim from q_pq_topk; the top-k plan is unchanged."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # Codebook = the first PQ_K FINITE vectors with DENSE 0-based ids:
@@ -1105,12 +1091,34 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qarr = (qtab.groupBy("query_id")
             .agg(F.expr("transform(array_sort(collect_list("
                         "struct(cid, dots))), s -> s.dots)").alias("dt")))
-    scored = (codes.crossJoin(F.broadcast(qarr))
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .withColumn("approx", F.expr(
-                  f"aggregate(sequence(1, {PQ_M}), 0D, (acc, m) -> "
-                  f"acc + element_at(element_at(dt, "
-                  f"CAST(element_at(codes, m) AS INT) + 1), m))")))
+    return (codes.crossJoin(F.broadcast(qarr))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("approx", F.expr(
+                f"aggregate(sequence(1, {PQ_M}), 0D, (acc, m) -> "
+                f"acc + element_at(element_at(dt, "
+                f"CAST(element_at(codes, m) AS INT) + 1), m))")))
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: compress every vector to PQ_M 4-bit
+    codes (argmin sub-vector centroid per subspace), score queries by
+    asymmetric distance computation — the query's exact dot with each
+    sub-centroid is precomputed once (PQ_M·PQ_K values per query) and
+    the per-candidate score is just PQ_M table lookups. The index that
+    makes billion-scale ANN fit in RAM: 4 bytes/vector here vs 256
+    (the completion of the family: brute → LSH → IVF → int8 → PQ).
+
+    Codebooks are one-shot (sub-vectors of the first PQ_K vec_ids —
+    the deterministic-init idiom from k-means/SemDeDup; production
+    would train them with q_kmeans_step per subspace). Scale shape:
+    encoding is ONE groupBy over the corpus×PQ_K broadcast cross join
+    with min_by-style partial aggregation (map-side combine cuts the
+    shuffle to |corpus| rows); scoring joins the tiny
+    query-distance-table broadcast against codes and never touches raw
+    vectors; ranking is WindowGroupLimit top-k. Determinism: argmin is
+    min(named_struct(d2, cid)) — lexicographic, exact tiebreak — and
+    every float fold has fixed index order shared with the oracle."""
+    scored = _pq_scored(spark, sf_dir)
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("approx"), F.asc("vec_id")))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1119,7 +1127,50 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ieee_round(F.col("approx"), 6).alias("approx_dot"), "rank"))
 
 
-def _pq_oracle() -> str:
+PQ_RERANK_C = 30   # ADC shortlist size the exact re-rank scores
+
+
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval — the shape production ANN actually
+    ships: the compressed index ranks EVERYTHING cheaply (ADC table
+    lookups, raw vectors never touched), then the top PQ_RERANK_C
+    shortlist per query is re-scored with EXACT cosine from the raw
+    vectors and re-ranked to TOPK_NEIGHBORS. The refinement step buys
+    back most of the recall 4-bit codes give up (measured by
+    ``q_sim_pq_rerank_recall``) while exact math touches only
+    |Q|·PQ_RERANK_C vectors instead of |Q|·|corpus|.
+
+    Scale shape: the shortlist is WindowGroupLimit-bounded BEFORE any
+    raw-vector read; it re-joins the embeddings scan as a broadcast
+    (|Q|·C rows), so the refinement is one map-side pass over the
+    corpus with a pushed id filter — no second corpus shuffle, no
+    |corpus|² term anywhere."""
+    scored = _pq_scored(spark, sf_dir)
+    wc = (Window.partitionBy("query_id")
+          .orderBy(F.desc("approx"), F.asc("vec_id")))
+    cands = (scored.withColumn("crank", F.row_number().over(wc))
+             .filter(F.col("crank") <= PQ_RERANK_C)
+             .select("query_id", F.col("vec_id").alias("cand_id")))
+    e = load_finite_embeddings(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cv = e.select(F.col("vec_id").alias("cand_id"),
+                  F.col("embedding").alias("c_emb"))
+    rr = (cv.join(F.broadcast(cands), on="cand_id")
+          .join(F.broadcast(q), on="query_id")
+          .withColumn("cosine", cosine_expr("q_emb", "c_emb")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (rr.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
+
+
+def _pq_ranked_ctes() -> str:
+    """The WITH-chain through ADC-ranked candidates, shared by the
+    PQ top-k, rerank, and recall oracles."""
     d2 = lambda m: (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
                     f"i -> (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])"
                     f" * (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])))")
@@ -1151,13 +1202,34 @@ ranked AS (
     SELECT query_id, cand_id, approx,
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY approx DESC, cand_id ASC) AS BIGINT) AS rank
-    FROM scored)
-SELECT query_id, cand_id, CASE WHEN abs((approx)) < 4e9 THEN floor((approx) * 1e6 + 0.5E0) / 1e6 ELSE (approx) END AS approx_dot, rank
+    FROM scored)"""
+
+
+ORACLE_PQ_TOPK = f"""{_pq_ranked_ctes()}
+SELECT query_id, cand_id, {ieee_round_sql('approx')} AS approx_dot, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
 
-ORACLE_PQ_TOPK = _pq_oracle()
+ORACLE_PQ_RERANK = f"""{_pq_ranked_ctes()},
+shortlist AS (
+    SELECT query_id, cand_id FROM ranked WHERE rank <= {PQ_RERANK_C}),
+rr AS (
+    SELECT s.query_id, s.cand_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM shortlist s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e c ON c.vec_id = s.cand_id),
+rranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM rr)
+SELECT query_id, cand_id, {ieee_round_sql('cosine')} AS cosine, rank
+FROM rranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
 
 
 def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,4 +1260,153 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact,
 FROM exact_side x
 LEFT JOIN pq_side p
   ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+"""
+
+
+def q_sim_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the plain PQ ADC ranking AND of the two-stage
+    rerank, side by side in one row — the audit that makes the
+    refinement step's value VISIBLE (recall_rerank − recall_pq is
+    exactly what touching |Q|·PQ_RERANK_C raw vectors buys). Shares
+    the exact brute-force top-k as ground truth with the other recall
+    audits."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    pq = (q_pq_topk(spark, sf_dir)
+          .select("query_id", "cand_id").withColumn("_p", F.lit(1)))
+    rr = (q_pq_rerank(spark, sf_dir)
+          .select("query_id", "cand_id").withColumn("_r", F.lit(1)))
+    n = F.count(F.lit(1))
+    hp = F.coalesce(F.sum("_p"), F.lit(0)).cast("long")
+    hr = F.coalesce(F.sum("_r"), F.lit(0)).cast("long")
+    return (exact.join(pq, on=["query_id", "cand_id"], how="left")
+            .join(rr, on=["query_id", "cand_id"], how="left")
+            .agg(n.alias("n_exact"), hp.alias("n_pq"), hr.alias("n_rerank"),
+                 ieee_round(F.try_divide(hp.cast("double"), n), 4)
+                 .alias("recall_pq"),
+                 ieee_round(F.try_divide(hr.cast("double"), n), 4)
+                 .alias("recall_rerank")))
+
+
+ORACLE_SIM_PQ_RERANK_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+pq_side AS ({ORACLE_PQ_TOPK}),
+rr_side AS ({ORACLE_PQ_RERANK})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(p.cand_id) AS BIGINT) AS n_pq,
+       CAST(count(r.cand_id) AS BIGINT) AS n_rerank,
+       {ieee_round_sql('count(p.cand_id)::DOUBLE / count(*)', 4)}
+           AS recall_pq,
+       {ieee_round_sql('count(r.cand_id)::DOUBLE / count(*)', 4)}
+           AS recall_rerank
+FROM exact_side x
+LEFT JOIN pq_side p
+  ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+LEFT JOIN rr_side r
+  ON x.query_id = r.query_id AND x.cand_id = r.cand_id
+"""
+
+
+# --- Matryoshka (truncated-prefix) two-stage retrieval -------------------
+
+MRL_DIM = 16     # prefix dims the cheap first pass scores (EMB_DIM/4)
+MRL_CAND = 30    # prefix shortlist the full-dim re-rank scores
+
+
+def q_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style adaptive retrieval: score EVERY candidate on
+    only the first MRL_DIM embedding dimensions (MRL-trained models
+    front-load information, so the prefix is a usable coarse ranker),
+    keep the top MRL_CAND per query, then re-rank the shortlist with
+    full-dimension exact cosine. The funnel every MRL deployment runs:
+    the expensive 64-dim math touches |Q|·MRL_CAND rows, not
+    |Q|·|corpus|, and at scale the prefix pass reads a 4× narrower
+    column (stored as its own column/table, column-pruned at the
+    scan).
+
+    Both stages are pure codegen'd array folds with fixed index order;
+    the shortlist is WindowGroupLimit-bounded before any full-width
+    work. Recall@k vs exact brute force is its own checked row
+    (``q_sim_mrl_recall``)."""
+    e = load_finite_embeddings(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cand = e.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("c_emb"))
+    pref = (cand.crossJoin(F.broadcast(q))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn("pcos", cosine_expr(
+                f"slice(q_emb, 1, {MRL_DIM})",
+                f"slice(c_emb, 1, {MRL_DIM})")))
+    wc = (Window.partitionBy("query_id")
+          .orderBy(F.desc("pcos"), F.asc("cand_id")))
+    shortlist = (pref.withColumn("crank", F.row_number().over(wc))
+                 .filter(F.col("crank") <= MRL_CAND))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (shortlist.withColumn("cosine", cosine_expr("q_emb", "c_emb"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
+
+
+ORACLE_MRL_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+pref AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           q.v AS qv, c.v AS cv,
+           list_dot_product(q.v[1:{MRL_DIM}], c.v[1:{MRL_DIM}])
+             / (sqrt(list_dot_product(q.v[1:{MRL_DIM}], q.v[1:{MRL_DIM}]))
+                * sqrt(list_dot_product(c.v[1:{MRL_DIM}],
+                                        c.v[1:{MRL_DIM}]))) AS pcos
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY_VECS}),
+shortlist AS (
+    SELECT query_id, cand_id, qv, cv
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY pcos DESC, cand_id ASC) AS crank FROM pref)
+    WHERE crank <= {MRL_CAND}),
+rr AS (
+    SELECT query_id, cand_id,
+           list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(cv, cv))) AS cosine
+    FROM shortlist),
+rranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM rr)
+SELECT query_id, cand_id, {ieee_round_sql('cosine')} AS cosine, rank
+FROM rranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+def q_sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the Matryoshka prefix funnel vs exact full-dim
+    brute force — the honest-audit row of the MRL path, same contract
+    as the LSH/IVF/PQ recall audits: how much ranking quality the
+    MRL_DIM-of-EMB_DIM first pass gives up after full-dim rerank."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    found = (q_mrl_topk(spark, sf_dir)
+             .select("query_id", "cand_id").withColumn("_hit", F.lit(1)))
+    hits = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+    return (exact.join(found, on=["query_id", "cand_id"], how="left")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 hits.alias("n_found"),
+                 ieee_round(F.try_divide(hits.cast("double"),
+                                         F.count(F.lit(1))), 4)
+                 .alias("recall")))
+
+
+ORACLE_SIM_MRL_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+mrl_side AS ({ORACLE_MRL_TOPK})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(m.cand_id) AS BIGINT) AS n_found,
+       {ieee_round_sql('count(m.cand_id)::DOUBLE / count(*)', 4)} AS recall
+FROM exact_side x
+LEFT JOIN mrl_side m
+  ON x.query_id = m.query_id AND x.cand_id = m.cand_id
 """

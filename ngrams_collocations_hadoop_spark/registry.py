@@ -261,17 +261,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # content tiebreak, and the ingest pipeline's stage-0 identity gate
 # (VERDICT r06 #3) — plus 2 new (ingest_id_audit, the identity gate
 # as an oracle-checked query; stream_id_resolve, the keeper rule as a
-# streaming operator over divergent at-least-once redeliveries) —
-# then the full 17-query r03 refresh queue and the 22 stalest r04
-# rows led by the late-r05-edited embedding family (VERDICT r06 #1;
-# stream_merge_sink and mm_resize displaced to the tail head by the
-# new queries). All dup-id totality/raise contracts are pinned in
+# streaming operator over divergent at-least-once redeliveries; late
+# r07 adds 5 more new: the two-stage refinement ANN family —
+# sim_pq_rerank + sim_pq_rerank_recall (PQ ADC shortlist -> exact
+# re-rank), sim_mrl_topk + sim_mrl_recall (Matryoshka prefix funnel)
+# — and rel_zorder_layout, the Morton data-layout operator) — then
+# the full 17-query r03 refresh queue and the stalest r04 rows led by
+# the late-r05-edited embedding family (VERDICT r06 #1;
+# stream_merge_sink, mm_resize, and — for the late-r07 additions —
+# dedup_fingerprint, dedup_ngram_jaccard, rel_equidepth_histogram,
+# text_dup_spans, text_contamination displaced to the tail head by
+# the new queries). All dup-id totality/raise contracts are pinned in
 # test_registry_fuzz.py WITHOUT pre-resolution, and the full-registry
 # dup-id campaign (scripts/fuzz_dupid.py) measures the remaining
 # documented-precondition family. Accounting after r07: no query's
 # newest official row older than r04; the r08 refresh queue head is
-# the remaining 24 r04 rows (mm_resize, stream_merge_sink,
-# text_dup_span_positions .. colloc_totals), then the 45 r05 rows.
+# the remaining r04 rows (dedup_fingerprint .. colloc_totals), then
+# the r05 rows.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round (r07: identity-totality
     #     campaign - minhash max-jaccard / simhash min-hamming /
@@ -288,10 +294,18 @@ QUERIES: dict[str, QueryFn] = {
     "sim_pq_recall": similarity.q_sim_pq_recall,
     "text_heaps": textstats.q_heaps,
     # --- (2) new this round: the identity gate's audit as a query,
-    #     and the keeper rule as a STREAMING operator over divergent
-    #     at-least-once redeliveries ---
+    #     the keeper rule as a STREAMING operator over divergent
+    #     at-least-once redeliveries, the two-stage refinement ANN
+    #     family (PQ shortlist -> exact re-rank; Matryoshka prefix
+    #     funnel) with their recall audits, and the Z-order layout
+    #     operator ---
     "ingest_id_audit": tables.q_ingest_id_audit,
     "stream_id_resolve": sw.q_stream_id_resolve,
+    "sim_pq_rerank": similarity.q_pq_rerank,
+    "sim_pq_rerank_recall": similarity.q_sim_pq_rerank_recall,
+    "sim_mrl_topk": similarity.q_mrl_topk,
+    "sim_mrl_recall": similarity.q_sim_mrl_recall,
+    "rel_zorder_layout": rel.q_zorder_layout,
     # --- (3a) r03 refresh queue (VERDICT r06 #1: the 17 stalest) ---
     "text_train_test_split": textstats.q_train_test_split,
     "text_pii_redact": textstats.q_pii_redact,
@@ -331,14 +345,18 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_components": dedup.q_dedup_components,
     "dedup_keep_one": dedup.q_dedup_keep_one,
     "dedup_exact": dedup.q_dedup_exact,
+    # ================= end of the 50-query r07 window =================
+    # (dedup_fingerprint, dedup_ngram_jaccard, rel_equidepth_histogram,
+    # text_dup_spans, text_contamination displaced to the tail head by
+    # the 5 late-r07 new queries — new queries outrank refresh slots;
+    # their newest official rows stay r04, so the post-r07 freshness
+    # floor is unchanged. mm_resize was displaced earlier by
+    # stream_id_resolve, same rule as stream_merge_sink below.)
     "dedup_fingerprint": dedup.q_dedup_fingerprint,
     "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
     "rel_equidepth_histogram": rel.q_equidepth_histogram,
     "text_dup_spans": textstats.q_dup_spans,
     "text_contamination": textstats.q_contamination,
-    # ================= end of the 50-query r07 window =================
-    # (mm_resize displaced by stream_id_resolve, same rule as
-    # stream_merge_sink below)
     "mm_resize": multimodal.q_mm_resize,
     # --- (4) tail, oldest official evidence first: r04 leftovers
     #     (stream_merge_sink displaced from the window by the new
@@ -464,6 +482,11 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "ingest_id_audit": tables.ORACLE_INGEST_ID_AUDIT,
     "stream_id_resolve": sw.ORACLE_STREAM_ID_RESOLVE,
+    "sim_pq_rerank": similarity.ORACLE_PQ_RERANK,
+    "sim_pq_rerank_recall": similarity.ORACLE_SIM_PQ_RERANK_RECALL,
+    "sim_mrl_topk": similarity.ORACLE_MRL_TOPK,
+    "sim_mrl_recall": similarity.ORACLE_SIM_MRL_RECALL,
+    "rel_zorder_layout": rel.ORACLE_ZORDER_LAYOUT,
     "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,
     # match-only job: same pair set — the index contents are identical,
     # only WHEN the index shuffle is paid differs (build vs per-query)

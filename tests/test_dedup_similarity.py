@@ -579,3 +579,82 @@ def test_star_contraction_multi_parent_termination(spark):
         b = {(r["node"], r["component"]) for r in
              connected_components_star(df).collect()}
         assert a == b, (trial, sorted(edges), sorted(a ^ b))
+
+
+def test_pq_rerank_is_exact_over_the_adc_shortlist(spark):
+    """Two-stage contract: every reranked pair must come from the ADC
+    top-PQ_RERANK_C shortlist, ranks must be dense 1..k per query, and
+    the recall-audit row must show the refinement never LOSES recall
+    vs plain PQ top-k on the fixture (recall_rerank >= recall_pq — the
+    step's whole point; equality allowed)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators import similarity as sim
+    from .conftest import SF_SMALL
+
+    wc = (Window.partitionBy("query_id")
+          .orderBy(F.desc("approx"), F.asc("vec_id")))
+    shortlist = {(r.query_id, r.vec_id)
+                 for r in sim._pq_scored(spark, SF_SMALL)
+                 .withColumn("crank", F.row_number().over(wc))
+                 .filter(F.col("crank") <= sim.PQ_RERANK_C)
+                 .select("query_id", "vec_id").collect()}
+    out = sim.q_pq_rerank(spark, SF_SMALL).collect()
+    per_q = {}
+    for r in out:
+        assert (r.query_id, r.cand_id) in shortlist, r
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+    audit = sim.q_sim_pq_rerank_recall(spark, SF_SMALL).collect()[0]
+    assert audit.n_exact > 0
+    assert audit.recall_rerank >= audit.recall_pq, audit
+
+
+def test_mrl_funnel_contract(spark):
+    """Matryoshka funnel: reranked pairs must come from the prefix-dim
+    top-MRL_CAND shortlist, per-query ranks dense, exact full-dim
+    cosine ordering inside the shortlist (descending per rank), and
+    the recall audit consistent (0 <= n_found <= n_exact, recall the
+    quantized ratio)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators import similarity as sim
+    from ngrams_collocations_hadoop_spark.operators.dedup import cosine_expr
+    from .conftest import SF_SMALL
+
+    e = sim.load_finite_embeddings(spark, SF_SMALL)
+    q = (e.filter(F.col("vec_id") < sim.N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cand = e.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("c_emb"))
+    wc = (Window.partitionBy("query_id")
+          .orderBy(F.desc("pcos"), F.asc("cand_id")))
+    shortlist = {(r.query_id, r.cand_id)
+                 for r in cand.crossJoin(F.broadcast(q))
+                 .filter(F.col("cand_id") != F.col("query_id"))
+                 .withColumn("pcos", cosine_expr(
+                     f"slice(q_emb, 1, {sim.MRL_DIM})",
+                     f"slice(c_emb, 1, {sim.MRL_DIM})"))
+                 .withColumn("crank", F.row_number().over(wc))
+                 .filter(F.col("crank") <= sim.MRL_CAND)
+                 .select("query_id", "cand_id").collect()}
+
+    out = sim.q_mrl_topk(spark, SF_SMALL).collect()
+    per_q = {}
+    for r in out:
+        assert (r.query_id, r.cand_id) in shortlist, r
+        per_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for qid, pairs in per_q.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1)), qid
+        cosines = [p[1] for p in pairs]
+        assert cosines == sorted(cosines, reverse=True), qid
+
+    audit = sim.q_sim_mrl_recall(spark, SF_SMALL).collect()[0]
+    assert 0 <= audit.n_found <= audit.n_exact, audit
+    assert abs(audit.recall - round(audit.n_found / audit.n_exact, 4)) < 1e-9

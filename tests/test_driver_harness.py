@@ -51,7 +51,10 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              # pipeline's stage-0 gate, the new audit query
              "dedup_minhash_lsh", "dedup_simhash",
              "sim_cosine_topk_lsh", "text_heaps", "pipeline_ingest",
-             "ingest_id_audit", "stream_id_resolve"]:
+             "ingest_id_audit", "stream_id_resolve",
+             # late-r07 new queries: refinement ANN family + the
+             # Morton layout (ts-epoch-sensitive -> timezone matters)
+             "sim_pq_rerank", "sim_mrl_topk", "rel_zorder_layout"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)

@@ -304,3 +304,42 @@ def test_corr_stats_matches_native_aggregates_with_null_uids(spark,
               "stddev_pop_v", "stddev_samp_v", "var_pop_v",
               "var_samp_v"):
         assert abs(got[c] - ref[c]) < 1e-5, (c, got[c], ref[c])
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """The Morton layout's pruning property, pinned against the
+    single-column alternative: each of the 16 blocks is a 64x64 tile
+    of the 256x256 grid, so its min/max envelope spans at most 1/4 of
+    the corpus range (+1 cell of in-cell spread) on BOTH dimensions —
+    while a sort by user_id leaves each file's ts envelope spanning
+    ~the full range (measured 0.94 mean on the fixture). That
+    envelope gap is exactly what a two-predicate scan prunes on.
+    Also: dense block ids within [0, ZORDER_BLOCKS) and row counts
+    summing to the gated scan count (the layout loses no rows)."""
+    from pyspark.sql import Window
+
+    from ngrams_collocations_hadoop_spark.operators import relational as rel
+
+    rows = rel.q_zorder_layout(spark, SF_SMALL).collect()
+    ev = (rel._t(spark, SF_SMALL, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", F.col("ts").cast("long").alias("tsec")))
+    st = ev.agg(F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+                F.min("tsec").alias("tmin"), F.max("tsec").alias("tmax"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
+    du, dt = max(st.umax - st.umin, 1), max(st.tmax - st.tmin, 1)
+
+    assert sum(r.n_rows for r in rows) == st.n
+    assert all(0 <= r.block_id < rel.ZORDER_BLOCKS for r in rows)
+    # structural tile bound: 1/4 of the range + one grid cell
+    tile = 0.25 + 1.0 / (1 << rel.ZORDER_BITS) + 1e-9
+    z_u = max((r.u_max - r.u_min) / du for r in rows)
+    z_t = max((r.t_max - r.t_min) / dt for r in rows)
+    assert z_u <= tile and z_t <= tile, (z_u, z_t)
+
+    lin = (ev.withColumn("b", F.ntile(rel.ZORDER_BLOCKS)
+                         .over(Window.orderBy("user_id")))
+           .groupBy("b").agg(F.min("tsec").alias("a"),
+                             F.max("tsec").alias("z")).collect())
+    lin_t = sum((r.z - r.a) / dt for r in lin) / len(lin)
+    assert lin_t > 2 * z_t, (lin_t, z_t)
