@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "rel_star_join",         # fact⋈fact + broadcast dims
     "rel_topk_per_group",    # window group limit
     "rel_sessionize",        # window analytics over events
+    "rel_zorder_layout",     # Morton layout: map-side interleave + agg
     "dedup_minhash_lsh",     # sketch + band join + verify
     "dedup_components_lsh",  # LSH edges -> iterative clustering
     "sim_cosine_topk",       # vector scoring
@@ -39,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_semantic",        # k-means assign + within-cluster pairs
     "text_dsir_weights",     # LM aggregates + token-join scoring
     "sim_pq_topk",           # PQ encode + ADC scoring (ANN family)
+    "sim_pq_rerank",         # two-stage: ADC shortlist -> exact re-rank
     "pipeline_ingest",       # incremental-ingest composition
     "dedup_persisted_lsh",   # bucketed band-index build + batch match
     # match-only lifecycle row (VERDICT r05 #3): must run AFTER

@@ -537,6 +537,13 @@ def test_bench_queries_shuffle_budget(spark):
         "dedup_semantic": 4,
         "text_dsir_weights": 4,
         "sim_pq_topk": 3,
+        # ADC stage (3, shared with sim_pq_topk) + the shortlist
+        # window; the exact re-rank itself adds NO corpus shuffle
+        # (broadcast shortlist + broadcast queries)
+        "sim_pq_rerank": 4,
+        # SinglePartition min/max stats + the ZORDER_BLOCKS-bounded
+        # final agg; interleave/block-id are map-side
+        "rel_zorder_layout": 2,
         # +1 in r07: the stage-0 identity-gate aggregate (one doc_id
         # hash exchange, persisted so it runs once; batch-proportional
         # in production, where the old slice arrives already resolved)
