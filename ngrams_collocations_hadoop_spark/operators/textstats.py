@@ -1352,6 +1352,161 @@ SELECT lang, pair, cnt, rank FROM ranked WHERE rank <= {BPE_TOPK}
 """
 
 
+# --- BPE merge LEARNING (the iterative tokenizer-training loop) ---------
+#
+# q_bpe_pairs is one merge-SELECTION step; this is the training loop
+# itself: BPE_LEARN_STEPS rounds of count-pairs -> pick the best merge
+# -> apply it corpus-wide, emitting the learned merge table (the
+# artifact a tokenizer ships). The corpus state lives in LONG form —
+# (word, freq, pos, tok) over the DISTINCT-word vocabulary, never the
+# raw corpus — so every round is vocabulary-bounded: a lead() window
+# for adjacency, one (x, y) pair aggregate, a TakeOrdered top-1, and
+# the merge application as three more word-partitioned window passes.
+#
+# Greedy-application semantics (the part naive string replace() gets
+# wrong — boundary consumption breaks back-to-back occurrences like
+# "xyxy", and regex lookahead isn't portable to RE2): an occurrence of
+# (x, y) is merged iff it is not claimed by the previous overlapping
+# occurrence. Overlapping occurrences are consecutive ROWS of the
+# word's token sequence, so gaps-and-islands over the occurrence rows
+# (island = row_number − running occurrence count) plus odd/even
+# alternation WITHIN each island reproduces the left-to-right greedy
+# scan exactly — in pure window functions, identical in both engines.
+
+BPE_LEARN_STEPS = 3
+
+
+def _bpe_state0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial BPE state: every ≥2-char whitespace word of the corpus,
+    deduplicated with its frequency, exploded to one row per character
+    (codepoint-indexed — CJK-safe, same as q_bpe_pairs)."""
+    words = (load_table(spark, sf_dir, "documents")
+             .select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    return words.select(
+        "w", "freq",
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .alias("pos", "tok"))
+
+
+def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One merge round over the long-form state: returns (next_state,
+    best) where best is the one-row (x, y, cnt) merge this round
+    learned. All windows are word-partitioned; the only global step is
+    the pair-alphabet-bounded top-1."""
+    ws = Window.partitionBy("w").orderBy("pos")
+    adj = (state
+           .withColumn("nxt", F.lead("tok").over(ws))
+           .withColumn("rn", F.row_number().over(ws)))
+    cnts = (adj.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("x"), F.col("nxt").alias("y"))
+            .agg(F.sum("freq").alias("cnt")))
+    best = (cnts.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1))
+    run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    marked = (adj.crossJoin(F.broadcast(best))
+              .withColumn("occ", (F.col("tok") == F.col("x"))
+                          & (F.col("nxt") == F.col("y")))
+              .withColumn("rk", F.sum(F.col("occ").cast("int")).over(run)))
+    # island key: NULL for non-occurrence rows (they group together in
+    # one inert partition — their selected is false regardless); for
+    # occurrence rows rn - rk is constant exactly along a run of
+    # overlapping (consecutive-row) occurrences.
+    isl = F.when(F.col("occ"), F.col("rn") - F.col("rk"))
+    wisl = Window.partitionBy("w", isl).orderBy("pos")
+    sel = marked.withColumn(
+        "selected",
+        F.col("occ") & (((F.col("rk") - F.min("rk").over(wisl)) % 2) == 0))
+    nxt_state = (sel
+                 .withColumn("prev_sel", F.lag("selected").over(ws))
+                 .filter(~F.coalesce(F.col("prev_sel"), F.lit(False)))
+                 .select("w", "freq", "pos",
+                         F.when(F.col("selected"),
+                                F.concat("tok", "nxt"))
+                         .otherwise(F.col("tok")).alias("tok")))
+    return nxt_state, best
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_LEARN_STEPS merges over the corpus vocabulary and
+    emit the merge table (step, x, y, merged, cnt) — cnt is the
+    adjacency count that won the step, BEFORE applying the merge.
+    Deterministic end to end: the top-1 tiebreak is (cnt desc, x, y)
+    and the greedy application is the window construction above, so
+    the result is independent of partitioning/arrival order.
+
+    Scale shape: state is the distinct-word vocabulary (frequencies
+    carry corpus mass), so round cost tracks vocabulary size, not
+    corpus size — the same reduction the reference's combiner makes;
+    each round's state is persisted so round r+1 re-reads Σ|word|
+    rows, not the growing lazy DAG twice per round."""
+    state = _bpe_state0(spark, sf_dir)
+    merges = []
+    for step in range(1, BPE_LEARN_STEPS + 1):
+        state, best = _bpe_round(state)
+        state = state.persist()
+        merges.append(best.select(
+            F.lit(step).cast("long").alias("step"), "x", "y",
+            F.concat("x", "y").alias("merged"), "cnt"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_learn_oracle() -> str:
+    rounds = []
+    for r in range(1, BPE_LEARN_STEPS + 1):
+        p = r - 1
+        rounds.append(f"""
+adj{r} AS (
+    SELECT w, freq, pos, tok,
+           lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+           row_number() OVER (PARTITION BY w ORDER BY pos) AS rn
+    FROM s{p}),
+best{r} AS (
+    SELECT tok AS x, nxt AS y, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM adj{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+sel{r} AS (
+    SELECT *, occ AND ((rk - min(rk) OVER (PARTITION BY w,
+               CASE WHEN occ THEN rn - rk END ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               % 2 = 0) AS selected
+    FROM (SELECT a.*, b.x, b.y,
+                 (a.tok = b.x AND a.nxt = b.y) AS occ,
+                 sum(CASE WHEN a.tok = b.x AND a.nxt = b.y
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY a.w ORDER BY a.pos
+                         ROWS UNBOUNDED PRECEDING) AS rk
+          FROM adj{r} a CROSS JOIN best{r} b)),
+s{r} AS (
+    SELECT w, freq, pos, tok FROM (
+        SELECT w, freq, pos,
+               CASE WHEN selected THEN x || y ELSE tok END AS tok,
+               lag(selected) OVER (PARTITION BY w ORDER BY pos)
+                   AS prev_sel
+        FROM sel{r})
+    WHERE NOT coalesce(prev_sel, FALSE))""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, x, y, x || y AS merged, cnt "
+        f"FROM best{r}" for r in range(1, BPE_LEARN_STEPS + 1))
+    return f"""
+WITH words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) >= 2 GROUP BY w),
+s0 AS (
+    SELECT w, freq, i AS pos, w[i:i] AS tok
+    FROM words, UNNEST(range(1, length(w) + 1)) AS r(i)),{",".join(rounds)}
+{finals}
+"""
+
+
+ORACLE_BPE_LEARN = _bpe_learn_oracle()
+
+
 # --- Zipf law fit (token frequency power-law slope) ---------------------
 
 ZIPF_TOP = 500  # fit over the top-N ranks per language

@@ -425,3 +425,32 @@ def test_char_entropy_extremes(spark, tmp_path):
     assert out[1] == 0.0
     assert abs(out[2] - 1.0) < 1e-6
     assert abs(out[3] - 3.0) < 1e-6
+
+
+def test_bpe_learn_greedy_application(spark):
+    """Pins the greedy merge semantics on the two cases a naive
+    string-replace implementation gets wrong: a self-pair run
+    ("aaaa" + merge (a,a) must become [aa, aa] — left-to-right
+    alternation, not [aa, a, a]) and back-to-back occurrences
+    ("abab" + merge (a,b) must become [ab, ab] — boundary consumption
+    loses the second). The crafted corpus makes each round's winner
+    depend on the previous round's application being exactly greedy:
+    step 3 can only be (aa, aa) if round 1 merged "aaaa" into two
+    "aa" tokens AND round 2 merged "abab" into two "ab" tokens."""
+    import tempfile
+
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_bpe_learn)
+
+    rows = [(1, "abab aaaa cd", "en", "s", 12)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tempfile.mkdtemp(prefix="bpe_")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = sorted((r.step, r.x, r.y, r.merged, r.cnt)
+                 for r in q_bpe_learn(spark, d).collect())
+    assert out == [
+        (1, "a", "a", "aa", 3),     # aaaa: 3 overlapping (a,a) pairs
+        (2, "a", "b", "ab", 2),     # abab, after aaaa -> [aa, aa]
+        (3, "aa", "aa", "aaaa", 1), # only exists if both applied greedily
+    ], out
