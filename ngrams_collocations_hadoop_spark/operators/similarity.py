@@ -368,17 +368,13 @@ CENTROID_STRIDE = 50
 NPROBE = 2
 
 
-def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: assign every vector to its nearest
-    centroid cell (argmax cosine, tiebreak min centroid id), probe the
-    NPROBE nearest cells per query, exact re-rank within the probed
-    cells only.
-
-    Scale shape: assignment is a broadcast of the (small) centroid set
-    against the full corpus — one map-side pass; the search is an
-    equi-join on cell id, so per-query work is the probed cells' size
-    (~NPROBE/n_cells of the corpus), not the corpus. Deterministic
-    end-to-end → full SQL oracle, unlike the LSH path."""
+def _ivf_cells(spark: SparkSession,
+               sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The IVF coarse-quantizer stage, shared by the exact-rerank IVF
+    query and the IVF-PQ composition: (index, probes) where index =
+    every corpus vector with its nearest-centroid cell and probes =
+    each query with its NPROBE nearest cells. Extracted verbatim from
+    q_cosine_topk_ivf; that query's plan is unchanged."""
     e = load_finite_embeddings(spark, sf_dir)
     cents = (e.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
              .select(F.col("vec_id").alias("cent_id"),
@@ -401,6 +397,21 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("vec_id").alias("query_id"),
                       F.col("embedding").alias("q_emb"),
                       F.col("cent_id").alias("cell")))
+    return index, probes
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid cell (argmax cosine, tiebreak min centroid id), probe the
+    NPROBE nearest cells per query, exact re-rank within the probed
+    cells only.
+
+    Scale shape: assignment is a broadcast of the (small) centroid set
+    against the full corpus — one map-side pass; the search is an
+    equi-join on cell id, so per-query work is the probed cells' size
+    (~NPROBE/n_cells of the corpus), not the corpus. Deterministic
+    end-to-end → full SQL oracle, unlike the LSH path."""
+    index, probes = _ivf_cells(spark, sf_dir)
     scored = (
         index.join(F.broadcast(probes), on="cell")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -1030,11 +1041,14 @@ def _pq_d2_expr(m: int, v: str, cv: str) -> str:
             f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC-scored (query_id, vec_id, approx) candidate stream — the
-    shared stage of ``q_pq_topk`` (rank straight to top-k) and
-    ``q_pq_rerank`` (shortlist PQ_RERANK_C, then exact re-rank).
-    Extracted verbatim from q_pq_topk; the top-k plan is unchanged."""
+def _pq_parts(spark: SparkSession,
+              sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codes, qarr): the PQ index — 4-bit code array per corpus
+    vector — and the per-query ADC distance table. Shared by the flat
+    PQ scorer (``_pq_scored``: codes × every query) and the IVF-PQ
+    composition (``q_ivfpq_topk``: codes joined to the probed-cell
+    candidate set only). Extracted verbatim from q_pq_topk; its plan
+    is unchanged."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # Codebook = the first PQ_K FINITE vectors with DENSE 0-based ids:
@@ -1091,12 +1105,24 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     qarr = (qtab.groupBy("query_id")
             .agg(F.expr("transform(array_sort(collect_list("
                         "struct(cid, dots))), s -> s.dots)").alias("dt")))
+    return codes, qarr
+
+
+# ADC score: PQ_M table lookups into the query's distance table —
+# shared by the flat scorer and the IVF-PQ composition.
+_PQ_ADC_EXPR = (f"aggregate(sequence(1, {PQ_M}), 0D, (acc, m) -> "
+                f"acc + element_at(element_at(dt, "
+                f"CAST(element_at(codes, m) AS INT) + 1), m))")
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC-scored (query_id, vec_id, approx) candidate stream — the
+    shared stage of ``q_pq_topk`` (rank straight to top-k) and
+    ``q_pq_rerank`` (shortlist PQ_RERANK_C, then exact re-rank)."""
+    codes, qarr = _pq_parts(spark, sf_dir)
     return (codes.crossJoin(F.broadcast(qarr))
             .filter(F.col("vec_id") != F.col("query_id"))
-            .withColumn("approx", F.expr(
-                f"aggregate(sequence(1, {PQ_M}), 0D, (acc, m) -> "
-                f"acc + element_at(element_at(dt, "
-                f"CAST(element_at(codes, m) AS INT) + 1), m))")))
+            .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,17 +1194,22 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
 
 
-def _pq_ranked_ctes() -> str:
-    """The WITH-chain through ADC-ranked candidates, shared by the
-    PQ top-k, rerank, and recall oracles."""
+# the per-candidate ADC score text (PQ_M distance-table lookups),
+# shared by the flat-PQ and IVF-PQ oracle chains
+_PQ_ADC_SQL = (f"list_sum(list_transform(range(1, {PQ_M} + 1), "
+               f"m -> dt[CAST(codes[m] AS INT) + 1][m]))")
+
+
+def _pq_core_ctes() -> str:
+    """The codebook/codes/query-distance-table CTE segment (assumes a
+    preceding `e` CTE with the finite-vector gate), shared by the flat
+    PQ chain and the IVF-PQ composition."""
     d2 = lambda m: (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
                     f"i -> (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])"
                     f" * (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])))")
     code_cols = ", ".join(
         f"(min(struct_pack(d := {d2(m)}, c := cid))).c" for m in range(PQ_M))
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
-cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+    return f"""cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                 AS cid, v AS cv
          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),
 codes AS (
@@ -1192,11 +1223,18 @@ qtab AS (
                AS dots
     FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERY_VECS}),
 qarr AS (SELECT query_id, list(dots ORDER BY cid) AS dt
-         FROM qtab GROUP BY query_id),
+         FROM qtab GROUP BY query_id)"""
+
+
+def _pq_ranked_ctes() -> str:
+    """The WITH-chain through ADC-ranked candidates, shared by the
+    PQ top-k, rerank, and recall oracles."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+{_pq_core_ctes()},
 scored AS (
     SELECT query_id, c.vec_id AS cand_id,
-           list_sum(list_transform(range(1, {PQ_M} + 1),
-               m -> dt[CAST(codes[m] AS INT) + 1][m])) AS approx
+           {_PQ_ADC_SQL} AS approx
     FROM codes c CROSS JOIN qarr WHERE c.vec_id <> qarr.query_id),
 ranked AS (
     SELECT query_id, cand_id, approx,
@@ -1409,4 +1447,142 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact,
 FROM exact_side x
 LEFT JOIN mrl_side m
   ON x.query_id = m.query_id AND x.cand_id = m.cand_id
+"""
+
+
+# --- IVF-PQ with exact refinement (the composed serving stack) ----------
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + refine — the composition billion-scale ANN actually
+    deploys: the coarse quantizer prunes candidates to each query's
+    NPROBE cells, PQ ADC ranks ONLY those candidates from their 4-bit
+    codes (raw vectors untouched), and the top PQ_RERANK_C shortlist
+    is re-scored with exact cosine. Every stage reuses the machinery
+    of its standalone query (``_ivf_cells``, ``_pq_parts``,
+    ``q_pq_rerank``'s refinement), so the composed index inherits each
+    stage's determinism and the whole funnel carries one SQL oracle.
+
+    Scale shape: candidate generation is an equi-join on cell id
+    (probed-cells fraction of the corpus per query — never corpus²);
+    ADC scoring joins the code table, not embeddings; the only
+    raw-vector reads are |Q|·PQ_RERANK_C broadcast-pruned lookups.
+    vec_id PK precondition inherited from the PQ encoder (raises
+    diagnosably; resolve at ingest)."""
+    codes, qarr = _pq_parts(spark, sf_dir)
+    index, probes = _ivf_cells(spark, sf_dir)
+    cands = (index.select(F.col("cand_id").alias("vec_id"), "cell")
+             .join(F.broadcast(probes.select("query_id", "cell")),
+                   on="cell")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id"))
+    adc = (codes.join(cands, on="vec_id")
+           .join(F.broadcast(qarr), on="query_id")
+           .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
+    wc = (Window.partitionBy("query_id")
+          .orderBy(F.desc("approx"), F.asc("vec_id")))
+    shortlist = (adc.withColumn("crank", F.row_number().over(wc))
+                 .filter(F.col("crank") <= PQ_RERANK_C)
+                 .select("query_id", F.col("vec_id").alias("cand_id")))
+    e = load_finite_embeddings(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cv = e.select(F.col("vec_id").alias("cand_id"),
+                  F.col("embedding").alias("c_emb"))
+    rr = (cv.join(F.broadcast(shortlist), on="cand_id")
+          .join(F.broadcast(q), on="query_id")
+          .withColumn("cosine", cosine_expr("q_emb", "c_emb")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (rr.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
+
+
+ORACLE_IVFPQ_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
+{_pq_core_ctes()},
+cents AS (
+    SELECT vec_id AS cent_id, v AS cv FROM e
+    WHERE vec_id % {CENTROID_STRIDE} = 0),
+cell_scored AS (
+    SELECT e.vec_id, c.cent_id,
+           list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+    FROM e CROSS JOIN cents c),
+ranked_cells AS (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cent_id ASC) AS cell_rank
+    FROM cell_scored),
+idx AS (
+    SELECT vec_id, cent_id AS cell
+    FROM ranked_cells WHERE cell_rank = 1),
+probes AS (
+    SELECT vec_id AS query_id, cent_id AS cell
+    FROM ranked_cells
+    WHERE vec_id < {N_QUERY_VECS} AND cell_rank <= {NPROBE}),
+cands AS (
+    SELECT p.query_id, i.vec_id
+    FROM idx i JOIN probes p USING (cell)
+    WHERE i.vec_id <> p.query_id),
+adc AS (
+    SELECT cd.query_id, cd.vec_id AS cand_id,
+           {_PQ_ADC_SQL} AS approx
+    FROM cands cd
+    JOIN codes k ON k.vec_id = cd.vec_id
+    JOIN qarr q ON q.query_id = cd.query_id),
+shortlist AS (
+    SELECT query_id, cand_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx DESC, cand_id ASC) AS crank FROM adc)
+    WHERE crank <= {PQ_RERANK_C}),
+rr AS (
+    SELECT s.query_id, s.cand_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM shortlist s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e c ON c.vec_id = s.cand_id),
+rranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM rr)
+SELECT query_id, cand_id, {ieee_round_sql('cosine')} AS cosine, rank
+FROM rranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF-PQ+refine funnel vs exact brute
+    force — the recall-audit member for the composition (its loss is
+    the UNION of the cell-pruning loss measured by sim_ivf_recall and
+    the code-quantization loss measured by sim_pq_rerank_recall; this
+    row is where the combined trade is visible)."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    found = (q_ivfpq_topk(spark, sf_dir)
+             .select("query_id", "cand_id").withColumn("_hit", F.lit(1)))
+    hits = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+    return (exact.join(found, on=["query_id", "cand_id"], how="left")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 hits.alias("n_found"),
+                 ieee_round(F.try_divide(hits.cast("double"),
+                                         F.count(F.lit(1))), 4)
+                 .alias("recall")))
+
+
+ORACLE_SIM_IVFPQ_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+ivfpq_side AS ({ORACLE_IVFPQ_TOPK})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(i.cand_id) AS BIGINT) AS n_found,
+       {ieee_round_sql('count(i.cand_id)::DOUBLE / count(*)', 4)} AS recall
+FROM exact_side x
+LEFT JOIN ivfpq_side i
+  ON x.query_id = i.query_id AND x.cand_id = i.cand_id
 """

@@ -658,3 +658,37 @@ def test_mrl_funnel_contract(spark):
     audit = sim.q_sim_mrl_recall(spark, SF_SMALL).collect()[0]
     assert 0 <= audit.n_found <= audit.n_exact, audit
     assert abs(audit.recall - round(audit.n_found / audit.n_exact, 4)) < 1e-9
+
+
+def test_ivfpq_funnel_composes_its_stages(spark):
+    """IVF-PQ + refine contract: every result pair's candidate must
+    lie in one of the query's NPROBE probed cells (the coarse-prune
+    stage actually gates) and ranks must be dense per query. Recall
+    direction, pinned on the fixture: cell pruning removes true
+    neighbors outside the probed cells, so the composed funnel's
+    recall sits at-or-below the cell-unpruned PQ rerank's here (not a
+    theorem — pruning can also evict ADC-favored FALSE candidates
+    from the shortlist — but a stable property of this corpus that a
+    probe/centroid retune regression would flip)."""
+    from pyspark.sql import functions as F
+
+    from ngrams_collocations_hadoop_spark.operators import similarity as sim
+    from .conftest import SF_SMALL
+
+    index, probes = sim._ivf_cells(spark, SF_SMALL)
+    allowed = {(p.query_id, i.cand_id)
+               for i in index.select("cand_id", "cell").collect()
+               for p in probes.select("query_id", "cell").collect()
+               if i.cell == p.cell and i.cand_id != p.query_id}
+    out = sim.q_ivfpq_topk(spark, SF_SMALL).collect()
+    per_q = {}
+    for r in out:
+        assert (r.query_id, r.cand_id) in allowed, r
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+    rr = sim.q_sim_pq_rerank_recall(spark, SF_SMALL).collect()[0]
+    fp = sim.q_sim_ivfpq_recall(spark, SF_SMALL).collect()[0]
+    assert fp.n_exact == rr.n_exact > 0
+    assert fp.recall <= rr.recall_rerank, (fp.recall, rr.recall_rerank)

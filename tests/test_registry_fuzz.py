@@ -39,7 +39,7 @@ FUZZ_QUERIES = [
     "text_dup_span_removal", "text_winnow_fingerprints", "text_containment",
     "text_weighted_sample", "text_group_sample", "text_char_entropy",
     "text_heaps", "text_zipf", "text_repetition", "text_pii_redact",
-    "text_pack_sequences", "text_curriculum_buckets",
+    "text_pack_sequences", "text_curriculum_buckets", "text_bpe_learn",
     # multimodal plumbing (byte-exact oracles)
     "mm_binary_stats", "mm_frame_sample", "mm_resize",
     # events-only
@@ -53,7 +53,10 @@ FUZZ_QUERIES = [
     "rel_sketch_reagg", "rel_pit_enrich", "rel_scd2",
     # embeddings-only
     "sim_cosine_topk", "dedup_embedding_cosine", "sim_label_centroids",
-    "sim_kmeans_step", "sim_embedding_covariance",
+    "sim_kmeans_step", "sim_embedding_covariance", "sim_pq_rerank",
+    "sim_mrl_topk", "sim_ivfpq_topk",
+    # events two-dimensional layout (extreme-magnitude ids, pre-epoch)
+    "rel_zorder_layout",
     # TPC-H-table representatives (ties, NULL acctbal, dangling FKs)
     "rel_pricing_summary", "rel_star_join", "rel_topk_per_group",
     "rel_window_ranks", "rel_percentiles", "rel_asof_join",
@@ -117,6 +120,8 @@ EMPTY_SENSITIVE = [
     "sim_pq_recall", "sim_lsh_recall", "sim_ivf_recall",
     "dedup_lsh_recall", "rel_rollup", "rel_cube", "rel_grouping_sets",
     "rel_profile", "dedup_simhash_check",
+    # late-r07 recall audits (same zero-row division class)
+    "sim_pq_rerank_recall", "sim_mrl_recall", "sim_ivfpq_recall",
 ]
 
 
@@ -156,6 +161,8 @@ PARTITION_SENSITIVE = [
     # the r05 sf0.1 campaign find: per-round float rank sums were
     # accumulation-order dependent — keep its class pinned here
     "dedup_pagerank",
+    # late-r07: iterative top-1 selection + shortlist-window funnels
+    "text_bpe_learn", "sim_pq_rerank", "sim_mrl_topk",
 ]
 
 
