@@ -117,3 +117,43 @@ def compact_files(spark: SparkSession, in_path: str, out_path: str,
     # must not destroy any existing clustering within the data).
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_blocks: int | None = None) -> None:
+    """Physical Z-order rewrite — the layout `q_zorder_layout` audits,
+    actually written: compute the Morton value of (col_a, col_b) with
+    the SAME shared-text grid/interleave expressions as the audit
+    (operators.relational), cut the curve into block-aligned ranges,
+    and write ONE FILE PER BLOCK (a z_block=N directory each). The
+    parquet footer of every file then carries min/max stats bounded on
+    BOTH columns at the tile size — the envelopes the audit reports
+    become the row-group statistics a scan prunes on
+    (tests/test_storage_skew.py reads the footers back and checks).
+
+    Scale shape: one broadcast min/max aggregate, map-side integer
+    expressions, one repartition on the block id (the shuffle any
+    layout rewrite pays), partition-pruned directory layout out. Rows
+    with a NULL in either column carry no curve position and are
+    excluded — gate or route them before rewriting."""
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import (ZORDER_BLOCKS, _zgrid_sql,
+                                        _zinterleave_sql)
+
+    n_blocks = n_blocks or ZORDER_BLOCKS
+    gated = df.filter(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+    stats = gated.agg(
+        F.min(F.col(col_a).cast("double")).alias("umin"),
+        F.max(F.col(col_a).cast("double")).alias("umax"),
+        F.min(F.col(col_b).cast("double")).alias("tmin"),
+        F.max(F.col(col_b).cast("double")).alias("tmax"))
+    z = _zinterleave_sql(_zgrid_sql(col_a, "umin", "umax"),
+                         _zgrid_sql(col_b, "tmin", "tmax"))
+    shift = 16 - n_blocks.bit_length() + 1   # 2*ZORDER_BITS wide curve
+    out = (gated.crossJoin(F.broadcast(stats))
+           .withColumn("z_block", F.expr(f"({z}) >> {shift}"))
+           .drop("umin", "umax", "tmin", "tmax"))
+    (out.repartition(n_blocks, F.col("z_block"))
+     .write.mode("overwrite").partitionBy("z_block").parquet(path))

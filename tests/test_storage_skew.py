@@ -343,3 +343,52 @@ def test_zorder_layout_bounds_both_dimensions(spark):
                              F.max("tsec").alias("z")).collect())
     lin_t = sum((r.z - r.a) / dt for r in lin) / len(lin)
     assert lin_t > 2 * z_t, (lin_t, z_t)
+
+
+def test_write_zordered_footers_carry_tile_bounded_stats(spark, tmp_path):
+    """The physical rewrite must make the audit's envelopes REAL: after
+    write_zordered, every parquet file's footer min/max statistics for
+    BOTH layout columns span at most one Morton tile (1/4 of the
+    corpus range + one grid cell) — i.e. the stats any pruning reader
+    consumes now bound both dimensions, which no single-column sort
+    write can produce. Also: block-aligned directories, no row loss."""
+    import pyarrow.parquet as papq
+
+    from ngrams_collocations_hadoop_spark.operators import relational as rel
+    from ngrams_collocations_hadoop_spark.sources.storage import (
+        write_zordered)
+
+    ev = (rel._t(spark, SF_SMALL, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", F.col("ts").cast("long").alias("tsec")))
+    st = ev.agg(F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+                F.min("tsec").alias("tmin"), F.max("tsec").alias("tmax"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
+    du, dt = max(st.umax - st.umin, 1), max(st.tmax - st.tmin, 1)
+
+    out = str(tmp_path / "zorder")
+    write_zordered(ev, out, "user_id", "tsec")
+
+    import glob
+    files = glob.glob(f"{out}/z_block=*/*.parquet")
+    assert len(files) == len(glob.glob(f"{out}/z_block=*")) \
+        and len(files) >= 8, files   # one file per written block
+    tile = 0.25 + 1.0 / (1 << rel.ZORDER_BITS) + 1e-9
+    total = 0
+    for f in files:
+        md = papq.ParquetFile(f).metadata
+        total += md.num_rows
+        lo = {"user_id": None, "tsec": None}
+        hi = {"user_id": None, "tsec": None}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in lo and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        assert lo["user_id"] is not None and lo["tsec"] is not None, f
+        assert (hi["user_id"] - lo["user_id"]) / du <= tile, f
+        assert (hi["tsec"] - lo["tsec"]) / dt <= tile, f
+    assert total == st.n
