@@ -119,7 +119,8 @@ def main() -> None:
     }
     prev = _latest_recorded_bench()
     if prev:
-        out["prev_total"] = prev["value"]
+        if "value" in prev:
+            out["prev_total"] = prev["value"]
         out["delta_vs_prev"] = {
             n: round(t - prev["queries"][n], 3)
             for n, t in timings.items() if n in prev.get("queries", {})
@@ -146,9 +147,28 @@ def _latest_recorded_bench() -> dict | None:
     files.sort(key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
     try:
         with open(files[-1]) as f:
-            return json.load(f).get("parsed")
+            rec = json.load(f)
     except (OSError, ValueError):
         return None
+    if rec.get("parsed"):
+        return rec["parsed"]
+    # Some driver records carry parsed=null and only the TAIL of the
+    # emitted JSON line (head truncated mid-object — observed:
+    # BENCH_r06.json). Recover whichever flat sub-maps survived
+    # complete, so round-over-round deltas don't silently disappear.
+    tail = rec.get("tail") or ""
+    out: dict = {}
+    for key in ("queries", "queries_median"):
+        m = re.search(rf'"{key}": ({{[^{{}}]*}})', tail)
+        if m:
+            try:
+                out[key] = json.loads(m.group(1))
+            except ValueError:
+                pass
+    m = re.search(r'"value": ([0-9.]+)', tail)
+    if m:
+        out["value"] = float(m.group(1))
+    return out or None
 
 
 if __name__ == "__main__":
