@@ -2403,11 +2403,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("user_id").cast("double")).alias("umax"),
         F.min(F.col("tsec").cast("double")).alias("tmin"),
         F.max(F.col("tsec").cast("double")).alias("tmax"))
-    zx = _zgrid_sql("user_id", "umin", "umax")
-    zy = _zgrid_sql("tsec", "tmin", "tmax")
-    z = _zinterleave_sql(zx, zy)
+    # grid coordinates are projected ONCE and the interleave references
+    # the projected columns — inlining the grid text into all 16 bit
+    # terms would hand codegen (and the oracle's parser) a 16x-expanded
+    # expression and bet correctness of the plan size on CSE
+    z = _zinterleave_sql("zx", "zy")
     shift = 2 * ZORDER_BITS - ZORDER_BLOCKS.bit_length() + 1
     return (ev.crossJoin(F.broadcast(stats))
+            .withColumn("zx", F.expr(_zgrid_sql("user_id", "umin", "umax")))
+            .withColumn("zy", F.expr(_zgrid_sql("tsec", "tmin", "tmax")))
             .withColumn("block_id", F.expr(f"({z}) >> {shift}"))
             .groupBy("block_id")
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -2418,9 +2422,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_oracle() -> str:
-    zx = _zgrid_sql("user_id", "umin", "umax")
-    zy = _zgrid_sql("tsec", "tmin", "tmax")
-    z = _zinterleave_sql(zx, zy)
+    z = _zinterleave_sql("zx", "zy")
     shift = 2 * ZORDER_BITS - ZORDER_BLOCKS.bit_length() + 1
     return f"""
 WITH ev AS (
@@ -2431,12 +2433,17 @@ stats AS (
            max(CAST(user_id AS DOUBLE)) AS umax,
            min(CAST(tsec AS DOUBLE)) AS tmin,
            max(CAST(tsec AS DOUBLE)) AS tmax
-    FROM ev)
+    FROM ev),
+grid AS (
+    SELECT user_id, tsec,
+           {_zgrid_sql("user_id", "umin", "umax")} AS zx,
+           {_zgrid_sql("tsec", "tmin", "tmax")} AS zy
+    FROM ev CROSS JOIN stats)
 SELECT ({z}) >> {shift} AS block_id,
        count(*) AS n_rows,
        min(user_id) AS u_min, max(user_id) AS u_max,
        min(tsec) AS t_min, max(tsec) AS t_max
-FROM ev CROSS JOIN stats
+FROM grid
 GROUP BY 1
 """
 

@@ -1156,6 +1156,50 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_RERANK_C = 30   # ADC shortlist size the exact re-rank scores
 
 
+def _exact_refine(spark: SparkSession, sf_dir: str,
+                  shortlist: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, cand_id) shortlist to
+    TOPK_NEIGHBORS — the refinement stage shared by ``q_pq_rerank``
+    and ``q_ivfpq_topk`` (one definition, so a tiebreak or rounding
+    change can't drift between the funnels). The shortlist re-enters
+    the embeddings scan as a broadcast: |Q|·C raw-vector reads, no
+    corpus shuffle."""
+    e = load_finite_embeddings(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cv = e.select(F.col("vec_id").alias("cand_id"),
+                  F.col("embedding").alias("c_emb"))
+    rr = (cv.join(F.broadcast(shortlist), on="cand_id")
+          .join(F.broadcast(q), on="query_id")
+          .withColumn("cosine", cosine_expr("q_emb", "c_emb")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("cand_id")))
+    return (rr.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", "cand_id",
+                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
+
+
+# the oracle twin of _exact_refine: assumes CTEs `e` (gated vectors)
+# and `shortlist` (query_id, cand_id) are in scope
+_REFINE_SQL = f"""rr AS (
+    SELECT s.query_id, s.cand_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM shortlist s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e c ON c.vec_id = s.cand_id),
+rranked AS (
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM rr)
+SELECT query_id, cand_id, {ieee_round_sql('cosine')} AS cosine, rank
+FROM rranked WHERE rank <= {TOPK_NEIGHBORS}"""
+
+
 def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ retrieval — the shape production ANN actually
     ships: the compressed index ranks EVERYTHING cheaply (ADC table
@@ -1177,21 +1221,7 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (scored.withColumn("crank", F.row_number().over(wc))
              .filter(F.col("crank") <= PQ_RERANK_C)
              .select("query_id", F.col("vec_id").alias("cand_id")))
-    e = load_finite_embeddings(spark, sf_dir)
-    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
-    cv = e.select(F.col("vec_id").alias("cand_id"),
-                  F.col("embedding").alias("c_emb"))
-    rr = (cv.join(F.broadcast(cands), on="cand_id")
-          .join(F.broadcast(q), on="query_id")
-          .withColumn("cosine", cosine_expr("q_emb", "c_emb")))
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("cosine"), F.asc("cand_id")))
-    return (rr.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= TOPK_NEIGHBORS)
-            .select("query_id", "cand_id",
-                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
+    return _exact_refine(spark, sf_dir, cands)
 
 
 # the per-candidate ADC score text (PQ_M distance-table lookups),
@@ -1252,21 +1282,7 @@ FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 ORACLE_PQ_RERANK = f"""{_pq_ranked_ctes()},
 shortlist AS (
     SELECT query_id, cand_id FROM ranked WHERE rank <= {PQ_RERANK_C}),
-rr AS (
-    SELECT s.query_id, s.cand_id,
-           list_dot_product(q.v, c.v)
-             / (sqrt(list_dot_product(q.v, q.v))
-                * sqrt(list_dot_product(c.v, c.v))) AS cosine
-    FROM shortlist s
-    JOIN e q ON q.vec_id = s.query_id
-    JOIN e c ON c.vec_id = s.cand_id),
-rranked AS (
-    SELECT query_id, cand_id, cosine,
-           CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
-    FROM rr)
-SELECT query_id, cand_id, {ieee_round_sql('cosine')} AS cosine, rank
-FROM rranked WHERE rank <= {TOPK_NEIGHBORS}
+{_REFINE_SQL}
 """
 
 
@@ -1484,21 +1500,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (adc.withColumn("crank", F.row_number().over(wc))
                  .filter(F.col("crank") <= PQ_RERANK_C)
                  .select("query_id", F.col("vec_id").alias("cand_id")))
-    e = load_finite_embeddings(spark, sf_dir)
-    q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
-    cv = e.select(F.col("vec_id").alias("cand_id"),
-                  F.col("embedding").alias("c_emb"))
-    rr = (cv.join(F.broadcast(shortlist), on="cand_id")
-          .join(F.broadcast(q), on="query_id")
-          .withColumn("cosine", cosine_expr("q_emb", "c_emb")))
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("cosine"), F.asc("cand_id")))
-    return (rr.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= TOPK_NEIGHBORS)
-            .select("query_id", "cand_id",
-                    ieee_round(F.col("cosine"), 6).alias("cosine"), "rank"))
+    return _exact_refine(spark, sf_dir, shortlist)
 
 
 ORACLE_IVFPQ_TOPK = f"""
@@ -1540,21 +1542,7 @@ shortlist AS (
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY approx DESC, cand_id ASC) AS crank FROM adc)
     WHERE crank <= {PQ_RERANK_C}),
-rr AS (
-    SELECT s.query_id, s.cand_id,
-           list_dot_product(q.v, c.v)
-             / (sqrt(list_dot_product(q.v, q.v))
-                * sqrt(list_dot_product(c.v, c.v))) AS cosine
-    FROM shortlist s
-    JOIN e q ON q.vec_id = s.query_id
-    JOIN e c ON c.vec_id = s.cand_id),
-rranked AS (
-    SELECT query_id, cand_id, cosine,
-           CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
-    FROM rr)
-SELECT query_id, cand_id, {ieee_round_sql('cosine')} AS cosine, rank
-FROM rranked WHERE rank <= {TOPK_NEIGHBORS}
+{_REFINE_SQL}
 """
 
 

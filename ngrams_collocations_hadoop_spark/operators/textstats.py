@@ -1445,7 +1445,10 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = []
     for step in range(1, BPE_LEARN_STEPS + 1):
         state, best = _bpe_round(state)
-        state = state.persist()
+        if step < BPE_LEARN_STEPS:
+            # the final round's state feeds nothing — only persist
+            # states a later round re-reads (twice: pair count + merge)
+            state = state.persist()
         merges.append(best.select(
             F.lit(step).cast("long").alias("step"), "x", "y",
             F.concat("x", "y").alias("merged"), "cnt"))

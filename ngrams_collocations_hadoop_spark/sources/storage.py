@@ -138,10 +138,15 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     excluded — gate or route them before rewriting."""
     from pyspark.sql import functions as F
 
-    from ..operators.relational import (ZORDER_BLOCKS, _zgrid_sql,
-                                        _zinterleave_sql)
+    from ..operators.relational import (ZORDER_BITS, ZORDER_BLOCKS,
+                                        _zgrid_sql, _zinterleave_sql)
 
-    n_blocks = n_blocks or ZORDER_BLOCKS
+    n_blocks = ZORDER_BLOCKS if n_blocks is None else n_blocks
+    # block ids come from a shift, so only power-of-two counts cut the
+    # curve into equal block-aligned ranges — anything else would
+    # silently write a different number of directories than asked
+    if n_blocks < 1 or n_blocks & (n_blocks - 1):
+        raise ValueError(f"n_blocks must be a power of two, got {n_blocks}")
     gated = df.filter(F.col(col_a).isNotNull()
                       & F.col(col_b).isNotNull())
     stats = gated.agg(
@@ -149,11 +154,14 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
         F.max(F.col(col_a).cast("double")).alias("umax"),
         F.min(F.col(col_b).cast("double")).alias("tmin"),
         F.max(F.col(col_b).cast("double")).alias("tmax"))
-    z = _zinterleave_sql(_zgrid_sql(col_a, "umin", "umax"),
-                         _zgrid_sql(col_b, "tmin", "tmax"))
-    shift = 16 - n_blocks.bit_length() + 1   # 2*ZORDER_BITS wide curve
+    # curve width follows the audit's ZORDER_BITS — a retune there must
+    # move the rewrite and the audit together
+    shift = 2 * ZORDER_BITS - n_blocks.bit_length() + 1
+    z = _zinterleave_sql("zx", "zy")
     out = (gated.crossJoin(F.broadcast(stats))
+           .withColumn("zx", F.expr(_zgrid_sql(col_a, "umin", "umax")))
+           .withColumn("zy", F.expr(_zgrid_sql(col_b, "tmin", "tmax")))
            .withColumn("z_block", F.expr(f"({z}) >> {shift}"))
-           .drop("umin", "umax", "tmin", "tmax"))
+           .drop("umin", "umax", "tmin", "tmax", "zx", "zy"))
     (out.repartition(n_blocks, F.col("z_block"))
      .write.mode("overwrite").partitionBy("z_block").parquet(path))

@@ -162,7 +162,7 @@ PARTITION_SENSITIVE = [
     # accumulation-order dependent — keep its class pinned here
     "dedup_pagerank",
     # late-r07: iterative top-1 selection + shortlist-window funnels
-    "text_bpe_learn", "sim_pq_rerank", "sim_mrl_topk",
+    "text_bpe_learn", "sim_pq_rerank", "sim_mrl_topk", "sim_ivfpq_topk",
 ]
 
 

@@ -367,6 +367,9 @@ def test_write_zordered_footers_carry_tile_bounded_stats(spark, tmp_path):
     du, dt = max(st.umax - st.umin, 1), max(st.tmax - st.tmin, 1)
 
     out = str(tmp_path / "zorder")
+    import pytest
+    with pytest.raises(ValueError):   # shift-cut ranges need 2^k blocks
+        write_zordered(ev, out, "user_id", "tsec", n_blocks=12)
     write_zordered(ev, out, "user_id", "tsec")
 
     import glob
