@@ -1428,6 +1428,23 @@ def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     return nxt_state, best
 
 
+def _bpe_chain(spark: SparkSession, sf_dir: str
+               ) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the full BPE_LEARN_STEPS training chain: returns the final
+    vocabulary state and the per-step best-merge rows. Intermediate
+    states are persisted (each is re-read twice by the next round:
+    pair count + merge); the final state is left lazy — q_bpe_learn
+    never reads it and q_bpe_apply reads it exactly once."""
+    state = _bpe_state0(spark, sf_dir)
+    bests = []
+    for step in range(1, BPE_LEARN_STEPS + 1):
+        state, best = _bpe_round(state)
+        if step < BPE_LEARN_STEPS:
+            state = state.persist()
+        bests.append(best)
+    return state, bests
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn BPE_LEARN_STEPS merges over the corpus vocabulary and
     emit the merge table (step, x, y, merged, cnt) — cnt is the
@@ -1441,24 +1458,49 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size — the same reduction the reference's combiner makes;
     each round's state is persisted so round r+1 re-reads Σ|word|
     rows, not the growing lazy DAG twice per round."""
-    state = _bpe_state0(spark, sf_dir)
-    merges = []
-    for step in range(1, BPE_LEARN_STEPS + 1):
-        state, best = _bpe_round(state)
-        if step < BPE_LEARN_STEPS:
-            # the final round's state feeds nothing — only persist
-            # states a later round re-reads (twice: pair count + merge)
-            state = state.persist()
-        merges.append(best.select(
-            F.lit(step).cast("long").alias("step"), "x", "y",
-            F.concat("x", "y").alias("merged"), "cnt"))
+    _, bests = _bpe_chain(spark, sf_dir)
+    merges = [best.select(
+        F.lit(step).cast("long").alias("step"), "x", "y",
+        F.concat("x", "y").alias("merged"), "cnt")
+        for step, best in enumerate(bests, start=1)]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
 
 
-def _bpe_learn_oracle() -> str:
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merges q_bpe_learn just trained —
+    the APPLY half of the tokenizer loop — and report per-language
+    tokenization stats: word/token/char volumes and chars-per-token
+    (the compression a tokenizer is judged by). Token counts come from
+    the final vocabulary state (rows per word after the merge rounds),
+    joined back to corpus word occurrences; single-char words (which
+    the ≥2-char training state excludes) tokenize to themselves.
+
+    Scale shape: the expensive part (the merge rounds) stays
+    vocabulary-bounded; the corpus-side work is one word explode +
+    an equi-join on word + a lang-bounded aggregate."""
+    state, _ = _bpe_chain(spark, sf_dir)
+    tokc = state.groupBy("w").agg(F.count(F.lit(1)).alias("n_toks"))
+    cwords = (load_table(spark, sf_dir, "documents")
+              .select("lang", F.explode(F.split("text", " ")).alias("w"))
+              .filter(F.length("w") >= 1))
+    toks = F.coalesce(F.col("n_toks"), F.lit(1))
+    return (cwords.join(tokc, on="w", how="left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(toks).alias("n_tokens"),
+                 F.sum(F.length("w")).cast("long").alias("n_chars"),
+                 ieee_round(F.try_divide(
+                     F.sum(F.length("w")).cast("double"),
+                     F.sum(toks).cast("double")), 6)
+                 .alias("chars_per_token")))
+
+
+def _bpe_chain_sql() -> str:
+    """The WITH-chain through the final state s{BPE_LEARN_STEPS},
+    shared by the learn and apply oracles."""
     rounds = []
     for r in range(1, BPE_LEARN_STEPS + 1):
         p = r - 1
@@ -1492,22 +1534,49 @@ s{r} AS (
                    AS prev_sel
         FROM sel{r})
     WHERE NOT coalesce(prev_sel, FALSE))""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS step, x, y, x || y AS merged, cnt "
-        f"FROM best{r}" for r in range(1, BPE_LEARN_STEPS + 1))
-    return f"""
-WITH words AS (
+    return f"""WITH words AS (
     SELECT w, CAST(count(*) AS BIGINT) AS freq
     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
     WHERE length(w) >= 2 GROUP BY w),
 s0 AS (
     SELECT w, freq, i AS pos, w[i:i] AS tok
-    FROM words, UNNEST(range(1, length(w) + 1)) AS r(i)),{",".join(rounds)}
+    FROM words, UNNEST(range(1, length(w) + 1)) AS r(i)),{",".join(rounds)}"""
+
+
+def _bpe_learn_oracle() -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, x, y, x || y AS merged, cnt "
+        f"FROM best{r}" for r in range(1, BPE_LEARN_STEPS + 1))
+    return f"""
+{_bpe_chain_sql()}
 {finals}
 """
 
 
 ORACLE_BPE_LEARN = _bpe_learn_oracle()
+
+
+ORACLE_BPE_APPLY = f"""
+{_bpe_chain_sql()},
+tokc AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n_toks
+    FROM s{BPE_LEARN_STEPS} GROUP BY w),
+cwords AS (
+    SELECT lang, w
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    WHERE length(w) >= 1)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(n_toks, 1)) AS BIGINT) AS n_tokens,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       {ieee_round_sql(
+           'CAST(sum(length(w)) AS DOUBLE)'
+           ' / CAST(sum(coalesce(n_toks, 1)) AS DOUBLE)')}
+           AS chars_per_token
+FROM cwords LEFT JOIN tokc USING (w)
+GROUP BY lang
+"""
 
 
 # --- Zipf law fit (token frequency power-law slope) ---------------------

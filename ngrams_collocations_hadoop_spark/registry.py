@@ -262,19 +262,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (VERDICT r06 #3) — plus 2 new (ingest_id_audit, the identity gate
 # as an oracle-checked query; stream_id_resolve, the keeper rule as a
 # streaming operator over divergent at-least-once redeliveries; late
-# r07 adds 8 more new: the two-stage refinement ANN family —
+# r07 adds 9 more new: the two-stage refinement ANN family —
 # sim_pq_rerank + sim_pq_rerank_recall (PQ ADC shortlist -> exact
 # re-rank), sim_mrl_topk + sim_mrl_recall (Matryoshka prefix funnel),
 # sim_ivfpq_topk + sim_ivfpq_recall (the composed coarse-prune ->
 # ADC -> refine serving stack) — rel_zorder_layout, the Morton
-# data-layout operator, and text_bpe_learn, the BPE merge-training
-# loop) — then
+# data-layout operator, and the tokenizer loop text_bpe_learn +
+# text_bpe_apply) — then
 # the full 17-query r03 refresh queue and the stalest r04 rows led by
 # the late-r05-edited embedding family (VERDICT r06 #1;
 # stream_merge_sink, mm_resize, and — for the late-r07 additions —
 # dedup_fingerprint, dedup_ngram_jaccard, rel_equidepth_histogram,
 # text_dup_spans, text_contamination, dedup_exact, dedup_components,
-# dedup_keep_one displaced to the tail head by the new queries). All dup-id totality/raise contracts are pinned in
+# dedup_keep_one, dedup_incremental_lsh displaced to the tail head by
+# the new queries). All dup-id totality/raise contracts are pinned in
 # test_registry_fuzz.py WITHOUT pre-resolution, and the full-registry
 # dup-id campaign (scripts/fuzz_dupid.py) measures the remaining
 # documented-precondition family. Accounting after r07: no query's
@@ -313,6 +314,10 @@ QUERIES: dict[str, QueryFn] = {
     # count -> pick -> greedy-apply, unrolled BPE_LEARN_STEPS times,
     # emitting the learned merge table (displaces dedup_exact)
     "text_bpe_learn": textstats.q_bpe_learn,
+    # ... and its APPLY half: tokenize the corpus with the learned
+    # merges, per-lang compression stats (displaces
+    # dedup_incremental_lsh)
+    "text_bpe_apply": textstats.q_bpe_apply,
     # IVF-PQ + exact refinement: the composed serving stack (coarse
     # prune -> ADC -> rerank) + its recall audit (displace
     # dedup_components / dedup_keep_one)
@@ -353,8 +358,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
     "dedup_communities_lsh": dedup.q_dedup_communities_lsh,
     "pipeline_training_prep": pipeline.q_training_prep,
-    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,
     # ================= end of the 50-query r07 window =================
+    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,
     "dedup_components": dedup.q_dedup_components,
     "dedup_keep_one": dedup.q_dedup_keep_one,
     "dedup_exact": dedup.q_dedup_exact,
@@ -500,6 +505,7 @@ ORACLES: dict[str, str] = {
     "sim_mrl_recall": similarity.ORACLE_SIM_MRL_RECALL,
     "rel_zorder_layout": rel.ORACLE_ZORDER_LAYOUT,
     "text_bpe_learn": textstats.ORACLE_BPE_LEARN,
+    "text_bpe_apply": textstats.ORACLE_BPE_APPLY,
     "sim_ivfpq_topk": similarity.ORACLE_IVFPQ_TOPK,
     "sim_ivfpq_recall": similarity.ORACLE_SIM_IVFPQ_RECALL,
     "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,

@@ -201,3 +201,18 @@ def read_csv(spark: SparkSession, path: str,
             .option("escape", '"').option("mode", "DROPMALFORMED")
             .option("multiLine", "true")
             .csv(path))
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar interchange format large Hadoop
+    estates standardize on (Hive-lineage warehouses); built into Spark,
+    same predicate-pushdown/column-pruning contract as parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. ORC files embed their schema (no inference pass), and
+    Spark's reader pushes filters and prunes columns exactly as for
+    parquet — `tests/test_sources.py` pins the round-trip and that a
+    filtered read reaches the ORC scan as a pushed filter."""
+    return spark.read.orc(path)

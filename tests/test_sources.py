@@ -238,3 +238,27 @@ def test_footer_unit_guard_scales_micros(spark):
     # and the ns-annotated fixture path still reports ns
     assert _footer_ts_unit(
         SF_SMALL + "/events.parquet", "ts") in ("ns", "us", "ms")
+
+
+def test_orc_roundtrip_and_pushdown(spark):
+    """ORC round-trip: schema and rows survive, and a filtered read
+    reaches the ORC scan as a pushed filter (the same contract the
+    parquet path relies on — pinned so a format regression can't
+    silently disable pruning)."""
+    from ngrams_collocations_hadoop_spark.plans.checks import physical_plan
+    from ngrams_collocations_hadoop_spark.sources.formats import (
+        read_orc, write_orc)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="orc_")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    write_orc(docs, f"{d}/docs")
+    back = read_orc(spark, f"{d}/docs")
+    assert back.schema == docs.schema
+    assert (sorted(r["doc_id"] for r in back.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in docs.select("doc_id").collect()))
+
+    plan = physical_plan(back.filter(F.col("doc_id") == 7)
+                         .select("doc_id", "lang"))
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters:")[1][:120], plan

@@ -454,3 +454,11 @@ def test_bpe_learn_greedy_application(spark):
         (2, "a", "b", "ab", 2),     # abab, after aaaa -> [aa, aa]
         (3, "aa", "aa", "aaaa", 1), # only exists if both applied greedily
     ], out
+
+    # apply: abab -> [ab, ab], aaaa -> [aaaa], cd (never merged) -> [c, d]
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        q_bpe_apply)
+    st = q_bpe_apply(spark, d).collect()
+    assert len(st) == 1 and st[0].lang == "en"
+    assert (st[0].n_words, st[0].n_tokens, st[0].n_chars) == (3, 5, 10), st
+    assert abs(st[0].chars_per_token - 2.0) < 1e-9
