@@ -321,3 +321,116 @@ FROM kept GROUP BY 1
 
 
 ORACLE_INGEST_PIPELINE = _oracle_ingest()
+
+
+# --- benchmark decontamination (train-side) ------------------------------
+
+DECON_THRESH = 0.5   # drop a train doc when MORE than half its
+                     # distinct shingles appear in the benchmark split
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train-side mirror of
+    `text_contamination` (which audits TEST docs): flag every TRAIN
+    document whose distinct-shingle overlap with the benchmark (test
+    split) exceeds DECON_THRESH, drop it, and emit the per-language
+    accounting every data release publishes: train volume, dropped
+    count, kept count, kept char mass, dropped fraction. Composes the
+    shared split rule (`split_is_train`) and shingle construction
+    (SHINGLE_N) verbatim, so the audit and the removal can't disagree
+    about what "contaminated" means.
+
+    Scale shape: shingles explode map-side; the benchmark side
+    collapses to a DISTINCT shingle set before the join (the one big
+    shuffle, keyed on the shingle); per-doc overlap is one aggregate;
+    the accounting is lang-bounded. Train docs too short to shingle
+    have nothing to leak — kept, contamination 0, in both engines
+    (they re-enter via the docs-side left join, not the explode)."""
+    from .textstats import SHINGLE_N, split_is_train
+    from ..sources.tables import fan_out
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .withColumn("split", F.when(split_is_train(), F.lit("train"))
+                    .otherwise(F.lit("test"))))
+    sh = (docs.withColumn("toks", F.split("text", " "))
+          .select("doc_id", "split", F.explode(F.expr(
+              f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
+              f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
+              f"ELSE array() END, "
+              f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
+              .alias("shingle"))
+          .dropDuplicates(["doc_id", "split", "shingle"]))
+    bench = (sh.filter(F.col("split") == "test")
+             .select("shingle").distinct()
+             .withColumn("in_bench", F.lit(1)))
+    cont = (sh.filter(F.col("split") == "train")
+            .join(bench, on="shingle", how="left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"),
+                 F.sum(F.coalesce("in_bench", F.lit(0))).alias("n_hit")))
+    train = (docs.filter(F.col("split") == "train")
+             .select("doc_id", "lang", "n_chars"))
+    flagged = (train.join(cont, on="doc_id", how="left")
+               .withColumn("dropped", F.coalesce(
+                   F.try_divide(F.col("n_hit").cast("double"),
+                                F.col("n_sh")), F.lit(0.0))
+                   > F.lit(DECON_THRESH)))
+    dropped_i = F.col("dropped").cast("int")
+    return (flagged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_train"),
+                 F.sum(dropped_i).cast("long").alias("n_dropped"),
+                 F.sum(1 - dropped_i).cast("long").alias("n_kept"),
+                 F.sum(F.when(~F.col("dropped"), F.col("n_chars"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("kept_chars"),
+                 ieee_round(F.try_divide(
+                     F.sum(dropped_i).cast("double"),
+                     F.count(F.lit(1))), 6).alias("dropped_frac")))
+
+
+def _oracle_decontaminate() -> str:
+    from .textstats import SHINGLE_N, SPLIT_IS_TRAIN_SQL
+
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN {SPLIT_IS_TRAIN_SQL}
+                THEN 'train' ELSE 'test' END AS split,
+           string_split(text, ' ') AS toks
+    FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, split,
+           unnest([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                   for i in range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1))])
+               AS shingle
+    FROM d),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+cont AS (
+    SELECT sh.doc_id, count(*) AS n_sh,
+           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+    FROM sh LEFT JOIN bench b USING (shingle)
+    WHERE sh.split = 'train'
+    GROUP BY sh.doc_id),
+flagged AS (
+    SELECT d.lang, d.n_chars,
+           coalesce(CAST(n_hit AS DOUBLE) / n_sh, 0E0)
+               > {DECON_THRESH} AS dropped
+    FROM d LEFT JOIN cont USING (doc_id)
+    WHERE d.split = 'train')
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE n_chars END) AS BIGINT)
+           AS kept_chars,
+       {ieee_round_sql(
+           "sum(CASE WHEN dropped THEN 1 ELSE 0 END)::DOUBLE / count(*)")}
+           AS dropped_frac
+FROM flagged
+GROUP BY lang
+"""
+
+
+ORACLE_DECONTAMINATE = _oracle_decontaminate()

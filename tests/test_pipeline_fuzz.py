@@ -157,3 +157,55 @@ def test_ingest_pipeline_accounting(spark):
         else:
             near.add(r.doc_new)
     assert total == len(q_new - exact - near)
+
+
+def test_decontaminate_drops_overlapping_train_doc(spark, tmp_path):
+    """Pins the drop path: a train doc sharing ~8/9 of its shingles
+    with a benchmark (test-split) doc must be dropped; an unrelated
+    train doc survives. The split is content-hashed, so the crafted
+    texts are SEARCHED (same md5 rule in plain Python) rather than
+    hardcoded — identical text always lands in one split, which is
+    exactly why the overlap must be crafted as a superstring."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ngrams_collocations_hadoop_spark.operators.pipeline import (
+        q_decontaminate)
+    from ngrams_collocations_hadoop_spark.operators.textstats import (
+        SPLIT_TRAIN_BUCKETS)
+
+    def is_train(text: str) -> bool:
+        return int(hashlib.md5(text.encode()).hexdigest()[:6], 16) \
+            % 10 < SPLIT_TRAIN_BUCKETS
+
+    base = None
+    for i in range(1000):
+        t = " ".join(f"w{i}t{j}" for j in range(12))
+        if not is_train(t):                      # benchmark member
+            sup = t + " extra"
+            if is_train(sup):                    # contaminated train doc
+                base = (t, sup)
+                break
+    assert base, "no (test, train-superstring) pair found in 1000 tries"
+    test_doc, contaminated = base
+    clean = None
+    for i in range(1000):
+        t = " ".join(f"c{i}x{j}" for j in range(12))
+        if is_train(t):
+            clean = t
+            break
+    rows = [(1, test_doc, "en", "s", len(test_doc)),
+            (2, contaminated, "en", "s", len(contaminated)),
+            (3, clean, "en", "s", len(clean))]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/documents.parquet")
+
+    out = {r.lang: r.asDict() for r in q_decontaminate(spark, d).collect()}
+    en = out["en"]
+    assert en["n_train"] == 2 and en["n_dropped"] == 1 \
+        and en["n_kept"] == 1, en
+    assert en["kept_chars"] == len(clean), en
+    assert abs(en["dropped_frac"] - 0.5) < 1e-9, en

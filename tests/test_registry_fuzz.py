@@ -40,7 +40,7 @@ FUZZ_QUERIES = [
     "text_weighted_sample", "text_group_sample", "text_char_entropy",
     "text_heaps", "text_zipf", "text_repetition", "text_pii_redact",
     "text_pack_sequences", "text_curriculum_buckets", "text_bpe_learn",
-    "text_bpe_apply",
+    "text_bpe_apply", "pipeline_decontaminate",
     # multimodal plumbing (byte-exact oracles)
     "mm_binary_stats", "mm_frame_sample", "mm_resize",
     # events-only
