@@ -104,6 +104,52 @@ def q_pmi_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
 # differ in the last ulp between Python and DuckDB decimal arithmetic).
 CONDPROB_K = 0.5
 
+# Kneser-Ney absolute discount — the standard 0.75, a literal in both
+# engines for the same ulp reason as CONDPROB_K.
+KN_D = 0.75
+
+# The interpolated-KN probability, one shared text so both engines run
+# the IDENTICAL IEEE expression (operand order and association
+# included): discounted ML term + interpolation weight x continuation
+# probability. Integer/integer `/` is true division (DOUBLE) in both
+# dialects. Literals in E0 scientific form: `0D` is Spark-only syntax
+# and a bare `0.75` parses as DECIMAL(3,2) in Spark.
+_KN_P_SQL = (f"greatest(c12 - {KN_D}E0, 0E0) / ctx1 "
+             f"+ (({KN_D}E0 * n_pre) / ctx1) "
+             f"* (CAST(n_post AS DOUBLE) / n_types)")
+
+
+def q_kn_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM — the smoothing production
+    n-gram LMs actually use (add-k overweights unseen mass badly at
+    LM scale): P(w2|w1) = max(c12 − D, 0)/ctx1 + D·N1+(w1,·)/ctx1 ·
+    N1+(·,w2)/N1+(··), with ctx1 = Σ_w2 c12 (the w1 context total),
+    N1+(w1,·)/N1+(·,w2) the distinct continuation/history type counts
+    and N1+(··) the bigram type count, all per (lang, decade). The
+    continuation distribution is KN's point: a w2 that follows MANY
+    different histories gets the unseen mass, not merely a frequent
+    one.
+
+    Scale shape: everything derives from the scored contingency table
+    (no extra pass over raw ngrams) — the three type-count aggregates
+    group a table that is already unique per (lang, decade, w1, w2),
+    so each is one partial-agg'd shuffle on a key the joins then
+    reuse; the per-(lang,decade) type total is a tiny broadcast."""
+    sc = co.q_scored(spark, sf_dir).select(
+        "lang", "decade", "w1", "w2", "c12")
+    pre = (sc.groupBy("lang", "decade", "w1")
+           .agg(F.count(F.lit(1)).alias("n_pre"),
+                F.sum("c12").alias("ctx1")))
+    post = (sc.groupBy("lang", "decade", "w2")
+            .agg(F.count(F.lit(1)).alias("n_post")))
+    tot = (sc.groupBy("lang", "decade")
+           .agg(F.count(F.lit(1)).alias("n_types")))
+    return (sc.join(pre, on=["lang", "decade", "w1"])
+            .join(post, on=["lang", "decade", "w2"])
+            .join(F.broadcast(tot), on=["lang", "decade"])
+            .select("lang", "decade", "w1", "w2", "c12", "ctx1",
+                    ieee_round(F.expr(_KN_P_SQL), 6).alias("p_kn")))
+
 
 def q_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model conditional probability with add-k

@@ -306,3 +306,29 @@ SELECT d.lang, d.decade,
 FROM dis_f d JOIN firsts f USING (lang, word)
 GROUP BY d.lang, d.decade
 """
+
+
+def colloc_kn_condprob_sql() -> str:
+    from .functions.exact import ieee_round_sql
+    from .operators.ngrams import _KN_P_SQL
+
+    return f"""
+WITH {ngram_ctes()},
+sc AS (SELECT lang, decade, w1, w2, c12 FROM scored),
+pre AS (
+    SELECT lang, decade, w1, CAST(count(*) AS BIGINT) AS n_pre,
+           CAST(sum(c12) AS BIGINT) AS ctx1
+    FROM sc GROUP BY lang, decade, w1),
+post AS (
+    SELECT lang, decade, w2, CAST(count(*) AS BIGINT) AS n_post
+    FROM sc GROUP BY lang, decade, w2),
+tot AS (
+    SELECT lang, decade, CAST(count(*) AS BIGINT) AS n_types
+    FROM sc GROUP BY lang, decade)
+SELECT lang, decade, w1, w2, c12, ctx1,
+       {ieee_round_sql(_KN_P_SQL, 6)} AS p_kn
+FROM sc
+JOIN pre USING (lang, decade, w1)
+JOIN post USING (lang, decade, w2)
+JOIN tot USING (lang, decade)
+"""

@@ -101,3 +101,24 @@ def test_approx_count_distinct_bounded_error(spark):
         F.approx_count_distinct("l_partkey").alias("approx"),
         F.countDistinct("l_partkey").alias("exact")).first()
     assert row["approx"] == pytest.approx(row["exact"], rel=0.1)
+
+
+def test_kn_condprob_is_a_subprobability_per_context(spark):
+    """Interpolated KN invariant: over the OBSERVED continuations of
+    each (lang, decade, w1) context the probabilities sum to at most 1
+    (equality only when every continuation type follows this context —
+    the remainder is exactly the mass KN reserves for unseen w2), and
+    every probability is strictly positive (the continuation term
+    guarantees it even at the discount floor)."""
+    from ngrams_collocations_hadoop_spark.operators.ngrams import (
+        q_kn_condprob)
+
+    rows = q_kn_condprob(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    sums: dict = {}
+    for r in rows:
+        assert r.p_kn > 0, r
+        k = (r.lang, r.decade, r.w1)
+        sums[k] = sums.get(k, 0.0) + r.p_kn
+    worst = max(sums.values())
+    assert worst <= 1.0 + 1e-3, worst   # 6-dp rounding slack

@@ -31,6 +31,7 @@ FUZZ_QUERIES = [
     # collocation family (flagship pipeline)
     "colloc_unigram_counts", "colloc_bigram_counts", "colloc_totals",
     "colloc_scored", "colloc_topk", "colloc_hebrew_topk",
+    "colloc_kn_condprob",
     # documents-only
     "dedup_exact", "dedup_fingerprint", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
