@@ -324,3 +324,120 @@ SELECT doc_id,
        md5(sub_hex) AS resized_md5
 FROM b
 """
+
+
+# --- codec-free AUDIO header decode (WAV/RIFF) ---------------------------
+#
+# The audio twin of q_mm_image_dims: WAV stores its format fields at
+# fixed byte offsets in the 44-byte RIFF header, LITTLE-endian — so the
+# "decode" is hex + substring + byte-pair reversal + base-16 parse,
+# pure codegen column expressions. The LE reversal is the part a naive
+# port gets wrong (PNG's fields are big-endian; WAV's are not).
+
+
+def _le_hex(h: str, nbytes: int) -> str:
+    """Hex chars of an ``nbytes``-wide little-endian field (given as
+    ``h`` = its raw hex substring) re-ordered to big-endian for a
+    base-16 parse — byte pairs reversed. Dialect-neutral text."""
+    pairs = [f"substring({h}, {2 * i + 1}, 2)"
+             for i in reversed(range(nbytes))]
+    return "concat(" + ", ".join(pairs) + ")"
+
+
+def synth_wav_payload() -> F.Column:
+    """Deterministic 44-byte WAV header per doc_id (PCM, fields LE):
+    sample rate 8-36 kHz, 1-2 channels, 16-bit, synthetic data size.
+    Same role as synth_png_payload — any real WAV reader would accept
+    the layout (the data chunk is declared, not materialized)."""
+    le32 = lambda v: (f"unhex({_le_hex(f'lpad(hex({v}), 8, __q__0__q__)', 4)})"
+                      .replace("__q__", "'"))
+    le16 = lambda v: (f"unhex({_le_hex(f'lpad(hex({v}), 4, __q__0__q__)', 2)})"
+                      .replace("__q__", "'"))
+    rate = "(8000 + (doc_id % 8) * 4000)"
+    chans = "(1 + doc_id % 2)"
+    dsize = "(1000 + (doc_id * 13) % 9000)"
+    return F.expr(
+        "concat(unhex('52494646'), "            # 'RIFF'
+        f"{le32(f'(36 + {dsize})')}, "          # chunk size
+        "unhex('57415645'), "                   # 'WAVE'
+        "unhex('666D7420'), "                   # 'fmt '
+        f"{le32('16')}, "                       # fmt chunk size
+        f"{le16('1')}, "                        # PCM
+        f"{le16(chans)}, "
+        f"{le32(rate)}, "
+        f"{le32(f'({rate} * {chans} * 2)')}, "  # byte rate
+        f"{le16(f'({chans} * 2)')}, "           # block align
+        f"{le16('16')}, "                       # bits/sample
+        "unhex('64617461'), "                   # 'data'
+        f"{le32(dsize)})")
+
+
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata WITHOUT a codec and WITHOUT Python: channels,
+    sample rate, bit depth, declared data size, and play duration from
+    the fixed-offset RIFF/WAV header fields — JVM-side expressions
+    only, the scale path for header-resident audio metadata (duration
+    histograms, sample-rate gates) over a 100 TB media corpus. The
+    RIFF+WAVE magic check doubles as format validation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    p = docs.withColumn("payload", synth_wav_payload())
+    hx = F.hex("payload")
+
+    def le(first_byte: int, nbytes: int) -> F.Column:
+        sub = (f"substring(hx, {2 * first_byte + 1}, {2 * nbytes})")
+        return F.conv(F.expr(_le_hex(f"({sub})", nbytes)), 16, 10) \
+            .cast("long")
+
+    p = p.withColumn("hx", hx)
+    chans, rate = le(22, 2), le(24, 4)
+    bits, dsize = le(34, 2), le(40, 4)
+    dur = F.try_divide(dsize.cast("double"),
+                       rate * chans * (bits / F.lit(8)).cast("long"))
+    return p.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        ((F.expr("substring(hx, 1, 8)") == "52494646")
+         & (F.expr("substring(hx, 17, 8)") == "57415645"))
+        .alias("valid_riff"),
+        chans.alias("channels"), rate.alias("sample_rate"),
+        bits.alias("bits_per_sample"), dsize.alias("data_bytes"),
+        ieee_round(dur, 6).alias("duration_s"))
+
+
+def _mm_audio_oracle() -> str:
+    le32 = lambda v: ("unhex(" + _le_hex(
+        f"lpad(to_hex({v}), 8, '0')", 4) + ")")
+    le16 = lambda v: ("unhex(" + _le_hex(
+        f"lpad(to_hex({v}), 4, '0')", 2) + ")")
+    rate = "(8000 + (doc_id % 8) * 4000)"
+    chans = "(1 + doc_id % 2)"
+    dsize = "(1000 + (doc_id * 13) % 9000)"
+    parse = lambda fb, nb: ("('0x' || " + _le_hex(
+        f"(substring(hx, {2 * fb + 1}, {2 * nb}))", nb) + ")::BIGINT")
+    c, r = parse(22, 2), parse(24, 4)
+    b, d = parse(34, 2), parse(40, 4)
+    from ..functions.exact import ieee_round_sql
+    dur = f"CAST({d} AS DOUBLE) / ({r} * {c} * ({b} // 8))"
+    return f"""
+WITH p AS (
+    SELECT doc_id,
+           unhex('52494646') || {le32(f'(36 + {dsize})')}
+           || unhex('57415645') || unhex('666D7420')
+           || {le32('16')} || {le16('1')} || {le16(chans)}
+           || {le32(rate)} || {le32(f'({rate} * {chans} * 2)')}
+           || {le16(f'({chans} * 2)')} || {le16('16')}
+           || unhex('64617461') || {le32(dsize)} AS payload
+    FROM documents),
+h AS (SELECT doc_id, payload, hex(payload) AS hx FROM p)
+SELECT doc_id,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       substring(hx, 1, 8) = '52494646'
+           AND substring(hx, 17, 8) = '57415645' AS valid_riff,
+       {c} AS channels, {r} AS sample_rate,
+       {b} AS bits_per_sample, {d} AS data_bytes,
+       {ieee_round_sql(dur, 6)} AS duration_s
+FROM h
+"""
+
+
+ORACLE_MM_AUDIO_META = _mm_audio_oracle()

@@ -692,3 +692,37 @@ def test_ivfpq_funnel_composes_its_stages(spark):
     fp = sim.q_sim_ivfpq_recall(spark, SF_SMALL).collect()[0]
     assert fp.n_exact == rr.n_exact > 0
     assert fp.recall <= rr.recall_rerank, (fp.recall, rr.recall_rerank)
+
+
+def test_wav_header_decode_matches_struct_unpack(spark):
+    """Independent check of the LE header parse: the synthesized RIFF
+    payloads are unpacked with Python's struct (the actual WAV spec —
+    '<' little-endian) and must agree field-for-field with the
+    column-expression decode, including duration. Catches exactly the
+    bug class the operator exists to avoid: byte-order mistakes that
+    a same-expression oracle would reproduce rather than catch."""
+    import struct
+
+    from ngrams_collocations_hadoop_spark.operators.multimodal import (
+        q_mm_audio_meta, synth_wav_payload)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+    from .conftest import SF_SMALL
+
+    docs = (load_table(spark, SF_SMALL, "documents").select("doc_id")
+            .withColumn("payload", synth_wav_payload()).limit(50))
+    raw = {r.doc_id: bytes(r.payload) for r in docs.collect()}
+    out = {r.doc_id: r for r in
+           q_mm_audio_meta(spark, SF_SMALL).collect() if r.doc_id in raw}
+    assert len(out) == len(raw) > 0
+    for doc_id, payload in raw.items():
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        (fmt, chans, rate, brate, balign, bits) = struct.unpack(
+            "<HHIIHH", payload[20:36])
+        (dsize,) = struct.unpack("<I", payload[40:44])
+        r = out[doc_id]
+        assert fmt == 1 and r.valid_riff
+        assert (r.channels, r.sample_rate, r.bits_per_sample,
+                r.data_bytes) == (chans, rate, bits, dsize), r
+        assert brate == rate * chans * 2 and balign == chans * 2
+        want = round(dsize / (rate * chans * (bits // 8)), 6)
+        assert abs(r.duration_s - want) < 2e-6, (r.duration_s, want)

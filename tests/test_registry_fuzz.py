@@ -43,7 +43,7 @@ FUZZ_QUERIES = [
     "text_pack_sequences", "text_curriculum_buckets", "text_bpe_learn",
     "text_bpe_apply", "pipeline_decontaminate",
     # multimodal plumbing (byte-exact oracles)
-    "mm_binary_stats", "mm_frame_sample", "mm_resize",
+    "mm_binary_stats", "mm_frame_sample", "mm_resize", "mm_audio_meta",
     # events-only
     "rel_sessionize", "rel_tumbling_window", "rel_sliding_window",
     "rel_ewma", "rel_cusum", "rel_rolling_slope", "rel_sliding_distinct",
