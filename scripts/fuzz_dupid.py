@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The positional ADC codebook cannot be totalized — these two must
 # fail LOUDLY with the pinned precondition error instead of matching.
-EXPECT_RAISE = {"sim_pq_topk", "sim_pq_recall"}
+# Every composer of the PQ encoder inherits the same gate: the
+# shortlist/rerank forms (late r07) and the IVF-PQ funnel raise the
+# identical pinned error through the shared _pq_parts aggregate.
+EXPECT_RAISE = {"sim_pq_topk", "sim_pq_recall",
+                "sim_pq_rerank", "sim_pq_rerank_recall",
+                "sim_ivfpq_topk", "sim_ivfpq_recall"}
 
 # The DOCUMENTED id-keyed precondition family (allowed to diverge on
 # an unresolved dup-id corpus; resolution-at-ingest is the production

@@ -373,6 +373,10 @@ def test_identity_resolution_restores_totality_on_dup_vec_ids(
     from ngrams_collocations_hadoop_spark.registry import QUERIES
     with pytest.raises(Exception, match="PK precondition"):
         QUERIES["sim_pq_topk"](spark, d).collect()
+    # ... and every composer of the shared PQ encoder inherits the
+    # same loud gate (late-r07: the rerank funnel and IVF-PQ)
+    with pytest.raises(Exception, match="PK precondition"):
+        QUERIES["sim_ivfpq_topk"](spark, d).collect()
 
     resolved = resolve_embedding_identity(
         spark.read.parquet(f"{d}/embeddings.parquet"))
