@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "pipeline_training_prep",  # flagship composition (quality->dedup->pack)
     "dedup_semantic",        # k-means assign + within-cluster pairs
     "text_dsir_weights",     # LM aggregates + token-join scoring
+    "text_bpe_learn",        # iterative merge training (vocab-bounded)
     "sim_pq_topk",           # PQ encode + ADC scoring (ANN family)
     "sim_pq_rerank",         # two-stage: ADC shortlist -> exact re-rank
     "pipeline_ingest",       # incremental-ingest composition

@@ -544,6 +544,10 @@ def test_bench_queries_shuffle_budget(spark):
         # SinglePartition min/max stats + the ZORDER_BLOCKS-bounded
         # final agg; interleave/block-id are map-side
         "rel_zorder_layout": 2,
+        # 4 per round (lead window, pair agg, island window, merge
+        # lag) x 3 unrolled vocabulary-bounded rounds; the word-freq
+        # agg reuses the first round's exchange
+        "text_bpe_learn": 12,
         # +1 in r07: the stage-0 identity-gate aggregate (one doc_id
         # hash exchange, persisted so it runs once; batch-proportional
         # in production, where the old slice arrives already resolved)
