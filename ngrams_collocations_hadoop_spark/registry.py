@@ -262,7 +262,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (VERDICT r06 #3) — plus 2 new (ingest_id_audit, the identity gate
 # as an oracle-checked query; stream_id_resolve, the keeper rule as a
 # streaming operator over divergent at-least-once redeliveries; late
-# r07 adds 12 more new: the two-stage refinement ANN family —
+# r07 adds 13 more new: the two-stage refinement ANN family —
 # sim_pq_rerank + sim_pq_rerank_recall (PQ ADC shortlist -> exact
 # re-rank), sim_mrl_topk + sim_mrl_recall (Matryoshka prefix funnel),
 # sim_ivfpq_topk + sim_ivfpq_recall (the composed coarse-prune ->
@@ -270,16 +270,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # data-layout operator, the tokenizer loop text_bpe_learn +
 # text_bpe_apply, pipeline_decontaminate, the train-side
 # benchmark-decontamination accounting, colloc_kn_condprob, the
-# interpolated Kneser-Ney LM, and mm_audio_meta, the codec-free WAV
-# header decode) — then
+# interpolated Kneser-Ney LM, mm_audio_meta, the codec-free WAV
+# header decode, and stream_quality_gate, the quality gate as a
+# streaming ingest stage over the documents feed) — then
 # the full 17-query r03 refresh queue and the stalest r04 rows led by
 # the late-r05-edited embedding family (VERDICT r06 #1;
 # stream_merge_sink, mm_resize, and — for the late-r07 additions —
 # dedup_fingerprint, dedup_ngram_jaccard, rel_equidepth_histogram,
 # text_dup_spans, text_contamination, dedup_exact, dedup_components,
 # dedup_keep_one, dedup_incremental_lsh, pipeline_training_prep,
-# dedup_communities_lsh, dedup_keep_one_lsh displaced to the tail
-# head by the new queries). All dup-id totality/raise contracts are pinned in
+# dedup_communities_lsh, dedup_keep_one_lsh, dedup_components_lsh
+# displaced to the tail head by the new queries). All dup-id totality/raise contracts are pinned in
 # test_registry_fuzz.py WITHOUT pre-resolution, and the full-registry
 # dup-id campaign (scripts/fuzz_dupid.py) measures the remaining
 # documented-precondition family. Accounting after r07: no query's
@@ -339,6 +340,10 @@ QUERIES: dict[str, QueryFn] = {
     # mm_image_dims (little-endian fields, byte-pair reversal in pure
     # column expressions); displaces dedup_keep_one_lsh
     "mm_audio_meta": multimodal.q_mm_audio_meta,
+    # the quality gate as a STREAMING ingest stage over the DOCUMENTS
+    # feed (all prior streaming ops consume events) — shared formula
+    # with the batch pipeline; displaces dedup_components_lsh
+    "stream_quality_gate": sw.q_stream_quality_gate,
     # --- (3a) r03 refresh queue (VERDICT r06 #1: the 17 stalest) ---
     "text_train_test_split": textstats.q_train_test_split,
     "text_pii_redact": textstats.q_pii_redact,
@@ -370,8 +375,8 @@ QUERIES: dict[str, QueryFn] = {
     "sim_kmeans_step": similarity.q_kmeans_step,
     "dedup_semantic": similarity.q_dedup_semantic,
     "sim_ivf_recall": similarity.q_sim_ivf_recall,
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,
     # ================= end of the 50-query r07 window =================
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
     "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
     "dedup_communities_lsh": dedup.q_dedup_communities_lsh,
     "pipeline_training_prep": pipeline.q_training_prep,
@@ -527,6 +532,7 @@ ORACLES: dict[str, str] = {
     "pipeline_decontaminate": pipeline.ORACLE_DECONTAMINATE,
     "colloc_kn_condprob": oracle.colloc_kn_condprob_sql(),
     "mm_audio_meta": multimodal.ORACLE_MM_AUDIO_META,
+    "stream_quality_gate": sw.ORACLE_STREAM_QUALITY_GATE,
     "dedup_persisted_lsh": dedup.ORACLE_DEDUP_PERSISTED_LSH,
     # match-only job: same pair set — the index contents are identical,
     # only WHEN the index shuffle is paid differs (build vs per-query)

@@ -47,19 +47,23 @@ STREAM_EVENTS_KEYED_SQL = _STREAM_EVENTS_TMPL.format(
     extra=" AND user_id IS NOT NULL")
 
 
-def _corpus_parts(sf_dir: str) -> list[str]:
-    """The events fixture's file list: either the single parquet file,
+def _table_parts(sf_dir: str, table: str) -> list[str]:
+    """A fixture table's file list: either the single parquet file,
     or — when the partitioning-invariance fuzz rewrote the corpus as a
     directory — each part file (the file-stream source does not follow
     a symlinked directory's contents, so parts are linked one by one).
     """
     import os
 
-    target = f"{sf_dir}/events.parquet"
+    target = f"{sf_dir}/{table}.parquet"
     if os.path.isdir(target) and not os.path.islink(target):
         return [f"{target}/{f}" for f in sorted(os.listdir(target))
                 if f.endswith(".parquet")]
     return [target]
+
+
+def _corpus_parts(sf_dir: str) -> list[str]:
+    return _table_parts(sf_dir, "events")
 
 
 def _link_layout(d: str, pairs: list[tuple[str, str]]) -> str:
@@ -1143,3 +1147,80 @@ FROM ev r CROSS JOIN wm
 WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.r_id = r.event_id)
   AND epoch_us(r.ts) <= wm.wm_us
 """
+
+
+# --- streaming text-ingest quality gate (documents modality) -------------
+#
+# Every prior streaming operator consumes the EVENTS feed; a training
+# pipeline's other continuous input is the DOCUMENT crawl. The gate a
+# crawl ingest runs per micro-batch is the quality filter — stateless
+# map + filter, so the streaming form must emit EXACTLY the batch
+# survivor set (no watermark, no state), which makes it fully
+# oracle-checkable.
+
+
+def _doc_stream_dir(sf_dir: str) -> str:
+    """Documents twin of ``_stream_dir`` — same symlink shim, keyed
+    per corpus path, handling both single-file and fuzz-rewritten
+    directory layouts."""
+    import os
+
+    sf_dir = os.path.abspath(sf_dir)
+    d = f"/tmp/ncs_stream/{_dir_slug(sf_dir)}_documents"
+    parts = _table_parts(sf_dir, "documents")
+    if len(parts) == 1:
+        pairs = [(f"{d}/documents.parquet", parts[0])]
+    else:
+        pairs = [(f"{d}/{os.path.basename(t)}", t) for t in parts]
+    return _link_layout(d, pairs)
+
+
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (batch-peeked schema,
+    same cache/key policy as the events stream). No timestamp column
+    → no epoch gate / ns normalization; the quality gate is pure
+    content math."""
+    _ensure_session_confs(spark)
+    path = f"{sf_dir}/documents.parquet"
+    cache_key = _schema_cache_key(path)
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[cache_key] = schema
+    return (spark.readStream.schema(schema)
+            .parquet(_doc_stream_dir(sf_dir)))
+
+
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate as a STREAMING ingest stage: score each
+    arriving document with the SHARED text_quality formula
+    (``operators.pipeline._quality_survivors`` applied to the stream —
+    one definition, so the batch pipeline and the continuous ingest
+    cannot disagree about who survives) and append survivors. Output
+    ≡ the batch survivor set, hash-checked by the oracle; stateless,
+    so exactly-once is free (no state store, no watermark)."""
+    from ..operators.pipeline import _quality_survivors
+
+    stream = _doc_stream(spark, sf_dir)
+    return _run_to_completion(
+        _quality_survivors(spark, sf_dir, docs=stream),
+        "stream_quality_gate_out", "append")
+
+
+def _oracle_stream_quality_gate() -> str:
+    from ..functions.exact import ieee_round_sql
+    from ..operators.pipeline import QUALITY_THRESHOLD
+    from ..operators.pipeline import _SCORE_SQL
+
+    return f"""
+WITH dq AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
+            FROM documents)
+SELECT doc_id, lang, CAST(len(tokens) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, lang, tokens,
+             {ieee_round_sql(_SCORE_SQL, 6)} AS score
+      FROM dq)
+WHERE score >= {QUALITY_THRESHOLD}
+"""
+
+
+ORACLE_STREAM_QUALITY_GATE = _oracle_stream_quality_gate()

@@ -54,7 +54,9 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              "ingest_id_audit", "stream_id_resolve",
              # late-r07 new queries: refinement ANN family + the
              # Morton layout (ts-epoch-sensitive -> timezone matters)
-             "sim_pq_rerank", "sim_mrl_topk", "rel_zorder_layout"]:
+             # + the documents-feed streaming quality gate
+             "sim_pq_rerank", "sim_mrl_topk", "rel_zorder_layout",
+             "stream_quality_gate"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
