@@ -165,3 +165,25 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
            .drop("umin", "umax", "tmin", "tmax", "zx", "zy"))
     (out.repartition(n_blocks, F.col("z_block"))
      .write.mode("overwrite").partitionBy("z_block").parquet(path))
+
+
+def write_mrl_prefixed(emb: DataFrame, path: str,
+                       prefix_dim: int | None = None) -> None:
+    """Materialize the Matryoshka layout `q_mrl_topk` assumes at
+    scale: the embeddings table rewritten with the first
+    ``prefix_dim`` dimensions as their OWN column (`emb_prefix`)
+    beside the full vector. Parquet is columnar, so the funnel's
+    corpus-wide first pass can then select only the prefix column and
+    the scan reads ~prefix_dim/EMB_DIM of the vector bytes — column
+    pruning does the work, no row-level filtering involved
+    (tests/test_storage_skew.py pins ReadSchema on the pruned scan).
+    The full `embedding` column rides along untouched for the
+    shortlist's exact re-rank."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import MRL_DIM
+
+    prefix_dim = prefix_dim or MRL_DIM
+    (emb.withColumn("emb_prefix",
+                    F.expr(f"slice(embedding, 1, {prefix_dim})"))
+     .write.mode("overwrite").parquet(path))

@@ -395,3 +395,34 @@ def test_write_zordered_footers_carry_tile_bounded_stats(spark, tmp_path):
         assert (hi["user_id"] - lo["user_id"]) / du <= tile, f
         assert (hi["tsec"] - lo["tsec"]) / dt <= tile, f
     assert total == st.n
+
+
+def test_mrl_prefix_layout_prunes_the_scan(spark, tmp_path):
+    """The Matryoshka layout claim, materialized: after
+    write_mrl_prefixed, a first-pass query selecting only
+    (vec_id, emb_prefix) must show a ReadSchema WITHOUT the full
+    embedding column (column pruning reached the parquet scan), and
+    the prefix column's values must equal slice(embedding, 1,
+    MRL_DIM) of the full vector that rides alongside."""
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        MRL_DIM)
+    from ngrams_collocations_hadoop_spark.plans.checks import physical_plan
+    from ngrams_collocations_hadoop_spark.sources.storage import (
+        write_mrl_prefixed)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = str(tmp_path / "mrl")
+    write_mrl_prefixed(emb, out)
+
+    back = spark.read.parquet(out)
+    plan = physical_plan(back.select("vec_id", "emb_prefix"))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "emb_prefix" in rs and "embedding" not in rs, rs
+
+    chk = back.selectExpr(
+        "count(*) AS n",
+        f"sum(CASE WHEN emb_prefix IS NULL AND embedding IS NULL THEN 0 "
+        f"WHEN emb_prefix = slice(embedding, 1, {MRL_DIM}) THEN 0 "
+        f"ELSE 1 END) AS bad").collect()[0]
+    assert chk.n > 0 and chk.bad == 0, chk
