@@ -346,7 +346,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the accounting is lang-bounded. Train docs too short to shingle
     have nothing to leak — kept, contamination 0, in both engines
     (they re-enter via the docs-side left join, not the explode)."""
-    from .textstats import SHINGLE_N, split_is_train
+    from .textstats import SHINGLE_EXPR_SQL, split_is_train
     from ..sources.tables import fan_out
 
     docs = fan_out(
@@ -354,12 +354,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("split", F.when(split_is_train(), F.lit("train"))
                     .otherwise(F.lit("test"))))
     sh = (docs.withColumn("toks", F.split("text", " "))
-          .select("doc_id", "split", F.explode(F.expr(
-              f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
-              f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
-              f"ELSE array() END, "
-              f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
-              .alias("shingle"))
+          .select("doc_id", "split",
+                  F.explode(F.expr(SHINGLE_EXPR_SQL)).alias("shingle"))
           .dropDuplicates(["doc_id", "split", "shingle"]))
     bench = (sh.filter(F.col("split") == "test")
              .select("shingle").distinct()
@@ -390,7 +386,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_decontaminate() -> str:
-    from .textstats import SHINGLE_N, SPLIT_IS_TRAIN_SQL
+    from .textstats import SHINGLE_LIST_DUCK, SPLIT_IS_TRAIN_SQL
 
     return f"""
 WITH d AS (
@@ -401,8 +397,7 @@ WITH d AS (
     FROM documents),
 sh AS (
     SELECT DISTINCT doc_id, split,
-           unnest([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
-                   for i in range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1))])
+           unnest({SHINGLE_LIST_DUCK})
                AS shingle
     FROM d),
 bench AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),

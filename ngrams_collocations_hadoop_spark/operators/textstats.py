@@ -589,6 +589,19 @@ FROM ranked WHERE rank <= {TFIDF_TOPK}
 
 SHINGLE_N = 5
 
+# The SHINGLE_N-token shingle construction, ONE definition (Spark expr
+# over a `toks` array column / DuckDB list comprehension over `toks`)
+# shared by the contamination AUDIT and the decontamination REMOVAL —
+# so the two can never disagree about what "contaminated" means.
+SHINGLE_EXPR_SQL = (f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
+                    f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
+                    f"ELSE array() END, "
+                    f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))")
+SHINGLE_LIST_DUCK = (
+    f"[array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')\n"
+    f"                   for i in range(1, greatest(len(toks) "
+    f"- {SHINGLE_N - 2}, 1))]")
+
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set contamination: for every test document (content-hash
@@ -610,12 +623,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("split", F.when(split_is_train(), F.lit("train"))
                       .otherwise(F.lit("test")))
           .withColumn("toks", F.split("text", " "))
-          .select("doc_id", "split", F.explode_outer(F.expr(
-              f"transform(CASE WHEN size(toks) >= {SHINGLE_N} "
-              f"THEN sequence(1, size(toks) - {SHINGLE_N - 1}) "
-              f"ELSE array() END, "
-              f"i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"))
-              .alias("shingle"))
+          .select("doc_id", "split",
+                  F.explode_outer(F.expr(SHINGLE_EXPR_SQL))
+                  .alias("shingle"))
           .dropDuplicates(["doc_id", "split", "shingle"]))
     train = (sh.filter(F.col("split") == "train")
              .select("shingle").distinct()
@@ -641,8 +651,7 @@ WITH d AS (
     FROM documents),
 sh AS (
     SELECT DISTINCT doc_id, split,
-           unnest([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
-                   for i in range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1))])
+           unnest({SHINGLE_LIST_DUCK})
                AS shingle
     FROM d),
 train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')

@@ -183,7 +183,9 @@ def write_mrl_prefixed(emb: DataFrame, path: str,
 
     from ..operators.similarity import MRL_DIM
 
-    prefix_dim = prefix_dim or MRL_DIM
+    prefix_dim = MRL_DIM if prefix_dim is None else prefix_dim
+    if prefix_dim < 1:
+        raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
     (emb.withColumn("emb_prefix",
                     F.expr(f"slice(embedding, 1, {prefix_dim})"))
      .write.mode("overwrite").parquet(path))

@@ -100,24 +100,30 @@ def _dir_slug(abspath: str) -> str:
             + "_" + hashlib.md5(abspath.encode()).hexdigest()[:8])
 
 
-def _stream_dir(sf_dir: str) -> str:
+def _table_stream_dir(sf_dir: str, table: str) -> str:
     """The file streaming source requires a *directory*; the fixture is
     a single parquet file (or a fuzz-rewritten directory of parts).
     Build (once) a /tmp directory of symlinks to it — a test-harness
-    shim only; a production stream reads a log directory or Kafka."""
+    shim only; a production stream reads a log directory or Kafka.
+    One implementation for every fixture table (events, documents) so
+    the layout policy cannot diverge between feeds."""
     import os
 
     # abspath first: a relative sf_dir would otherwise be resolved
     # relative to the /tmp link dir (dangling symlink), and the dir
     # name would alias distinct working-directory spellings.
     sf_dir = os.path.abspath(sf_dir)
-    d = f"/tmp/ncs_stream/{_dir_slug(sf_dir)}_events"
-    parts = _corpus_parts(sf_dir)
+    d = f"/tmp/ncs_stream/{_dir_slug(sf_dir)}_{table}"
+    parts = _table_parts(sf_dir, table)
     if len(parts) == 1:
-        pairs = [(f"{d}/events.parquet", parts[0])]
+        pairs = [(f"{d}/{table}.parquet", parts[0])]
     else:
         pairs = [(f"{d}/{os.path.basename(t)}", t) for t in parts]
     return _link_layout(d, pairs)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    return _table_stream_dir(sf_dir, "events")
 
 
 
@@ -177,6 +183,17 @@ def _schema_cache_key(path: str) -> tuple[str, int, int]:
         return (path, -1, -1)
 
 
+def _peek_schema(spark: SparkSession, path: str):
+    """Batch-peeked, state-keyed cached schema for a streaming source
+    — one implementation for every fixture feed."""
+    cache_key = _schema_cache_key(path)
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[cache_key] = schema
+    return schema
+
+
 def _event_stream(spark: SparkSession, sf_dir: str,
                   dir_fn=None, max_files_per_trigger: int | None = None
                   ) -> DataFrame:
@@ -197,12 +214,7 @@ def _event_stream(spark: SparkSession, sf_dir: str,
     silently mis-scaled 1000x instead of failing loudly."""
     _ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    cache_key = _schema_cache_key(path)
-    schema = _SCHEMA_CACHE.get(cache_key)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[cache_key] = schema
-    reader = spark.readStream.schema(schema)
+    reader = spark.readStream.schema(_peek_schema(spark, path))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
@@ -1159,36 +1171,16 @@ WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.r_id = r.event_id)
 # oracle-checkable.
 
 
-def _doc_stream_dir(sf_dir: str) -> str:
-    """Documents twin of ``_stream_dir`` — same symlink shim, keyed
-    per corpus path, handling both single-file and fuzz-rewritten
-    directory layouts."""
-    import os
-
-    sf_dir = os.path.abspath(sf_dir)
-    d = f"/tmp/ncs_stream/{_dir_slug(sf_dir)}_documents"
-    parts = _table_parts(sf_dir, "documents")
-    if len(parts) == 1:
-        pairs = [(f"{d}/documents.parquet", parts[0])]
-    else:
-        pairs = [(f"{d}/{os.path.basename(t)}", t) for t in parts]
-    return _link_layout(d, pairs)
-
-
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the documents parquet (batch-peeked schema,
-    same cache/key policy as the events stream). No timestamp column
-    → no epoch gate / ns normalization; the quality gate is pure
+    """readStream over the documents parquet (shared dir shim +
+    batch-peeked cached schema — `_table_stream_dir`/`_peek_schema`,
+    the same machinery as the events stream). No timestamp column →
+    no epoch gate / ns normalization; the quality gate is pure
     content math."""
     _ensure_session_confs(spark)
-    path = f"{sf_dir}/documents.parquet"
-    cache_key = _schema_cache_key(path)
-    schema = _SCHEMA_CACHE.get(cache_key)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[cache_key] = schema
-    return (spark.readStream.schema(schema)
-            .parquet(_doc_stream_dir(sf_dir)))
+    return (spark.readStream
+            .schema(_peek_schema(spark, f"{sf_dir}/documents.parquet"))
+            .parquet(_table_stream_dir(sf_dir, "documents")))
 
 
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,9 @@ def file_bounds(path: str, cols: tuple[str, str]) -> dict:
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             n = col.path_in_schema
-            if n in lo and col.statistics is not None:
+            if n in lo and col.statistics is not None \
+                    and col.statistics.min is not None \
+                    and col.statistics.max is not None:
                 s = col.statistics
                 lo[n] = s.min if lo[n] is None else min(lo[n], s.min)
                 hi[n] = s.max if hi[n] is None else max(hi[n], s.max)
@@ -40,7 +42,11 @@ def file_bounds(path: str, cols: tuple[str, str]) -> dict:
 def must_read(bounds: dict, pred: dict) -> bool:
     for c, (plo, phi) in pred.items():
         blo, bhi = bounds[c]
-        if blo is None or bhi < plo or blo > phi:
+        if blo is None or bhi is None:
+            # absence of stats cannot prove absence of matches — a
+            # real pruning reader MUST read such a file
+            return True
+        if bhi < plo or blo > phi:
             return False
     return True
 
