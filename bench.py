@@ -114,7 +114,6 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,          # per-query MIN (the r01-r05 basis)
         "queries_median": medians,   # dispersion: shifts = regressions
-        "queries_runs": all_runs,    # every run time, in order
         "sf": float(sf),
         "runs_per_query": "3, or 5 when median < 3 s; timing = min",
     }
@@ -132,6 +131,35 @@ def main() -> None:
                 for n, m in medians.items()
                 if n in prev["queries_median"]
             }
+    # The FULL record (every run time, in order) goes to a file: the
+    # driver tails stdout and r06/r07 proved a line carrying all of
+    # queries_runs overflows its capture window, leaving
+    # BENCH_r{N}.json with parsed=null (VERDICT r07 #1). The compact
+    # summary — totals, per-query min/median, deltas — is printed as
+    # the LAST line so the driver's JSON parse always succeeds;
+    # queries_runs lives in bench_full.json, referenced by path.
+    full = dict(out)
+    full["queries_runs"] = all_runs
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        out["full_record"] = "bench_full.json"
+    except OSError:
+        # a read-only checkout still gets the compact line
+        out["full_record"] = None
+    # The driver captures ~2000 chars of stdout; a longer line is what
+    # turned BENCH_r06/r07's parsed to null. Shed the line's bulkiest
+    # redundant maps (they all live complete in bench_full.json) until
+    # the summary is safely inside the window: the per-run medians
+    # first, then the min-basis delta map (the median delta is the
+    # regression signal), keeping metric/value/queries always.
+    for shed in ("queries_median", "delta_vs_prev",
+                 "delta_median_vs_prev"):
+        if len(json.dumps(out)) <= 1800:
+            break
+        out.pop(shed, None)
     print(json.dumps(out))
 
 
@@ -166,9 +194,38 @@ def _latest_recorded_bench() -> dict | None:
                 out[key] = json.loads(m.group(1))
             except ValueError:
                 pass
-    m = re.search(r'"value": ([0-9.]+)', tail)
+    # queries_runs (value arrays, one brace level) often survives the
+    # head truncation whole even when the min/median maps before it
+    # were cut — min and median are derivable from it (BENCH_r07).
+    if "queries" not in out or "queries_median" not in out:
+        m = re.search(r'"queries_runs": ({[^{}]*})', tail)
+        if m:
+            try:
+                import statistics
+                runs = json.loads(m.group(1))
+                out.setdefault("queries", {
+                    n: min(r) for n, r in runs.items() if r})
+                out.setdefault("queries_median", {
+                    n: round(statistics.median(r), 3)
+                    for n, r in runs.items() if r})
+            except ValueError:
+                pass
+    # Anchor to the top-level metric pair (an unanchored '"value":'
+    # can hit a nested field of a truncated record — ADVICE r07), and
+    # cross-check the recovered total against the recovered per-query
+    # sums before trusting it.
+    m = re.search(r'"metric": "headline_queries_total", '
+                  r'"value": ([0-9.]+)', tail)
     if m:
-        out["value"] = float(m.group(1))
+        total = float(m.group(1))
+        qsum = sum(out.get("queries", {}).values())
+        if not out.get("queries") or abs(total - qsum) < max(
+                0.01 * max(total, qsum), 0.005 * len(out["queries"])):
+            out["value"] = total
+    if "value" not in out and out.get("queries"):
+        # head-truncated records lose the metric prefix entirely; the
+        # per-query min map, when it survived complete, IS the total
+        out["value"] = round(sum(out["queries"].values()), 3)
     return out or None
 
 

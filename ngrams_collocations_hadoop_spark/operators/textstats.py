@@ -1437,6 +1437,18 @@ def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     return nxt_state, best
 
 
+# Live persisted intermediates of the NEWEST _bpe_chain invocation.
+# Each chain pins BPE_LEARN_STEPS-1 states (legitimately: round r+1
+# re-reads state r twice — pair count + merge), but repeated
+# invocations in one session (learn + apply across fuzz corpora)
+# would otherwise accumulate pinned storage until LRU eviction
+# (ADVICE r07). Releasing the previous chain's handles on entry
+# bounds pinned state to one chain's worth; by then the previous
+# caller's action has either materialized its result or will
+# recompute lazily — unpersist never changes results.
+_BPE_LIVE_STATES: list[DataFrame] = []
+
+
 def _bpe_chain(spark: SparkSession, sf_dir: str
                ) -> tuple[DataFrame, list[DataFrame]]:
     """Run the full BPE_LEARN_STEPS training chain: returns the final
@@ -1444,12 +1456,15 @@ def _bpe_chain(spark: SparkSession, sf_dir: str
     states are persisted (each is re-read twice by the next round:
     pair count + merge); the final state is left lazy — q_bpe_learn
     never reads it and q_bpe_apply reads it exactly once."""
+    while _BPE_LIVE_STATES:
+        _BPE_LIVE_STATES.pop().unpersist(blocking=False)
     state = _bpe_state0(spark, sf_dir)
     bests = []
     for step in range(1, BPE_LEARN_STEPS + 1):
         state, best = _bpe_round(state)
         if step < BPE_LEARN_STEPS:
             state = state.persist()
+            _BPE_LIVE_STATES.append(state)
         bests.append(best)
     return state, bests
 

@@ -164,17 +164,6 @@ def write_multi_sink(df: DataFrame, sinks: dict[str, tuple]) -> None:
         df.unpersist()
 
 
-def write_orc(df: DataFrame, path: str) -> None:
-    """ORC sink (columnar alternative to parquet; zlib by default —
-    Spark's native ORC reader/writer, no extra packages). Same
-    predicate-pushdown and column-pruning behavior as parquet scans."""
-    df.write.mode("overwrite").orc(path)
-
-
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.orc(path)
-
-
 def write_csv(df: DataFrame, path: str) -> None:
     """Quoted, headered CSV sink (RFC-4180-style quoting — the
     interchange format the TSV sink's quote-free contract can't carry:

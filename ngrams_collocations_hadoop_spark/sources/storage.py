@@ -147,22 +147,33 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     # silently write a different number of directories than asked
     if n_blocks < 1 or n_blocks & (n_blocks - 1):
         raise ValueError(f"n_blocks must be a power of two, got {n_blocks}")
+    # z_block is the one name this writer ADDS to the caller's schema
+    # (the partition directory column); internal scratch uses
+    # __-prefixed names so withColumn/crossJoin can't silently replace
+    # or ambiguously collide with caller columns (ADVICE r07).
+    reserved = {"z_block", "__zx", "__zy",
+                "__umin", "__umax", "__tmin", "__tmax"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"write_zordered reserves column name(s) {sorted(clash)}; "
+            "rename them before the rewrite")
     gated = df.filter(F.col(col_a).isNotNull()
                       & F.col(col_b).isNotNull())
     stats = gated.agg(
-        F.min(F.col(col_a).cast("double")).alias("umin"),
-        F.max(F.col(col_a).cast("double")).alias("umax"),
-        F.min(F.col(col_b).cast("double")).alias("tmin"),
-        F.max(F.col(col_b).cast("double")).alias("tmax"))
+        F.min(F.col(col_a).cast("double")).alias("__umin"),
+        F.max(F.col(col_a).cast("double")).alias("__umax"),
+        F.min(F.col(col_b).cast("double")).alias("__tmin"),
+        F.max(F.col(col_b).cast("double")).alias("__tmax"))
     # curve width follows the audit's ZORDER_BITS — a retune there must
     # move the rewrite and the audit together
     shift = 2 * ZORDER_BITS - n_blocks.bit_length() + 1
-    z = _zinterleave_sql("zx", "zy")
+    z = _zinterleave_sql("__zx", "__zy")
     out = (gated.crossJoin(F.broadcast(stats))
-           .withColumn("zx", F.expr(_zgrid_sql(col_a, "umin", "umax")))
-           .withColumn("zy", F.expr(_zgrid_sql(col_b, "tmin", "tmax")))
+           .withColumn("__zx", F.expr(_zgrid_sql(col_a, "__umin", "__umax")))
+           .withColumn("__zy", F.expr(_zgrid_sql(col_b, "__tmin", "__tmax")))
            .withColumn("z_block", F.expr(f"({z}) >> {shift}"))
-           .drop("umin", "umax", "tmin", "tmax", "zx", "zy"))
+           .drop("__umin", "__umax", "__tmin", "__tmax", "__zx", "__zy"))
     (out.repartition(n_blocks, F.col("z_block"))
      .write.mode("overwrite").partitionBy("z_block").parquet(path))
 
