@@ -329,6 +329,69 @@ def document_id_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("copies") > 1))
 
 
+def require_unique_ids(df: DataFrame, id_col: str,
+                       context: str) -> DataFrame:
+    """Fail-LOUD PK gate (VERDICT r07 #5): return ``df`` unchanged when
+    ``id_col`` is unique; raise the pinned "PK precondition" error the
+    moment any consumer executes a plan built on a duplicate-id corpus.
+    Attached to the scans of the id-keyed operators whose multiplicity
+    semantics can't be totalized (the raw-pair LSH composers, the
+    persisted/incremental index lifecycle, CDC chunking) so running
+    them on an unresolved corpus is a diagnosable error instead of
+    silently engine-dependent rows (the r07 dup-id campaign measured
+    exactly that divergence — scripts/fuzz_dupid.py).
+
+    Physical form: one id-keyed count aggregate (map-side partial)
+    collapsed to a single audit row, broadcast cross-joined onto the
+    stream — the ``q_ingest_id_audit`` shape. The assert rides the
+    broadcast row, so the per-data-row cost is a NULL-column drop;
+    what the gate really costs is one extra scan+aggregate of the
+    input per query (reusing the operator's persisted token cache
+    where one exists). Production pipelines that resolve identities
+    at ingest (``resolve_document_identity`` and friends) pass their
+    resolved scan through the composers, which skip this gate — the
+    check belongs at ingest; this is the belt-and-braces for ad-hoc
+    runs on unaudited corpora.
+
+    Gate a SINGLE-consumer stream: a gated DF that fans out to N
+    consumers replays the audit subtree N times in the AQE initial
+    plan (runtime exchange reuse collapses most of it, but the plan —
+    and the pinned shuffle budgets — carry N copies). Operators whose
+    id source fans out attach the gate to their OUTPUT stream instead
+    via ``attach_pk_gate(out, ids_df=...)``."""
+    return attach_pk_gate(df, df, id_col, context)
+
+
+def attach_pk_gate(stream: DataFrame, ids_df: DataFrame, id_col: str,
+                   context: str) -> DataFrame:
+    """The decomposed form of ``require_unique_ids``: audit ``id_col``
+    uniqueness over ``ids_df`` but attach the fail-loud gate to
+    ``stream`` (same schema out). Lets an operator whose id source
+    feeds many consumers gate once, at its single-consumer output."""
+    viol = (ids_df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_copies"))
+            .filter(F.col("_copies") > 1)
+            .agg(F.count(F.lit(1)).alias("_dup_ids"),
+                 F.coalesce(F.max("_copies"), F.lit(0)).alias("_max_copies"),
+                 F.min(F.col(id_col).cast("string")).alias("_near_id")))
+    msg = F.concat(
+        F.lit(f"{id_col} PK precondition violated in {context}: "),
+        F.col("_dup_ids").cast("string"),
+        F.lit(" duplicate id(s), worst multiplicity "),
+        F.col("_max_copies").cast("string"),
+        F.lit(", e.g. "), F.coalesce(F.col("_near_id"), F.lit("?")),
+        F.lit("; resolve identities at ingest "
+              "(resolve_document_identity / resolve_embedding_identity)"
+              " before this operator"))
+    gate = viol.select(
+        F.assert_true(F.col("_dup_ids") == 0, msg).alias("_pk_gate"))
+    # the filter REFERENCES _pk_gate so column pruning can never elide
+    # the assert; on a clean corpus assert_true is NULL and every row
+    # passes
+    return (stream.crossJoin(F.broadcast(gate))
+            .filter(F.col("_pk_gate").isNull()).drop("_pk_gate"))
+
+
 def q_ingest_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest identity GATE as a first-class query: one row
     summarizing both PK audits — how many doc_ids/vec_ids are

@@ -26,31 +26,30 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# The positional ADC codebook cannot be totalized — these two must
-# fail LOUDLY with the pinned precondition error instead of matching.
-# Every composer of the PQ encoder inherits the same gate: the
-# shortlist/rerank forms (late r07) and the IVF-PQ funnel raise the
-# identical pinned error through the shared _pq_parts aggregate.
-EXPECT_RAISE = {"sim_pq_topk", "sim_pq_recall",
-                "sim_pq_rerank", "sim_pq_rerank_recall",
-                "sim_ivfpq_topk", "sim_ivfpq_recall"}
-
-# The DOCUMENTED id-keyed precondition family (allowed to diverge on
-# an unresolved dup-id corpus; resolution-at-ingest is the production
-# contract — sources/tables.py::resolve_document_identity):
+# Queries that must fail LOUDLY with the pinned "PK precondition"
+# error on an unresolved dup-id corpus instead of matching:
 #
-# - every consumer of the raw per-row LSH pair helper: their shared
-#   DuckDB fragment computes GROUP-BY-id union signatures while Spark
-#   signs per row — totalizing them would change ~12 adjudicated
-#   composed plans for a hazard the ingest gate already closes;
-# - dedup_cdc_chunks: its per-doc chunk windows key on doc_id — two
-#   texts under one id interleave by position, and exact redelivery
-#   is indistinguishable without a synthetic row id (which would be
-#   partition-order-dependent, i.e. WORSE than the precondition).
-#
-# Entries here MAY also come out green on a given seed (divergence is
-# data-dependent); only failures OUTSIDE this union are defects.
-EXPECT_PRECONDITION = {
+# - the PQ/ADC family: the positional codebook cannot be totalized —
+#   every composer of the PQ encoder inherits the same gate (the
+#   shortlist/rerank forms and the IVF-PQ funnel raise the identical
+#   pinned error through the shared _pq_parts aggregate);
+# - the former DOCUMENTED-precondition family, upgraded r08 (VERDICT
+#   r07 #5) to the in-query ``require_unique_ids`` gate: every
+#   consumer of the raw per-row LSH pair helper (their shared DuckDB
+#   fragment computes GROUP-BY-id union signatures while Spark signs
+#   per row — totalizing them would change ~12 adjudicated composed
+#   plans for a hazard the ingest gate already closes), the persisted/
+#   incremental index lifecycle (the batch split and the index keys
+#   are id-keyed), and dedup_cdc_chunks (per-doc chunk windows key on
+#   doc_id — two texts under one id interleave by position; a
+#   synthetic row id would be partition-order-dependent, i.e. WORSE).
+#   Resolution-at-ingest remains the production contract
+#   (sources/tables.py::resolve_document_identity); these gates make
+#   an ad-hoc run on an unaudited corpus diagnosable.
+EXPECT_RAISE = {
+    "sim_pq_topk", "sim_pq_recall",
+    "sim_pq_rerank", "sim_pq_rerank_recall",
+    "sim_ivfpq_topk", "sim_ivfpq_recall",
     "dedup_components_lsh", "dedup_keep_one_lsh",
     "dedup_communities_lsh", "dedup_incremental_lsh",
     "dedup_persisted_lsh", "dedup_persisted_lsh_match",
@@ -59,6 +58,13 @@ EXPECT_PRECONDITION = {
     "dedup_lsh_recall", "dedup_cdc_chunks",
     "pipeline_training_prep",
 }
+
+# Empty since r08: nothing in the registry is allowed to silently
+# diverge on a dup-id corpus any more — every id-keyed query either
+# totalizes (stays green) or raises the pinned error above. Kept as a
+# mechanism: a future operator with a measured, documented boundary
+# goes here, and only failures outside BOTH sets are defects.
+EXPECT_PRECONDITION: set[str] = set()
 
 
 def plant_dup_ids(d: str) -> None:

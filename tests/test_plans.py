@@ -553,9 +553,12 @@ def test_bench_queries_shuffle_budget(spark):
         # in production, where the old slice arrives already resolved)
         "pipeline_ingest": 8,
         # both lifecycle forms: batch band shuffle + candidate
-        # repartition + verify joins — the INDEX side contributes none
-        "dedup_persisted_lsh": 5,
-        "dedup_persisted_lsh_match": 5,
+        # repartition + verify joins — the INDEX side contributes none.
+        # +2 in r08: the fail-loud PK gate's audit (one doc_id-keyed
+        # count exchange + its single-row collapse, both over the
+        # persisted token cache; VERDICT r07 #5)
+        "dedup_persisted_lsh": 7,
+        "dedup_persisted_lsh_match": 7,
     }
     # Count DISTINCT exchanges by plan_id (what the docstring always
     # promised): a persisted subtree's InMemoryRelation prints its
