@@ -42,7 +42,9 @@ BENCH_QUERIES = [
     "text_bpe_learn",        # iterative merge training (vocab-bounded)
     "sim_pq_topk",           # PQ encode + ADC scoring (ANN family)
     "sim_pq_rerank",         # two-stage: ADC shortlist -> exact re-rank
+    "sim_pq_trained_topk",   # Lloyd-trained codebook: train + encode + ADC
     "pipeline_ingest",       # incremental-ingest composition
+    "pipeline_embed_ingest",  # embeddings ingest: resolve -> gate -> dedup
     "dedup_persisted_lsh",   # bucketed band-index build + batch match
     # match-only lifecycle row (VERDICT r05 #3): must run AFTER
     # dedup_persisted_lsh in this list — that row's build leaves the

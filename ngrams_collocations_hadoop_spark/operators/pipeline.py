@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.exact import ieee_round, ieee_round_sql
+from ..functions.exact import ieee_round, ieee_round_sql, uavg
 from .dedup import (
     JACCARD_THRESHOLD,
     _MINHASH_LSH_PAIRS_SQL,
@@ -321,6 +321,91 @@ FROM kept GROUP BY 1
 
 
 ORACLE_INGEST_PIPELINE = _oracle_ingest()
+
+
+# --- composed embedding-ingest pipeline ----------------------------------
+# The embeddings twin of q_ingest_pipeline (VERDICT r07 #7): vec_id
+# identity resolution -> finite-vector validity gate -> exact
+# re-embed dedup -> per-label ingest stats. What a vector store runs
+# before (re)building its ANN index.
+
+def q_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the embeddings feed: stage 0 resolves vec_id identity
+    (``resolve_embedding_identity`` — the keeper rule is
+    vector-content-deterministic and engine-shared, with
+    ``embedding_id_violations`` as the fail-loud audit), stage 1
+    drops invalid vectors (the finite/64-dim/nonzero gate every
+    embedding operator assumes), stage 2 collapses exact re-embeds —
+    identical vectors delivered under DIFFERENT ids, which identity
+    resolution by construction cannot see — keyed on the same
+    micro-quantized integer rendering the resolver orders by (exact
+    in both engines; no float formatting anywhere), keeper = min
+    vec_id. The per-label summary reports what survives each stage:
+    vectors kept, exact re-embeds dropped, and the mean vector norm
+    of the kept set (the drift statistic embedding feeds monitor).
+
+    Scale shape: resolution is one hash aggregate on vec_id; the gate
+    is map-side; re-embed dedup is one hash aggregate on the
+    rendering key (map-side partial combine — the rendering is
+    computed per row, never joined); the summary is a label-bounded
+    aggregate. Nothing pairwise, nothing corpus².
+
+    On a feed satisfying the vec_id PK contract stage 0 keeps every
+    row, so the result is unchanged — same resolve-and-continue
+    contract as ``q_ingest_pipeline`` stage 0."""
+    from ..sources.tables import (_EMB_KEY_SPARK,
+                                  resolve_embedding_identity)
+    from .similarity import FINITE_EMB_COND
+
+    emb = resolve_embedding_identity(
+        load_table(spark, sf_dir, "embeddings"))
+    gated = emb.filter(F.expr(FINITE_EMB_COND))
+    norm = F.sqrt(F.expr(
+        "aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, "
+        "(a, x) -> a + x * x)"))
+    keyed = gated.select(
+        "vec_id", "label", F.expr(_EMB_KEY_SPARK).alias("vkey"),
+        norm.alias("norm"))
+    kept = (keyed.groupBy("vkey")
+            .agg(F.min(F.struct("vec_id", "label", "norm")).alias("_k"),
+                 (F.count(F.lit(1)) - 1).alias("_extra"))
+            .select(F.col("_k.label").alias("label"),
+                    F.col("_k.norm").alias("norm"), "_extra"))
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum("_extra").cast("long").alias("n_reembeds_dropped"),
+                 uavg("norm", scale=6, unit="1e6", fn="floor")
+                 .alias("avg_norm"))
+            .withColumn("label", F.col("label").cast("long")))
+
+
+def _oracle_embed_ingest() -> str:
+    from ..sources.tables import _EMB_KEY_DUCK, RESOLVE_EMBEDDINGS_SQL
+    from .similarity import FINITE_EMB_COND_SQL
+    from ..functions.exact import uavg_sql
+
+    return f"""
+WITH resolved AS ({RESOLVE_EMBEDDINGS_SQL}),
+g AS (
+    SELECT vec_id, label, {_EMB_KEY_DUCK} AS vkey,
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS norm
+    FROM resolved
+    WHERE {FINITE_EMB_COND_SQL}),
+kept AS (
+    SELECT label, norm,
+           count(*) OVER (PARTITION BY vkey) - 1 AS _extra,
+           row_number() OVER (PARTITION BY vkey ORDER BY vec_id) AS _rn
+    FROM g)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(_extra) AS BIGINT) AS n_reembeds_dropped,
+       {uavg_sql("norm", scale=6, unit="1e6", fn="floor")} AS avg_norm
+FROM kept WHERE _rn = 1 GROUP BY 1
+"""
+
+
+ORACLE_EMBED_INGEST = _oracle_embed_ingest()
 
 
 # --- benchmark decontamination (train-side) ------------------------------

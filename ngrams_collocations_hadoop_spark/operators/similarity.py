@@ -57,11 +57,24 @@ def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`x IS NULL` filter) because list_filter discards NULL lambda
     results — without the mirror the oracle keeps the row and
     hard-errors in list_dot_product."""
-    return load_table(spark, sf_dir, "embeddings").filter(F.expr(
-        "embedding IS NOT NULL AND size(embedding) = 64 AND "
-        "NOT exists(embedding, x -> isnan(x) "
-        "OR abs(x) = CAST('Infinity' AS FLOAT)) AND "
-        "exists(embedding, x -> x != 0)"))
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(FINITE_EMB_COND))
+
+
+# The gate condition, shared with composed pipelines that apply it to
+# a non-scan input (the embed-ingest pipeline gates its RESOLVED
+# stage-0 output); the DuckDB twin is the literal every embedding
+# oracle below embeds verbatim.
+FINITE_EMB_COND = (
+    "embedding IS NOT NULL AND size(embedding) = 64 AND "
+    "NOT exists(embedding, x -> isnan(x) "
+    "OR abs(x) = CAST('Infinity' AS FLOAT)) AND "
+    "exists(embedding, x -> x != 0)")
+FINITE_EMB_COND_SQL = (
+    "embedding IS NOT NULL AND len(embedding) = 64 AND "
+    "len(list_filter(embedding, x -> x IS NULL)) = 0 AND "
+    "len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND "
+    "len(list_filter(embedding, x -> x != 0)) > 0")
 
 
 TOPK_NEIGHBORS = 10
@@ -1041,32 +1054,43 @@ def _pq_d2_expr(m: int, v: str, cv: str) -> str:
             f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
 
 
-def _pq_parts(spark: SparkSession,
-              sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _pq_parts(spark: SparkSession, sf_dir: str,
+              codebook: DataFrame | None = None
+              ) -> tuple[DataFrame, DataFrame]:
     """(codes, qarr): the PQ index — 4-bit code array per corpus
     vector — and the per-query ADC distance table. Shared by the flat
     PQ scorer (``_pq_scored``: codes × every query) and the IVF-PQ
     composition (``q_ivfpq_topk``: codes joined to the probed-cell
     candidate set only). Extracted verbatim from q_pq_topk; its plan
-    is unchanged."""
+    is unchanged.
+
+    ``codebook`` overrides the one-shot codebook with a caller-built
+    (cid INT 0..PQ_K-1, cv ARRAY<DOUBLE> of EMB_DIM) table — the
+    trained-codebook variant (``_pq_trained_codebook``) passes its
+    Lloyd-refined centroids; everything downstream (encoding, ADC,
+    the PK-precondition assert) is identical."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # Codebook = the first PQ_K FINITE vectors with DENSE 0-based ids:
-    # the ADC distance table is positional, so centroid ids must be
-    # 0..K-1 even when the finite-vector gate drops low vec_ids (a raw
-    # `vec_id < PQ_K` seeded a short table and out-of-bounds lookups —
-    # found by the NaN-vector fuzz). Dense rank via a tiny broadcast
-    # self-join (K rows), not an unpartitioned window.
-    first_k = (e.orderBy("vec_id").limit(PQ_K)
-               .select(F.col("vec_id").alias("cvid"),
-                       F.col("v").alias("cv")))
-    ids = first_k.select(F.col("cvid").alias("oid"))
-    cent = (first_k.join(F.broadcast(ids), F.col("oid") <= F.col("cvid"))
-            .groupBy("cvid")
-            .agg(F.first("cv").alias("cv"),
-                 (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
-            .select("cid", "cv")
-            .persist())  # K rows, consumed by encoding AND query table
+    if codebook is not None:
+        cent = codebook.persist()
+    else:
+        # Codebook = the first PQ_K FINITE vectors with DENSE 0-based
+        # ids: the ADC distance table is positional, so centroid ids
+        # must be 0..K-1 even when the finite-vector gate drops low
+        # vec_ids (a raw `vec_id < PQ_K` seeded a short table and
+        # out-of-bounds lookups — found by the NaN-vector fuzz).
+        # Dense rank via a tiny broadcast self-join (K rows), not an
+        # unpartitioned window.
+        first_k = (e.orderBy("vec_id").limit(PQ_K)
+                   .select(F.col("vec_id").alias("cvid"),
+                           F.col("v").alias("cv")))
+        ids = first_k.select(F.col("cvid").alias("oid"))
+        cent = (first_k.join(F.broadcast(ids), F.col("oid") <= F.col("cvid"))
+                .groupBy("cvid")
+                .agg(F.first("cv").alias("cv"),
+                     (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
+                .select("cid", "cv")
+                .persist())  # K rows, consumed by encoding AND query table
     pairs = e.crossJoin(F.broadcast(cent))
     # vec_id PK PRECONDITION, pinned loudly (r07 identity campaign):
     # the ADC index is positional (dense 0-based centroid ids, one
@@ -1230,18 +1254,21 @@ _PQ_ADC_SQL = (f"list_sum(list_transform(range(1, {PQ_M} + 1), "
                f"m -> dt[CAST(codes[m] AS INT) + 1][m]))")
 
 
-def _pq_core_ctes() -> str:
+def _pq_core_ctes(cent_sql: str | None = None) -> str:
     """The codebook/codes/query-distance-table CTE segment (assumes a
     preceding `e` CTE with the finite-vector gate), shared by the flat
-    PQ chain and the IVF-PQ composition."""
+    PQ chain and the IVF-PQ composition. ``cent_sql`` overrides the
+    one-shot codebook CTE block — it must END with a CTE named `cent`
+    of shape (cid, cv); the trained variant passes its Lloyd chain."""
     d2 = lambda m: (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
                     f"i -> (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])"
                     f" * (v[{m} * {PQ_SUB} + i] - cv[{m} * {PQ_SUB} + i])))")
     code_cols = ", ".join(
         f"(min(struct_pack(d := {d2(m)}, c := cid))).c" for m in range(PQ_M))
-    return f"""cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+    cent_cte = cent_sql or f"""cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                 AS cid, v AS cv
-         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),
+         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K}))"""
+    return f"""{cent_cte},
 codes AS (
     SELECT vec_id, [{code_cols}] AS codes
     FROM e CROSS JOIN cent GROUP BY vec_id),
@@ -1256,12 +1283,13 @@ qarr AS (SELECT query_id, list(dots ORDER BY cid) AS dt
          FROM qtab GROUP BY query_id)"""
 
 
-def _pq_ranked_ctes() -> str:
+def _pq_ranked_ctes(cent_sql: str | None = None) -> str:
     """The WITH-chain through ADC-ranked candidates, shared by the
-    PQ top-k, rerank, and recall oracles."""
+    PQ top-k, rerank, and recall oracles (stride AND trained-codebook
+    variants — ``cent_sql`` passes through to ``_pq_core_ctes``)."""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 AND len(list_filter(embedding, x -> x != 0)) > 0) embeddings),
-{_pq_core_ctes()},
+{_pq_core_ctes(cent_sql)},
 scored AS (
     SELECT query_id, c.vec_id AS cand_id,
            {_PQ_ADC_SQL} AS approx
@@ -1357,6 +1385,204 @@ LEFT JOIN pq_side p
   ON x.query_id = p.query_id AND x.cand_id = p.cand_id
 LEFT JOIN rr_side r
   ON x.query_id = r.query_id AND x.cand_id = r.cand_id
+"""
+
+
+# --- trained PQ codebooks (per-subspace Lloyd refinement) ----------------
+# VERDICT r07 #6: the one-shot codebook (sub-vectors of the first
+# PQ_K finite vectors) is the knob SCALING.md names as what "raises
+# the ADC floor". This trains it: PQ_TRAIN_ITERS Lloyd iterations per
+# subspace — all PQ_M subspaces in ONE long-format DAG per iteration,
+# not M separate loops — with the same exact-quantized centroid
+# update as q_kmeans_step, so both engines iterate bit-identically
+# and the trained variant keeps a full hash-checked oracle.
+
+PQ_TRAIN_ITERS = 2
+
+# Live persisted per-iteration centroid tables of the NEWEST training
+# invocation (each is 128 rows but its subtree scans the corpus; the
+# next iteration reads it once for assignment) — same bounded-pinning
+# pattern as textstats._BPE_LIVE_STATES.
+_PQ_TRAIN_LIVE: list[DataFrame] = []
+
+_PQ_SUB_D2 = ("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+              "0D, (a, t) -> a + t)")
+
+
+def _pq_lloyd_round(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd iteration over the long-form sub-vector table
+    (vec_id, m, sv) against long-form centroids (m, cid, cv):
+    broadcast-join assignment (argmin d², min-cid tiebreak — the
+    encoding aggregate's idiom), exact-quantized per-dimension mean
+    update, and carry-forward for empty clusters (the codebook must
+    stay PQ_K-dense — the ADC table is positional)."""
+    assigned = (sub.join(F.broadcast(cent), on="m")
+                .groupBy("vec_id", "m")
+                .agg(F.expr(f"min(named_struct('d', {_PQ_SUB_D2}, "
+                            f"'c', cid))").alias("_mk"),
+                     F.first("sv").alias("sv")))
+    upd = (assigned.select("m", F.col("_mk.c").alias("cid"),
+                           F.posexplode("sv").alias("pos", "x"))
+           .groupBy("m", "cid", "pos")
+           .agg(uavg("x", scale=6, unit="1e12", fn="floor",
+                     huge="DECIMAL(38,0)").alias("cx"))
+           .groupBy("m", "cid")
+           .agg(F.expr("transform(array_sort(collect_list(named_struct("
+                       "'pos', pos, 'cx', cx))), s -> s.cx)").alias("cvn")))
+    return (cent.join(upd, on=["m", "cid"], how="left")
+            .select("m", "cid", F.coalesce("cvn", "cv").alias("cv")))
+
+
+def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, cv) codebook after PQ_TRAIN_ITERS Lloyd iterations per
+    subspace, initialized from the one-shot codebook (so trained vs
+    stride is exactly "what the iterations bought"). The reshape at
+    the end concatenates each cid's PQ_M sub-centroids back into one
+    EMB_DIM vector — the (cid, cv) contract ``_pq_parts`` encodes
+    against, where subspace m only ever reads its own slice.
+
+    Scale shape: per iteration, assignment is a map-side broadcast
+    argmin over the corpus scan (M·K sub-centroids broadcast — KB);
+    the update shuffles ≤ parts · M·K·SUB partial sums (map-side
+    combine), independent of corpus size; each iteration's 128-row
+    centroid table is persisted so iteration t+1's plan reads a
+    materialized table instead of re-running t."""
+    while _PQ_TRAIN_LIVE:
+        _PQ_TRAIN_LIVE.pop().unpersist(blocking=False)
+    e = load_finite_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    first_k = (e.orderBy("vec_id").limit(PQ_K)
+               .select(F.col("vec_id").alias("cvid"),
+                       F.col("v").alias("cv")))
+    ids = first_k.select(F.col("cvid").alias("oid"))
+    dense = (first_k.join(F.broadcast(ids), F.col("oid") <= F.col("cvid"))
+             .groupBy("cvid")
+             .agg(F.first("cv").alias("cv"),
+                  (F.count(F.lit(1)) - 1).cast("int").alias("cid")))
+    cent = dense.select("cid", F.expr(
+        f"inline(transform(sequence(0, {PQ_M - 1}), m -> "
+        f"struct(m AS m, slice(cv, m * {PQ_SUB} + 1, {PQ_SUB}) AS cv)))"))
+    sub = e.select("vec_id", F.expr(
+        f"inline(transform(sequence(0, {PQ_M - 1}), m -> "
+        f"struct(m AS m, slice(v, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv)))"))
+    for _ in range(PQ_TRAIN_ITERS):
+        cent = _pq_lloyd_round(sub, cent).persist()
+        _PQ_TRAIN_LIVE.append(cent)
+    return (cent.groupBy("cid")
+            .agg(F.expr("flatten(transform(array_sort(collect_list("
+                        "named_struct('m', m, 'cv', cv))), s -> s.cv))")
+                 .alias("cv")))
+
+
+def q_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_pq_topk`` with the TRAINED codebook: same encoding, same
+    ADC scoring, same ranking — only the centroids differ. The paired
+    recall audit (``q_sim_pq_trained_recall``) is where the training
+    shows up as measured recall instead of a claim."""
+    codes, qarr = _pq_parts(spark, sf_dir,
+                            codebook=_pq_trained_codebook(spark, sf_dir))
+    scored = (codes.crossJoin(F.broadcast(qarr))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("approx"), F.asc("vec_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", F.col("vec_id").alias("cand_id"),
+                    ieee_round(F.col("approx"), 6).alias("approx_dot"),
+                    "rank"))
+
+
+def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the one-shot-codebook ADC ranking AND the
+    trained-codebook ranking, side by side in one row —
+    recall_trained − recall_pq is exactly what PQ_TRAIN_ITERS Lloyd
+    iterations bought at UNCHANGED serving cost (the index and the
+    query tables have identical shapes; only centroid values moved).
+    Shares the exact brute-force top-k ground truth with every other
+    recall audit."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    pq = (q_pq_topk(spark, sf_dir)
+          .select("query_id", "cand_id").withColumn("_p", F.lit(1)))
+    tr = (q_pq_trained_topk(spark, sf_dir)
+          .select("query_id", "cand_id").withColumn("_t", F.lit(1)))
+    n = F.count(F.lit(1))
+    hp = F.coalesce(F.sum("_p"), F.lit(0)).cast("long")
+    ht = F.coalesce(F.sum("_t"), F.lit(0)).cast("long")
+    return (exact.join(pq, on=["query_id", "cand_id"], how="left")
+            .join(tr, on=["query_id", "cand_id"], how="left")
+            .agg(n.alias("n_exact"),
+                 hp.alias("n_pq"),
+                 ht.alias("n_trained"),
+                 ieee_round(F.try_divide(hp.cast("double"), n), 4)
+                 .alias("recall_pq"),
+                 ieee_round(F.try_divide(ht.cast("double"), n), 4)
+                 .alias("recall_trained")))
+
+
+def _pq_trained_cent_sql() -> str:
+    """The Lloyd-chain CTE block ending in `cent` (cid, cv) — the
+    trained twin of ``_pq_core_ctes``'s one-shot codebook CTE, fed to
+    it via ``cent_sql``. Iterations are unrolled (a{t}/u{t}/cent{t});
+    every float fold, quantized mean, and tiebreak is the shared
+    engine-exact idiom, so the chain is bit-reproducible."""
+    sub_d2 = (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+              f"i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))")
+    parts = [f"""cent0 AS (
+    SELECT cid, m, cv[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})] AS cv
+    FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                     AS cid, v AS cv
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),
+         UNNEST(range(0, {PQ_M})) AS r(m)),
+sub AS (
+    SELECT vec_id, m, v[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})] AS sv
+    FROM e, UNNEST(range(0, {PQ_M})) AS r(m))"""]
+    for t in range(1, PQ_TRAIN_ITERS + 1):
+        parts.append(f"""a{t} AS (
+    SELECT vec_id, m, sv,
+           (min(struct_pack(d := {sub_d2}, c := cid))).c AS cid
+    FROM sub JOIN cent{t - 1} USING (m)
+    GROUP BY vec_id, m, sv),
+u{t} AS (
+    SELECT m, cid, pos,
+           {uavg_sql("x", scale=6, unit="1e12", fn="floor")} AS cx
+    FROM (SELECT m, cid, CAST(i - 1 AS INT) AS pos, sv[i] AS x
+          FROM a{t}, UNNEST(range(1, {PQ_SUB} + 1)) AS r(i))
+    GROUP BY m, cid, pos),
+cent{t} AS (
+    SELECT c.m, c.cid, coalesce(u.cv, c.cv) AS cv
+    FROM cent{t - 1} c
+    LEFT JOIN (SELECT m, cid, list(cx ORDER BY pos) AS cv
+               FROM u{t} GROUP BY m, cid) u
+      ON u.m = c.m AND u.cid = c.cid)""")
+    parts.append(f"""cent AS (
+    SELECT cid, flatten(list(cv ORDER BY m)) AS cv
+    FROM cent{PQ_TRAIN_ITERS} GROUP BY cid)""")
+    return ",\n".join(parts)
+
+
+ORACLE_PQ_TRAINED_TOPK = f"""{_pq_ranked_ctes(_pq_trained_cent_sql())}
+SELECT query_id, cand_id, {ieee_round_sql('approx')} AS approx_dot, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+ORACLE_SIM_PQ_TRAINED_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+pq_side AS ({ORACLE_PQ_TOPK}),
+tr_side AS ({ORACLE_PQ_TRAINED_TOPK})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(p.cand_id) AS BIGINT) AS n_pq,
+       CAST(count(t.cand_id) AS BIGINT) AS n_trained,
+       {ieee_round_sql('count(p.cand_id)::DOUBLE / count(*)', 4)}
+           AS recall_pq,
+       {ieee_round_sql('count(t.cand_id)::DOUBLE / count(*)', 4)}
+           AS recall_trained
+FROM exact_side x
+LEFT JOIN pq_side p
+  ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+LEFT JOIN tr_side t
+  ON x.query_id = t.query_id AND x.cand_id = t.cand_id
 """
 
 

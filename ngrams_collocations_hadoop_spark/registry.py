@@ -287,12 +287,89 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # newest official row older than r04; the r08 refresh queue head is
 # the remaining r04 rows (dedup_fingerprint .. colloc_totals), then
 # the r05 rows.
+#
+# r08 window (this round): 14 changed — the fail-loud PK gate
+# (require_unique_ids/attach_pk_gate, VERDICT r07 #5) attached to
+# every query of the former documented-precondition family (the
+# raw-pair LSH composers, the persisted/incremental index lifecycle,
+# CDC chunking; fuzz_dupid.py reclassified all 14 to expected-raise,
+# seed 7201: 157 green / 20 expected-raise / 0 documented /
+# 0 unexpected) — plus 3 new (pipeline_embed_ingest, the embeddings
+# ingest with vec_id resolution as stage 0, VERDICT r07 #7;
+# sim_pq_trained_topk + sim_pq_trained_recall, the Lloyd-trained PQ
+# codebook variant and its lift audit, VERDICT r07 #6 — measured
+# recall@10 0.28 -> 0.38 at sf0.01, 0.22 -> 0.28 at sf0.1, at
+# identical serving cost) — then the full 31-query r04 refresh queue
+# (the r07-refactor-touched text_contamination first) and the 2
+# stalest r05 rows (rel_gap_fill, text_weighted_sample).
+# Accounting after r08: no query's newest official row older than
+# r05; the r09 refresh queue head is the remaining r05 block
+# (sim_power_iteration .. stream_dedup_bounded), then r06.
 QUERIES: dict[str, QueryFn] = {
-    # --- (1) implementation changed this round (r07: identity-totality
-    #     campaign - minhash max-jaccard / simhash min-hamming /
-    #     cosine-lsh max-cosine total forms + their recall/check
-    #     composers; pq PK-precondition gate; heaps content tiebreak;
-    #     ingest pipeline stage-0 identity gate) ---
+    # --- (1) implementation changed this round (r08: the fail-loud
+    #     doc_id PK gate — require_unique_ids/attach_pk_gate riding
+    #     each id-keyed operator's output; VERDICT r07 #5) ---
+    "dedup_components_lsh": dedup.q_dedup_components_lsh,
+    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
+    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,
+    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,
+    "dedup_persisted_lsh": dedup.q_dedup_persisted_lsh,
+    "dedup_persisted_lsh_match": dedup.q_dedup_persisted_lsh_match,
+    "dedup_kcore": dedup.q_dedup_kcore,
+    "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,
+    "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
+    "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
+    "dedup_link_prediction": dedup.q_dedup_link_prediction,
+    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
+    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,
+    "pipeline_training_prep": pipeline.q_training_prep,
+    # --- (2) new this round: the embeddings-feed ingest pipeline
+    #     (vec_id resolution as stage 0, VERDICT r07 #7) and the
+    #     trained-PQ-codebook variant + its lift-measuring recall
+    #     audit (VERDICT r07 #6) ---
+    "pipeline_embed_ingest": pipeline.q_embed_ingest,
+    "sim_pq_trained_topk": similarity.q_pq_trained_topk,
+    "sim_pq_trained_recall": similarity.q_sim_pq_trained_recall,
+    # --- (3) r04-stale refresh queue (VERDICT r07 #3: all 31 not
+    #     already in group 1; the r07-refactor-touched
+    #     text_contamination first) ---
+    "text_contamination": textstats.q_contamination,
+    "dedup_components": dedup.q_dedup_components,
+    "dedup_keep_one": dedup.q_dedup_keep_one,
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_fingerprint": dedup.q_dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+    "rel_equidepth_histogram": rel.q_equidepth_histogram,
+    "text_dup_spans": textstats.q_dup_spans,
+    "mm_resize": multimodal.q_mm_resize,
+    "stream_merge_sink": sw.q_stream_merge_sink,
+    "text_dup_span_positions": textstats.q_dup_span_positions,
+    "text_dup_span_removal": textstats.q_dup_span_removal,
+    "text_group_sample": textstats.q_group_sample,
+    "text_dsir_weights": textstats.q_dsir_weights,
+    "text_shard_assign": textstats.q_shard_assign,
+    "text_bpe_pairs": textstats.q_bpe_pairs,
+    "rel_mad_outliers": rel.q_mad_outliers,
+    "stream_window_topk": sw.q_stream_window_topk,
+    "pipeline_export": pipeline.q_export_manifest,
+    "rel_grouping_sets": rel.q_grouping_sets,
+    "rel_interval_overlap": rel.q_interval_overlap,
+    "rel_bloom_prefilter": skew.q_bloom_prefilter,
+    "text_zipf": textstats.q_zipf,
+    "text_kl_drift": textstats.q_kl_drift,
+    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,
+    "text_token_positions": textstats.q_token_positions,
+    "text_bm25": textstats.q_bm25,
+    "text_token_count": textstats.q_token_count,
+    "colloc_unigram_counts": co.q_unigram_counts,
+    "colloc_bigram_counts": co.q_bigram_counts,
+    "colloc_totals": co.q_totals,
+    # --- (4) the two stalest r05 rows fill the window ---
+    "rel_gap_fill": rel.q_gap_fill,
+    "text_weighted_sample": textstats.q_weighted_sample,
+    # ================= end of the 50-query r08 window =================
+    # tail: r05-green rows first (next refresh queue head), then r06,
+    # then r07-green (freshest) — newest official evidence last
     "pipeline_ingest": pipeline.q_ingest_pipeline,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "dedup_simhash": dedup.q_dedup_simhash,
@@ -302,12 +379,6 @@ QUERIES: dict[str, QueryFn] = {
     "sim_pq_topk": similarity.q_pq_topk,
     "sim_pq_recall": similarity.q_sim_pq_recall,
     "text_heaps": textstats.q_heaps,
-    # --- (2) new this round: the identity gate's audit as a query,
-    #     the keeper rule as a STREAMING operator over divergent
-    #     at-least-once redeliveries, the two-stage refinement ANN
-    #     family (PQ shortlist -> exact re-rank; Matryoshka prefix
-    #     funnel) with their recall audits, and the Z-order layout
-    #     operator ---
     "ingest_id_audit": tables.q_ingest_id_audit,
     "stream_id_resolve": sw.q_stream_id_resolve,
     "sim_pq_rerank": similarity.q_pq_rerank,
@@ -315,36 +386,14 @@ QUERIES: dict[str, QueryFn] = {
     "sim_mrl_topk": similarity.q_mrl_topk,
     "sim_mrl_recall": similarity.q_sim_mrl_recall,
     "rel_zorder_layout": rel.q_zorder_layout,
-    # the BPE training LOOP (q_bpe_pairs is one selection step):
-    # count -> pick -> greedy-apply, unrolled BPE_LEARN_STEPS times,
-    # emitting the learned merge table (displaces dedup_exact)
     "text_bpe_learn": textstats.q_bpe_learn,
-    # ... and its APPLY half: tokenize the corpus with the learned
-    # merges, per-lang compression stats (displaces
-    # dedup_incremental_lsh)
     "text_bpe_apply": textstats.q_bpe_apply,
-    # IVF-PQ + exact refinement: the composed serving stack (coarse
-    # prune -> ADC -> rerank) + its recall audit (displace
-    # dedup_components / dedup_keep_one)
     "sim_ivfpq_topk": similarity.q_ivfpq_topk,
     "sim_ivfpq_recall": similarity.q_sim_ivfpq_recall,
-    # benchmark decontamination: the train-side removal composing the
-    # contamination audit's shared split + shingle rules (displaces
-    # pipeline_training_prep from the window)
     "pipeline_decontaminate": pipeline.q_decontaminate,
-    # interpolated Kneser-Ney bigram LM — the production n-gram
-    # smoothing, completing the LM family (add-k condprob,
-    # cross-entropy); displaces dedup_communities_lsh
     "colloc_kn_condprob": ng.q_kn_condprob,
-    # codec-free WAV/RIFF header decode — the audio twin of
-    # mm_image_dims (little-endian fields, byte-pair reversal in pure
-    # column expressions); displaces dedup_keep_one_lsh
     "mm_audio_meta": multimodal.q_mm_audio_meta,
-    # the quality gate as a STREAMING ingest stage over the DOCUMENTS
-    # feed (all prior streaming ops consume events) — shared formula
-    # with the batch pipeline; displaces dedup_components_lsh
     "stream_quality_gate": sw.q_stream_quality_gate,
-    # --- (3a) r03 refresh queue (VERDICT r06 #1: the 17 stalest) ---
     "text_train_test_split": textstats.q_train_test_split,
     "text_pii_redact": textstats.q_pii_redact,
     "text_repetition": textstats.q_repetition,
@@ -362,10 +411,6 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session": sw.q_stream_session,
     "stream_sliding": sw.q_stream_sliding,
     "stream_enrich": sw.q_stream_enrich,
-    # --- (3b) stalest r04 block - late-r05-edited embedding family
-    #     first, then the LSH-composed family whose shared helper was
-    #     renamed this round (plans byte-identical, refreshed anyway
-    #     since they sit at the rotation head) ---
     "sim_cosine_topk": similarity.q_cosine_topk,
     "sim_cosine_topk_ivf": similarity.q_cosine_topk_ivf,
     "sim_cosine_topk_filtered": similarity.q_cosine_topk_filtered,
@@ -375,64 +420,11 @@ QUERIES: dict[str, QueryFn] = {
     "sim_kmeans_step": similarity.q_kmeans_step,
     "dedup_semantic": similarity.q_dedup_semantic,
     "sim_ivf_recall": similarity.q_sim_ivf_recall,
-    # ================= end of the 50-query r07 window =================
-    "dedup_components_lsh": dedup.q_dedup_components_lsh,
-    "dedup_keep_one_lsh": dedup.q_dedup_keep_one_lsh,
-    "dedup_communities_lsh": dedup.q_dedup_communities_lsh,
-    "pipeline_training_prep": pipeline.q_training_prep,
-    "dedup_incremental_lsh": dedup.q_dedup_incremental_lsh,
-    "dedup_components": dedup.q_dedup_components,
-    "dedup_keep_one": dedup.q_dedup_keep_one,
-    "dedup_exact": dedup.q_dedup_exact,
-    # (dedup_fingerprint, dedup_ngram_jaccard, rel_equidepth_histogram,
-    # text_dup_spans, text_contamination displaced to the tail head by
-    # the 5 late-r07 new queries — new queries outrank refresh slots;
-    # their newest official rows stay r04, so the post-r07 freshness
-    # floor is unchanged. mm_resize was displaced earlier by
-    # stream_id_resolve, same rule as stream_merge_sink below.)
-    "dedup_fingerprint": dedup.q_dedup_fingerprint,
-    "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
-    "rel_equidepth_histogram": rel.q_equidepth_histogram,
-    "text_dup_spans": textstats.q_dup_spans,
-    "text_contamination": textstats.q_contamination,
-    "mm_resize": multimodal.q_mm_resize,
-    # --- (4) tail, oldest official evidence first: r04 leftovers
-    #     (stream_merge_sink displaced from the window by the new
-    #     ingest_id_audit - new queries outrank refresh slots) ---
-    "stream_merge_sink": sw.q_stream_merge_sink,
-    "text_dup_span_positions": textstats.q_dup_span_positions,
-    "text_dup_span_removal": textstats.q_dup_span_removal,
-    "text_group_sample": textstats.q_group_sample,
-    "text_dsir_weights": textstats.q_dsir_weights,
-    "text_shard_assign": textstats.q_shard_assign,
-    "text_bpe_pairs": textstats.q_bpe_pairs,
-    "rel_mad_outliers": rel.q_mad_outliers,
-    "stream_window_topk": sw.q_stream_window_topk,
-    "dedup_cdc_chunks": dedup.q_dedup_cdc_chunks,
-    "pipeline_export": pipeline.q_export_manifest,
-    "rel_grouping_sets": rel.q_grouping_sets,
-    "rel_interval_overlap": rel.q_interval_overlap,
-    "rel_bloom_prefilter": skew.q_bloom_prefilter,
-    "text_zipf": textstats.q_zipf,
-    "text_kl_drift": textstats.q_kl_drift,
-    "text_winnow_fingerprints": textstats.q_winnow_fingerprints,
-    "text_token_positions": textstats.q_token_positions,
-    "text_bm25": textstats.q_bm25,
-    "text_token_count": textstats.q_token_count,
-    "colloc_unigram_counts": co.q_unigram_counts,
-    "colloc_bigram_counts": co.q_bigram_counts,
-    "colloc_totals": co.q_totals,
-    # --- (4) newest green row is r05 ---
-    "rel_gap_fill": rel.q_gap_fill,
-    "text_weighted_sample": textstats.q_weighted_sample,
     "sim_power_iteration": similarity.q_power_iteration,
     "stream_full_outer_join": sw.q_stream_full_outer_join,
-    "dedup_persisted_lsh": dedup.q_dedup_persisted_lsh,
     "rel_ewma": rel.q_ewma,
-    "dedup_link_prediction": dedup.q_dedup_link_prediction,
     "stream_outer_join": sw.q_stream_outer_join,
     "rel_scd2": rel.q_scd2_history,
-    "dedup_kcore": dedup.q_dedup_kcore,
     "rel_pit_enrich": asof.q_pit_enrich,
     "text_containment": textstats.q_containment,
     "rel_sketch_reagg": rel.q_sketch_reagg,
@@ -444,7 +436,6 @@ QUERIES: dict[str, QueryFn] = {
     "rel_sliding_distinct": rel.q_sliding_distinct,
     "rel_profile": rel.q_profile,
     "rel_snapshot_diff": rel.q_snapshot_diff,
-    "dedup_clustering_coeff": dedup.q_dedup_clustering_coeff,
     "rel_rolling_slope": rel.q_rolling_slope,
     "rel_json_extract": rel.q_json_extract,
     "rel_tumbling_window": rel.q_tumbling_window,
@@ -468,13 +459,11 @@ QUERIES: dict[str, QueryFn] = {
     "rel_window_firstlast": rel.q_window_firstlast,
     "stream_stateful_totals": sw.q_stream_stateful_totals,
     "stream_dedup_bounded": sw.q_stream_dedup_bounded,
-    # --- (4) newest green row is r06 (last round's window) ---
     "colloc_scored": co.q_scored,
     "colloc_topk": co.q_topk,
     "colloc_hebrew_topk": co.q_hebrew_topk,
     "colloc_topk_quirk": co.q_topk_quirk,
     "rel_approx_sketches": rel.q_approx_sketches,
-    "dedup_persisted_lsh_match": dedup.q_dedup_persisted_lsh_match,
     "rel_star_join": rel.q_star_join,
     "rel_corr_stats": rel.q_corr_stats,
     "rel_rollup": rel.q_rollup,
@@ -499,16 +488,13 @@ QUERIES: dict[str, QueryFn] = {
     "rel_window_ranks": rel.q_window_ranks,
     "rel_set_ops": rel.q_set_ops,
     "dedup_pagerank": dedup.q_dedup_pagerank,
-    "dedup_pagerank_lsh": dedup.q_dedup_pagerank_lsh,
     "stream_dedup": sw.q_stream_dedup,
     "dedup_components_star": dedup.q_dedup_components_star,
     "stream_pair_join": sw.q_stream_pair_join,
     "rel_salted_join": skew.q_salted_join,
     "sim_cosine_topk_quantized": similarity.q_cosine_topk_quantized,
-    "dedup_lsh_recall": dedup.q_dedup_lsh_recall,
     "rel_incremental_agg": rel.q_incremental_agg,
     "dedup_triangles": dedup.q_dedup_triangles,
-    "dedup_triangles_lsh": dedup.q_dedup_triangles_lsh,
     "rel_string_agg": rel.q_string_agg,
     "rel_bucketed_join": storage.q_bucketed_join,
     "text_quality": textstats.q_text_quality,
@@ -644,6 +630,9 @@ ORACLES: dict[str, str] = {
     "rel_attribution": asof.ORACLE_ATTRIBUTION,
     "text_char_entropy": textstats.ORACLE_CHAR_ENTROPY,
     "pipeline_ingest": pipeline.ORACLE_INGEST_PIPELINE,
+    "pipeline_embed_ingest": pipeline.ORACLE_EMBED_INGEST,
+    "sim_pq_trained_topk": similarity.ORACLE_PQ_TRAINED_TOPK,
+    "sim_pq_trained_recall": similarity.ORACLE_SIM_PQ_TRAINED_RECALL,
     "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
     "rel_profile": rel.ORACLE_PROFILE,
     "rel_snapshot_diff": rel.ORACLE_SNAPSHOT_DIFF,
