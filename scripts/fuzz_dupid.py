@@ -50,6 +50,9 @@ EXPECT_RAISE = {
     "sim_pq_topk", "sim_pq_recall",
     "sim_pq_rerank", "sim_pq_rerank_recall",
     "sim_ivfpq_topk", "sim_ivfpq_recall",
+    # the trained-codebook variant encodes through the same _pq_parts
+    # aggregate, so it inherits the identical pinned gate
+    "sim_pq_trained_topk", "sim_pq_trained_recall",
     "dedup_components_lsh", "dedup_keep_one_lsh",
     "dedup_communities_lsh", "dedup_incremental_lsh",
     "dedup_persisted_lsh", "dedup_persisted_lsh_match",

@@ -726,3 +726,30 @@ def test_wav_header_decode_matches_struct_unpack(spark):
         assert brate == rate * chans * 2 and balign == chans * 2
         want = round(dsize / (rate * chans * (bits // 8)), 6)
         assert abs(r.duration_s - want) < 2e-6, (r.duration_s, want)
+
+
+def test_pq_trained_codebook_dense_and_carries_empty_cells(spark):
+    """The trained PQ codebook must stay PQ_K-DENSE (the ADC distance
+    table is positional — a vanished centroid id means out-of-bounds
+    lookups), with full EMB_DIM vectors assembled in subspace order;
+    and a Lloyd round must CARRY FORWARD a centroid that attracted no
+    members instead of dropping it (crafted: one centroid at the data,
+    one far away — the far one must survive the round unchanged while
+    the near one moves to the exact quantized mean)."""
+    from ngrams_collocations_hadoop_spark.operators import similarity as S
+    from .conftest import SF_SMALL
+
+    cb = S._pq_trained_codebook(spark, SF_SMALL).collect()
+    assert sorted(r.cid for r in cb) == list(range(S.PQ_K))
+    assert all(len(r.cv) == S.EMB_DIM for r in cb)
+
+    sub = spark.sql(
+        "SELECT * FROM VALUES (CAST(0 AS BIGINT), 0, array(0D, 0D)),"
+        " (CAST(1 AS BIGINT), 0, array(1D, 1D)) AS t(vec_id, m, sv)")
+    cent = spark.sql(
+        "SELECT * FROM VALUES (0, 0, array(0D, 0D)),"
+        " (0, 1, array(100D, 100D)) AS t(m, cid, cv)")
+    out = {(r.m, r.cid): list(r.cv)
+           for r in S._pq_lloyd_round(sub, cent).collect()}
+    assert out[(0, 1)] == [100.0, 100.0]   # empty cell: carried as-is
+    assert out[(0, 0)] == [0.5, 0.5]       # members 0,1 -> exact mean

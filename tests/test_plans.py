@@ -552,6 +552,13 @@ def test_bench_queries_shuffle_budget(spark):
         # hash exchange, persisted so it runs once; batch-proportional
         # in production, where the old slice arrives already resolved)
         "pipeline_ingest": 8,
+        # trained codebook (r08): assignment is MAP-SIDE (array_min
+        # argmin over broadcast per-subspace candidates — zero
+        # corpus shuffle); the 9 = ADC/window stages shared with
+        # sim_pq_topk + the centroid-bounded Lloyd update aggregates
+        "sim_pq_trained_topk": 9,
+        # resolve agg + rendering-keyed dedup agg + label agg
+        "pipeline_embed_ingest": 3,
         # both lifecycle forms: batch band shuffle + candidate
         # repartition + verify joins — the INDEX side contributes none.
         # +2 in r08: the fail-loud PK gate's audit (one doc_id-keyed

@@ -56,7 +56,8 @@ FUZZ_QUERIES = [
     # embeddings-only
     "sim_cosine_topk", "dedup_embedding_cosine", "sim_label_centroids",
     "sim_kmeans_step", "sim_embedding_covariance", "sim_pq_rerank",
-    "sim_mrl_topk", "sim_ivfpq_topk",
+    "sim_mrl_topk", "sim_ivfpq_topk", "sim_pq_trained_topk",
+    "pipeline_embed_ingest",
     # events two-dimensional layout (extreme-magnitude ids, pre-epoch)
     "rel_zorder_layout",
     # TPC-H-table representatives (ties, NULL acctbal, dangling FKs)
@@ -265,6 +266,16 @@ def test_identity_resolution_restores_totality_on_dup_doc_ids(
     # gate (VERDICT r06 #3): cross-engine green on the UNRESOLVED
     # dup-id corpus (both engines resolve identically in-DAG) ...
     assert not run_fuzz(spark, d, ["pipeline_ingest"])
+
+    # ... while the id-keyed precondition family FAILS LOUD in-query
+    # (r08, VERDICT r07 #5): the require_unique_ids gate raises the
+    # pinned error instead of returning engine-dependent rows
+    from ngrams_collocations_hadoop_spark.registry import (
+        QUERIES as _Q)
+    with pytest.raises(Exception, match="PK precondition"):
+        _Q["dedup_components_lsh"](spark, d).collect()
+    with pytest.raises(Exception, match="PK precondition"):
+        _Q["dedup_cdc_chunks"](spark, d).collect()
     from ngrams_collocations_hadoop_spark.registry import QUERIES
     pre_pipeline = {tuple(r) for r in
                     QUERIES["pipeline_ingest"](spark, d).collect()}
@@ -361,7 +372,12 @@ def test_identity_resolution_restores_totality_on_dup_vec_ids(
     # vector combinations), and the audit oracle-matches on the
     # violating corpus ...
     assert not run_fuzz(spark, d, ["sim_cosine_topk_lsh",
-                                   "ingest_id_audit"])
+                                   "ingest_id_audit",
+                                   # the embed-ingest pipeline's
+                                   # stage-0 resolve makes it green
+                                   # on the UNRESOLVED corpus (both
+                                   # engines resolve in-DAG, r08)
+                                   "pipeline_embed_ingest"])
     from ngrams_collocations_hadoop_spark.sources.tables import (
         q_ingest_id_audit)
     audit = q_ingest_id_audit(spark, d).collect()[0]
@@ -374,9 +390,12 @@ def test_identity_resolution_restores_totality_on_dup_vec_ids(
     with pytest.raises(Exception, match="PK precondition"):
         QUERIES["sim_pq_topk"](spark, d).collect()
     # ... and every composer of the shared PQ encoder inherits the
-    # same loud gate (late-r07: the rerank funnel and IVF-PQ)
+    # same loud gate (late-r07: the rerank funnel and IVF-PQ;
+    # r08: the trained-codebook variant)
     with pytest.raises(Exception, match="PK precondition"):
         QUERIES["sim_ivfpq_topk"](spark, d).collect()
+    with pytest.raises(Exception, match="PK precondition"):
+        QUERIES["sim_pq_trained_topk"](spark, d).collect()
 
     resolved = resolve_embedding_identity(
         spark.read.parquet(f"{d}/embeddings.parquet"))
@@ -402,6 +421,7 @@ def test_identity_resolution_restores_totality_on_dup_vec_ids(
     probed = ["sim_cosine_topk", "sim_cosine_topk_lsh",
               "sim_cosine_topk_ivf", "sim_cosine_topk_quantized",
               "sim_cosine_topk_filtered", "sim_pq_topk",
+              "sim_pq_trained_topk", "pipeline_embed_ingest",
               "sim_label_centroids", "sim_kmeans_step",
               "sim_embedding_covariance", "dedup_embedding_cosine",
               "dedup_semantic", "sim_power_iteration"]
