@@ -299,12 +299,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sim_pq_trained_topk + sim_pq_trained_recall, the Lloyd-trained PQ
 # codebook variant and its lift audit, VERDICT r07 #6 — measured
 # recall@10 0.28 -> 0.38 at sf0.01, 0.22 -> 0.28 at sf0.1, at
-# identical serving cost) — then the full 31-query r04 refresh queue
-# (the r07-refactor-touched text_contamination first) and the 2
-# stalest r05 rows (rel_gap_fill, text_weighted_sample).
+# identical serving cost; late-r08 adds a 4th new query,
+# dedup_components_incremental — star-contracted incremental cluster
+# maintenance for an ingest batch, measured 4 rounds vs 6 full at
+# sf0.01) — then the full 31-query r04 refresh queue (the
+# r07-refactor-touched text_contamination first) and the stalest r05
+# row (rel_gap_fill; text_weighted_sample was displaced to the tail
+# head by the 4th new query — new outranks refresh).
 # Accounting after r08: no query's newest official row older than
-# r05; the r09 refresh queue head is the remaining r05 block
-# (sim_power_iteration .. stream_dedup_bounded), then r06.
+# r05; the r09 refresh queue head is text_weighted_sample, then the
+# remaining r05 block (sim_power_iteration .. stream_dedup_bounded),
+# then r06.
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round (r08: the fail-loud
     #     doc_id PK gate — require_unique_ids/attach_pk_gate riding
@@ -330,6 +335,11 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_embed_ingest": pipeline.q_embed_ingest,
     "sim_pq_trained_topk": similarity.q_pq_trained_topk,
     "sim_pq_trained_recall": similarity.q_sim_pq_trained_recall,
+    # incremental component maintenance: contract old clusters to
+    # star edges, iterate only over (contracted ∪ batch edges) —
+    # rounds track the batch's structure (measured 4 vs 6 full at
+    # sf0.01); oracle = full recompute filtered to the batch
+    "dedup_components_incremental": dedup.q_dedup_components_incremental,
     # --- (3) r04-stale refresh queue (VERDICT r07 #3: all 31 not
     #     already in group 1; the r07-refactor-touched
     #     text_contamination first) ---
@@ -364,12 +374,15 @@ QUERIES: dict[str, QueryFn] = {
     "colloc_unigram_counts": co.q_unigram_counts,
     "colloc_bigram_counts": co.q_bigram_counts,
     "colloc_totals": co.q_totals,
-    # --- (4) the two stalest r05 rows fill the window ---
+    # --- (4) the stalest r05 row fills the window (its sibling
+    #     text_weighted_sample was displaced to the tail head by the
+    #     late-r08 dedup_components_incremental — new outranks
+    #     refresh) ---
     "rel_gap_fill": rel.q_gap_fill,
-    "text_weighted_sample": textstats.q_weighted_sample,
     # ================= end of the 50-query r08 window =================
     # tail: r05-green rows first (next refresh queue head), then r06,
     # then r07-green (freshest) — newest official evidence last
+    "text_weighted_sample": textstats.q_weighted_sample,
     "pipeline_ingest": pipeline.q_ingest_pipeline,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "dedup_simhash": dedup.q_dedup_simhash,
@@ -633,6 +646,8 @@ ORACLES: dict[str, str] = {
     "pipeline_embed_ingest": pipeline.ORACLE_EMBED_INGEST,
     "sim_pq_trained_topk": similarity.ORACLE_PQ_TRAINED_TOPK,
     "sim_pq_trained_recall": similarity.ORACLE_SIM_PQ_TRAINED_RECALL,
+    "dedup_components_incremental":
+        dedup.ORACLE_DEDUP_COMPONENTS_INCREMENTAL,
     "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
     "rel_profile": rel.ORACLE_PROFILE,
     "rel_snapshot_diff": rel.ORACLE_SNAPSHOT_DIFF,

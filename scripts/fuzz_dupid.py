@@ -54,6 +54,7 @@ EXPECT_RAISE = {
     # aggregate, so it inherits the identical pinned gate
     "sim_pq_trained_topk", "sim_pq_trained_recall",
     "dedup_components_lsh", "dedup_keep_one_lsh",
+    "dedup_components_incremental",
     "dedup_communities_lsh", "dedup_incremental_lsh",
     "dedup_persisted_lsh", "dedup_persisted_lsh_match",
     "dedup_kcore", "dedup_clustering_coeff", "dedup_pagerank_lsh",

@@ -753,3 +753,35 @@ def test_pq_trained_codebook_dense_and_carries_empty_cells(spark):
            for r in S._pq_lloyd_round(sub, cent).collect()}
     assert out[(0, 1)] == [100.0, 100.0]   # empty cell: carried as-is
     assert out[(0, 0)] == [0.5, 0.5]       # members 0,1 -> exact mean
+
+
+def test_incremental_components_merge_old_clusters(spark):
+    """Crafted bridge case for q_dedup_components_incremental's
+    engine: two pre-batch clusters get chained by ONE batch edge —
+    the contracted union must produce a single merged component with
+    the global-min label and the FULL merged size, in rounds bounded
+    by the new edge's structure (old chain length contributes zero).
+    Built directly on the star-contraction + propagation pieces so it
+    pins the mechanism, not just the fixture outcome."""
+    from pyspark.sql import functions as F
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        connected_components)
+
+    # old clusters (long chains, pre-contracted): {1..4} -> 1, {6..9} -> 6
+    star = spark.sql(
+        "SELECT * FROM VALUES (2L, 1L), (3L, 1L), (4L, 1L),"
+        " (7L, 6L), (8L, 6L), (9L, 6L) AS t(src, dst)")
+    # batch doc 10 bridges the two clusters
+    new_edges = spark.sql(
+        "SELECT * FROM VALUES (10L, 4L), (10L, 9L) AS t(src, dst)")
+    comp = connected_components(star.unionByName(new_edges))
+    rows = {r.node: r.component for r in comp.collect()}
+    assert set(rows.values()) == {1}          # one merged component
+    assert len(rows) == 9                     # 1..4, 6..9, 10
+    # depth: star edges are diameter 1, so the label walk is bounded
+    # by the bridge structure (label reaches 10 via 4, then crosses
+    # to the far star and its leaves — 4 rounds measured) no matter
+    # how long the ORIGINAL chains inside the old clusters were; the
+    # same topology UNcontracted (chains of length 4) needs the full
+    # chain depth again
+    assert connected_components.last_rounds <= 4
