@@ -1054,6 +1054,12 @@ def _pq_d2_expr(m: int, v: str, cv: str) -> str:
             f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
 
 
+# Live pinned codebook of the NEWEST _pq_parts invocation (released
+# on the next call — bounds pinned storage across repeated PQ queries
+# in one session; the ADVICE r07 _bpe_chain pattern).
+_PQ_CENT_LIVE: list[DataFrame] = []
+
+
 def _pq_parts(spark: SparkSession, sf_dir: str,
               codebook: DataFrame | None = None
               ) -> tuple[DataFrame, DataFrame]:
@@ -1071,8 +1077,14 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
     the PK-precondition assert) is identical."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    while _PQ_CENT_LIVE:
+        # release the previous invocation's pinned codebook (same
+        # bounded-pinning pattern as the Lloyd intermediates /
+        # textstats._BPE_LIVE_STATES; ADVICE r07 class)
+        _PQ_CENT_LIVE.pop().unpersist(blocking=False)
     if codebook is not None:
         cent = codebook.persist()
+        _PQ_CENT_LIVE.append(cent)
     else:
         # Codebook = the first PQ_K FINITE vectors with DENSE 0-based
         # ids: the ADC distance table is positional, so centroid ids
@@ -1091,6 +1103,7 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
                      (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
                 .select("cid", "cv")
                 .persist())  # K rows, consumed by encoding AND query table
+    _PQ_CENT_LIVE.append(cent)
     pairs = e.crossJoin(F.broadcast(cent))
     # vec_id PK PRECONDITION, pinned loudly (r07 identity campaign):
     # the ADC index is positional (dense 0-based centroid ids, one
