@@ -153,11 +153,14 @@ def main() -> None:
         out["full_record"] = None
     # The driver captures ~2000 chars of stdout; a longer line is what
     # turned BENCH_r06/r07's parsed to null. Shed the line's bulkiest
-    # redundant maps (they all live complete in bench_full.json) until
-    # the summary is safely inside the window: the per-run medians
-    # first, then the min-basis delta map (the median delta is the
-    # regression signal), keeping metric/value/queries always.
-    for shed in ("queries_median", "delta_vs_prev",
+    # maps (they all live complete in bench_full.json) until the
+    # summary is safely inside the window. Shed order matters: the
+    # min-basis delta map first (fully derivable from this record +
+    # prev), medians second (recoverable next round from the
+    # committed bench_full.json — _latest_recorded_bench merges it),
+    # and the median delta LAST — it is the regression signal and
+    # must survive on the line whenever it fits.
+    for shed in ("delta_vs_prev", "queries_median",
                  "delta_median_vs_prev"):
         if len(json.dumps(out)) <= 1800:
             break
@@ -182,7 +185,22 @@ def _latest_recorded_bench() -> dict | None:
     except (OSError, ValueError):
         return None
     if rec.get("parsed"):
-        return rec["parsed"]
+        prev = dict(rec["parsed"])
+        # The compact line sheds queries_median when tight; the full
+        # record of the SAME run was committed as bench_full.json.
+        # Merge the medians back when the two records demonstrably
+        # come from one run (identical per-query min maps) — this is
+        # what keeps delta_median_vs_prev alive round over round
+        # (review find r08).
+        if "queries_median" not in prev:
+            try:
+                with open(f"{here}/bench_full.json") as f:
+                    fullrec = json.load(f)
+                if fullrec.get("queries") == prev.get("queries"):
+                    prev["queries_median"] = fullrec["queries_median"]
+            except (OSError, ValueError, KeyError):
+                pass
+        return prev
     # Some driver records carry parsed=null and only the TAIL of the
     # emitted JSON line (head truncated mid-object — observed:
     # BENCH_r06.json). Recover whichever flat sub-maps survived

@@ -1054,9 +1054,10 @@ def _pq_d2_expr(m: int, v: str, cv: str) -> str:
             f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
 
 
-# Live pinned codebook of the NEWEST _pq_parts invocation (released
-# on the next call — bounds pinned storage across repeated PQ queries
-# in one session; the ADVICE r07 _bpe_chain pattern).
+# Recently pinned codebooks (the last few _pq_parts invocations, FIFO
+# capped — bounds pinned storage across repeated PQ queries in one
+# session without dropping a codebook a still-lazy composed query
+# references; the ADVICE r07 _bpe_chain pattern, scoped).
 _PQ_CENT_LIVE: list[DataFrame] = []
 
 
@@ -1077,14 +1078,18 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
     the PK-precondition assert) is identical."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    while _PQ_CENT_LIVE:
-        # release the previous invocation's pinned codebook (same
-        # bounded-pinning pattern as the Lloyd intermediates /
-        # textstats._BPE_LIVE_STATES; ADVICE r07 class)
-        _PQ_CENT_LIVE.pop().unpersist(blocking=False)
+    while len(_PQ_CENT_LIVE) > 3:
+        # bound pinned codebooks across repeated invocations (the
+        # textstats._BPE_LIVE_STATES pattern; ADVICE r07 class) —
+        # but keep a few live, NOT just the newest: a composed query
+        # like q_sim_pq_trained_recall builds the one-shot parts and
+        # the trained parts in one lazy plan, and releasing the
+        # earlier codebook on the later _pq_parts call would make the
+        # one-shot side recompute its codebook subtree per consumer
+        # at collect time (review find r08)
+        _PQ_CENT_LIVE.pop(0).unpersist(blocking=False)
     if codebook is not None:
         cent = codebook.persist()
-        _PQ_CENT_LIVE.append(cent)
     else:
         # Codebook = the first PQ_K FINITE vectors with DENSE 0-based
         # ids: the ADC distance table is positional, so centroid ids

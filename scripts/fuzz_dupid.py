@@ -117,10 +117,12 @@ def main() -> None:
             plant_dup_ids(d)
             failures = run_fuzz(spark, d, list(QUERIES))
         n_pre = 0
+        n_raise = 0
         for name, why in failures.items():
             if name in EXPECT_RAISE and why.startswith("spark error") \
                     and "PK precondition" in why:
                 print(f"EXPECTED-RAISE {name}@{seed}", flush=True)
+                n_raise += 1
                 continue
             if name in EXPECT_PRECONDITION:
                 print(f"PRECONDITION {name}@{seed}: {why}", flush=True)
@@ -129,8 +131,10 @@ def main() -> None:
             print(f"FAIL {name}@{seed}: {why}", flush=True)
             n_unexpected += 1
         ok = len(QUERIES) - len(failures)
-        print(f"seed {seed}: {ok} green / "
-              f"{sum(1 for n in failures if n in EXPECT_RAISE)} "
+        # n_raise counts only PK-matched raises: an EXPECT_RAISE query
+        # failing any OTHER way lands in n_unexpected alone, so the
+        # categories always partition the failures (review find r08)
+        print(f"seed {seed}: {ok} green / {n_raise} "
               f"expected-raise / {n_pre} documented-precondition / "
               f"{n_unexpected} unexpected", flush=True)
     print(f"DONE seeds={len(seeds)} unexpected={n_unexpected}")

@@ -562,8 +562,10 @@ def test_bench_queries_shuffle_budget(spark):
         # both lifecycle forms: batch band shuffle + candidate
         # repartition + verify joins — the INDEX side contributes none.
         # +2 in r08: the fail-loud PK gate's audit (one doc_id-keyed
-        # count exchange + its single-row collapse, both over the
-        # persisted token cache; VERDICT r07 #5)
+        # count exchange + its single-row collapse, both over the RAW
+        # column-pruned doc_id scan — deliberately NOT the token
+        # cache, whose broadcast-time materialization measured +14 s;
+        # VERDICT r07 #5)
         "dedup_persisted_lsh": 7,
         "dedup_persisted_lsh_match": 7,
     }
