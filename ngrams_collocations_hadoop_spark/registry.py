@@ -293,7 +293,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # every query of the former documented-precondition family (the
 # raw-pair LSH composers, the persisted/incremental index lifecycle,
 # CDC chunking; fuzz_dupid.py reclassified all 14 to expected-raise,
-# seed 7201: 157 green / 20 expected-raise / 0 documented /
+# seed 7201 at final HEAD (181 queries): 158 green / 23
+# expected-raise / 0 documented /
 # 0 unexpected) — plus 3 new (pipeline_embed_ingest, the embeddings
 # ingest with vec_id resolution as stage 0, VERDICT r07 #7;
 # sim_pq_trained_topk + sim_pq_trained_recall, the Lloyd-trained PQ
