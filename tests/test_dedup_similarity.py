@@ -785,3 +785,33 @@ def test_incremental_components_merge_old_clusters(spark):
     # same topology UNcontracted (chains of length 4) needs the full
     # chain depth again
     assert connected_components.last_rounds <= 4
+
+
+def test_components_table_lifecycle_matches_full_recompute(spark):
+    """The persisted-components lifecycle (build pre-batch clusters →
+    per-ingest contracted update) must reproduce the full-graph
+    recompute EXACTLY — membership, min-id labels, and merged sizes —
+    while its update job touches no old×old candidate generation (its
+    edges come from the batch-side incremental band join plus the
+    materialized table). Also pins the round economics: the update's
+    propagation depth never exceeds the full recompute's."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        build_components_table,
+        connected_components,
+        q_dedup_components_lsh,
+        update_components_table,
+    )
+    from .conftest import SF_SMALL
+
+    table = build_components_table(spark, SF_SMALL)
+    try:
+        upd = {tuple(r) for r in
+               update_components_table(spark, SF_SMALL).collect()}
+        upd_rounds = connected_components.last_rounds
+        full = {tuple(r) for r in
+                q_dedup_components_lsh(spark, SF_SMALL).collect()}
+        full_rounds = connected_components.last_rounds
+        assert upd == full
+        assert upd_rounds <= full_rounds, (upd_rounds, full_rounds)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
