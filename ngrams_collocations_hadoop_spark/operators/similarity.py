@@ -1468,8 +1468,11 @@ def _pq_lloyd_round(sub: DataFrame, cent: DataFrame) -> DataFrame:
 
 def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cid, cv) codebook after PQ_TRAIN_ITERS Lloyd iterations per
-    subspace, initialized from the one-shot codebook (so trained vs
-    stride is exactly "what the iterations bought"). The reshape at
+    subspace — per-subspace k-means is the codebook construction of
+    Jégou, Douze & Schmid 2011 ("Product Quantization for Nearest
+    Neighbor Search", IEEE TPAMI) — initialized from the one-shot
+    codebook (so trained vs stride is exactly "what the iterations
+    bought"). The reshape at
     the end concatenates each cid's PQ_M sub-centroids back into one
     EMB_DIM vector — the (cid, cv) contract ``_pq_parts`` encodes
     against, where subspace m only ever reads its own slice.
