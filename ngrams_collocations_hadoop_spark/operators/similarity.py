@@ -1054,10 +1054,11 @@ def _pq_d2_expr(m: int, v: str, cv: str) -> str:
             f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
 
 
-# Recently pinned codebooks (the last few _pq_parts invocations, FIFO
-# capped — bounds pinned storage across repeated PQ queries in one
-# session without dropping a codebook a still-lazy composed query
-# references; the ADVICE r07 _bpe_chain pattern, scoped).
+# Recently pinned codebooks — one handle per DISTINCT plan, FIFO
+# capped at 3 — bounds pinned storage across repeated PQ queries in
+# one session without dropping a cache entry that a still-lazy
+# composed query or a warm re-invocation references (the ADVICE r07
+# _bpe_chain pattern, semantics-deduped).
 _PQ_CENT_LIVE: list[DataFrame] = []
 
 
@@ -1078,16 +1079,6 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
     the PK-precondition assert) is identical."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    while len(_PQ_CENT_LIVE) > 3:
-        # bound pinned codebooks across repeated invocations (the
-        # textstats._BPE_LIVE_STATES pattern; ADVICE r07 class) —
-        # but keep a few live, NOT just the newest: a composed query
-        # like q_sim_pq_trained_recall builds the one-shot parts and
-        # the trained parts in one lazy plan, and releasing the
-        # earlier codebook on the later _pq_parts call would make the
-        # one-shot side recompute its codebook subtree per consumer
-        # at collect time (review find r08)
-        _PQ_CENT_LIVE.pop(0).unpersist(blocking=False)
     if codebook is not None:
         cent = codebook.persist()
     else:
@@ -1108,7 +1099,17 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
                      (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
                 .select("cid", "cv")
                 .persist())  # K rows, consumed by encoding AND query table
-    _PQ_CENT_LIVE.append(cent)
+    # Bound pinned codebooks across repeated invocations (the ADVICE
+    # r07 class), deduping by PLAN SEMANTICS: same-plan handles alias
+    # ONE cache entry, so a naive FIFO release of an "old" handle
+    # would evict the entry every warm re-invocation still reads
+    # (measured: the trained-topk bench flip-flopped 1.5 s warm /
+    # 8.4 s cold as the release lapped the cap). Distinct plans only
+    # are tracked; a composed query's two codebooks stay live.
+    if not any(cent.sameSemantics(h) for h in _PQ_CENT_LIVE):
+        while len(_PQ_CENT_LIVE) > 2:
+            _PQ_CENT_LIVE.pop(0).unpersist(blocking=False)
+        _PQ_CENT_LIVE.append(cent)
     pairs = e.crossJoin(F.broadcast(cent))
     # vec_id PK PRECONDITION, pinned loudly (r07 identity campaign):
     # the ADC index is positional (dense 0-based centroid ids, one

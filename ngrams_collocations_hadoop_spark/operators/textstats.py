@@ -1445,7 +1445,8 @@ def _bpe_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
 # (ADVICE r07). Releasing the previous chain's handles on entry
 # bounds pinned state to one chain's worth; by then the previous
 # caller's action has either materialized its result or will
-# recompute lazily — unpersist never changes results.
+# recompute lazily — unpersist never changes results. Entry [0] is
+# the live chain's (unpersisted) state0, kept as the semantics key.
 _BPE_LIVE_STATES: list[DataFrame] = []
 
 
@@ -1456,15 +1457,25 @@ def _bpe_chain(spark: SparkSession, sf_dir: str
     states are persisted (each is re-read twice by the next round:
     pair count + merge); the final state is left lazy — q_bpe_learn
     never reads it and q_bpe_apply reads it exactly once."""
-    while _BPE_LIVE_STATES:
-        _BPE_LIVE_STATES.pop().unpersist(blocking=False)
     state = _bpe_state0(spark, sf_dir)
+    # semantics-deduped release: a re-invocation on the SAME corpus
+    # (learn then apply, or repeated bench runs) rebuilds identical
+    # plans whose persists alias the live chain's cache entries —
+    # dropping those would evict exactly what the new chain is about
+    # to read. Only a chain for a DIFFERENT corpus supersedes.
+    fresh = not (_BPE_LIVE_STATES
+                 and _BPE_LIVE_STATES[0].sameSemantics(state))
+    if fresh:
+        while _BPE_LIVE_STATES:
+            _BPE_LIVE_STATES.pop().unpersist(blocking=False)
+        _BPE_LIVE_STATES.append(state)  # [0] = the chain's state0 key
     bests = []
     for step in range(1, BPE_LEARN_STEPS + 1):
         state, best = _bpe_round(state)
         if step < BPE_LEARN_STEPS:
             state = state.persist()
-            _BPE_LIVE_STATES.append(state)
+            if fresh:
+                _BPE_LIVE_STATES.append(state)
         bests.append(best)
     return state, bests
 
