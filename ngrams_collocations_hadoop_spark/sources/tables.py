@@ -368,6 +368,14 @@ def attach_pk_gate(stream: DataFrame, ids_df: DataFrame, id_col: str,
     uniqueness over ``ids_df`` but attach the fail-loud gate to
     ``stream`` (same schema out). Lets an operator whose id source
     feeds many consumers gate once, at its single-consumer output."""
+    # the gate ADDS (then drops) _pk_gate; a stream already carrying
+    # that name would make the crossJoin output ambiguous — refuse
+    # loudly, mirroring write_zordered's reserved-name check (ADVICE
+    # r08)
+    if "_pk_gate" in stream.columns:
+        raise ValueError(
+            "attach_pk_gate reserves column name '_pk_gate'; rename it "
+            f"before gating ({context})")
     viol = (ids_df.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("_copies"))
             .filter(F.col("_copies") > 1)

@@ -118,7 +118,8 @@ def main() -> None:
             failures = run_fuzz(spark, d, list(QUERIES))
         n_pre = 0
         n_raise = 0
-        for name, why in failures.items():
+        n_seed_unexpected = 0   # per-seed, so the summary line never
+        for name, why in failures.items():  # inherits earlier seeds' count
             if name in EXPECT_RAISE and why.startswith("spark error") \
                     and "PK precondition" in why:
                 print(f"EXPECTED-RAISE {name}@{seed}", flush=True)
@@ -129,14 +130,15 @@ def main() -> None:
                 n_pre += 1
                 continue
             print(f"FAIL {name}@{seed}: {why}", flush=True)
-            n_unexpected += 1
+            n_seed_unexpected += 1
+        n_unexpected += n_seed_unexpected
         ok = len(QUERIES) - len(failures)
         # n_raise counts only PK-matched raises: an EXPECT_RAISE query
         # failing any OTHER way lands in n_unexpected alone, so the
         # categories always partition the failures (review find r08)
         print(f"seed {seed}: {ok} green / {n_raise} "
               f"expected-raise / {n_pre} documented-precondition / "
-              f"{n_unexpected} unexpected", flush=True)
+              f"{n_seed_unexpected} unexpected", flush=True)
     print(f"DONE seeds={len(seeds)} unexpected={n_unexpected}")
     sys.exit(1 if n_unexpected else 0)
 

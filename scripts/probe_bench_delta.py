@@ -12,7 +12,8 @@ Usage:
       --trees <path>[=label] [<path>[=label] ...]
 
 Each tree is run in its own subprocess (own JVM, own PYTHONPATH), one
-warm-up at sf0.001 then RUNS timed executions at <sf_dir>, interleaved
+warm-up at the sibling sf0.001 dir (skipped when absent or when it IS
+the timed dir) then RUNS timed executions at <sf_dir>, interleaved
 nothing: the box should otherwise be idle.
 """
 
@@ -26,8 +27,14 @@ import sys
 RUNS = 5
 
 _WORKER = r"""
-import json, sys, time, urllib.request
+import json, os.path, sys, time, urllib.request
 repo, sf_dir, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+# warm-up fixture: smallest sibling sf dir, never the timed dir itself
+# (pre-warming the timed data would hide its first-scan cost)
+warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+if not os.path.isdir(warm_dir) or \
+        os.path.realpath(warm_dir) == os.path.realpath(sf_dir):
+    warm_dir = None
 sys.path.insert(0, repo)
 import os
 os.chdir(repo)
@@ -46,8 +53,9 @@ def stages():
 
 out = {}
 for name in names:
-    QUERIES[name](spark, "/root/testdata/sf0.001") \
-        .write.format("noop").mode("overwrite").save()
+    if warm_dir:
+        QUERIES[name](spark, warm_dir) \
+            .write.format("noop").mode("overwrite").save()
     runs = []
     for _ in range(%(runs)d):
         before = {s["stageId"] for s in stages()}

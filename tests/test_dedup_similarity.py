@@ -815,3 +815,90 @@ def test_components_table_lifecycle_matches_full_recompute(spark):
         assert upd_rounds <= full_rounds, (upd_rounds, full_rounds)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pk_gate_reserved_column_raises(spark):
+    """attach_pk_gate ADDS a ``_pk_gate`` column via crossJoin; a
+    stream already carrying that name would make the join output
+    ambiguous, so the gate must refuse loudly (the write_zordered
+    reserved-name contract, extended here per ADVICE r08)."""
+    from ngrams_collocations_hadoop_spark.sources.tables import (
+        attach_pk_gate)
+    docs = _docs(spark, [(1, BASE), (2, BASE)])
+    poisoned = docs.withColumn("_pk_gate", F.lit(None).cast("string"))
+    with pytest.raises(ValueError, match="_pk_gate"):
+        attach_pk_gate(poisoned, docs.select("doc_id"), "doc_id", "test")
+    # ids_df carrying the name is fine — only the STREAM schema is
+    # joined through
+    out = attach_pk_gate(docs, poisoned.select("doc_id"), "doc_id",
+                         "test")
+    assert out.count() == 2
+
+
+def test_match_lsh_trusted_docs_skips_gate(spark):
+    """match_lsh_index's trusted ``docs`` override (ADVICE r08): a
+    caller-resolved documents scan skips the corpus-proportional PK
+    audit — the amortized per-ingest match stays batch-proportional —
+    while the default raw-scan path keeps the fail-loud gate. Checked
+    structurally (assert_true present/absent in the analyzed plan) and
+    by value (trusted output == gated output on a clean corpus)."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        lsh_index_table, build_lsh_index, match_lsh_index)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    table = lsh_index_table(SF_SMALL, spark)
+    if not spark.catalog.tableExists(table):
+        build_lsh_index(spark, SF_SMALL)
+    gated = match_lsh_index(spark, SF_SMALL, table)
+    trusted = match_lsh_index(
+        spark, SF_SMALL, table,
+        docs=load_table(spark, SF_SMALL, "documents"))
+    gated_plan = gated._jdf.queryExecution().analyzed().toString()
+    trusted_plan = trusted._jdf.queryExecution().analyzed().toString()
+    assert "assert_true" in gated_plan
+    assert "assert_true" not in trusted_plan
+    a = {(r.doc_new, r.doc_match, r.jaccard) for r in gated.collect()}
+    b = {(r.doc_new, r.doc_match, r.jaccard) for r in trusted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_tokens_persisted_tracking(spark):
+    """The token-cache live list (VERDICT r08 #7): one tracked handle
+    per DISTINCT tokenize plan (re-requests return the SAME handle —
+    no "already cached" re-persist), the list is bounded with
+    oldest-corpus eviction, and a handle orphaned by
+    catalog.clearCache() is re-persisted instead of being returned
+    cold forever."""
+    import ngrams_collocations_hadoop_spark.operators.dedup as dd
+
+    saved = list(dd._TOK_LIVE)
+    dd._TOK_LIVE.clear()
+    try:
+        plans = [
+            _docs(spark, [(i, BASE)]).select("doc_id", "toks")
+            for i in range(dd._TOK_LIVE_MAX + 1)
+        ]
+        h0 = dd._tokens_persisted(plans[0])
+        assert dd._tokens_persisted(plans[0]) is h0
+        assert len(dd._TOK_LIVE) == 1
+        assert h0.storageLevel.useMemory or h0.storageLevel.useDisk
+        for p in plans[1:]:
+            dd._tokens_persisted(p)
+        # bound trips: oldest evicted, newest MAX still tracked
+        assert len(dd._TOK_LIVE) == dd._TOK_LIVE_MAX
+        assert not any(h0.sameSemantics(h) for h in dd._TOK_LIVE)
+        # clearCache orphan: same handle comes back re-persisted
+        h1 = dd._TOK_LIVE[0]
+        spark.catalog.clearCache()
+        lvl = h1.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+        h1b = dd._tokens_persisted(h1)
+        assert h1b is h1
+        lvl = h1.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+    finally:
+        while dd._TOK_LIVE:
+            dd._TOK_LIVE.pop().unpersist(blocking=False)
+        dd._TOK_LIVE.extend(saved)
+        spark.catalog.clearCache()
