@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "sim_pq_topk",           # PQ encode + ADC scoring (ANN family)
     "sim_pq_rerank",         # two-stage: ADC shortlist -> exact re-rank
     "sim_pq_trained_topk",   # Lloyd-trained codebook: train + encode + ADC
+    "sim_pq_sampled_topk",   # production fixed-budget sampled training
     "pipeline_ingest",       # incremental-ingest composition
     "pipeline_embed_ingest",  # embeddings ingest: resolve -> gate -> dedup
     "dedup_persisted_lsh",   # bucketed band-index build + batch match
@@ -51,6 +52,12 @@ BENCH_QUERIES = [
     # state-keyed index table in the catalog, so every timed run here
     # is the amortized per-ingest cost with the build hoisted.
     "dedup_persisted_lsh_match",
+    # amortized per-ingest clustering (VERDICT r08 #3): build-if-absent
+    # leaves the state-keyed components table in the catalog, so run 1
+    # carries the build (visible in first_run) and the min is the
+    # lifecycle's per-ingest UPDATE cost — the components sibling of
+    # the match row above.
+    "dedup_components_update",
 ]
 
 
@@ -110,12 +117,24 @@ def main() -> None:
         gc.collect()  # drop checkpoint/block refs so ContextCleaner
         #               can reclaim them before the next query
 
+    # Cold/warm split as an ARTIFACT (VERDICT r08 #5): training-bearing
+    # and lifecycle rows (trained/sampled PQ, persisted LSH build,
+    # components update) amortize a one-time cost that min-of-runs
+    # hides in the raw run list. Surface every row whose first timed
+    # run materially exceeds its min — first_run − min ≈ the amortized
+    # one-time cost (codebook training, index/table build).
+    first_run_cold = {
+        n: r[0] for n, r in all_runs.items()
+        if r and r[0] > max(min(r) + 0.5, 1.3 * min(r))
+    }
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,          # per-query MIN (the r01-r05 basis)
         "queries_median": medians,   # dispersion: shifts = regressions
+        "first_run_cold": first_run_cold,  # rows where run 1 carries a
+        #   one-time (training/build) cost; full split in queries_runs
         "sf": float(sf),
         "runs_per_query": "3, or 5 when median < 3 s; timing = min",
     }
@@ -142,12 +161,23 @@ def main() -> None:
     # queries_runs lives in bench_full.json, referenced by path.
     full = dict(out)
     full["queries_runs"] = all_runs
+    full["queries_first_run"] = {n: r[0] for n, r in all_runs.items() if r}
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, "bench_full.json")
     try:
         with open(full_path, "w") as f:
             json.dump(full, f, indent=1)
         out["full_record"] = "bench_full.json"
+        # per-round snapshot (ADVICE r08): bench_full.json is
+        # overwritten by any interim ad-hoc run, which silently breaks
+        # the next round's medians merge; a round-numbered copy
+        # (next round = newest recorded BENCH_r{N} + 1) survives it.
+        rn = _next_round_number()
+        if rn is not None:
+            with open(os.path.join(here,
+                                   f"bench_full_r{rn:02d}.json"),
+                      "w") as f:
+                json.dump(full, f, indent=1)
     except OSError:
         # a read-only checkout still gets the compact line
         out["full_record"] = None
@@ -160,12 +190,24 @@ def main() -> None:
     # committed bench_full.json — _latest_recorded_bench merges it),
     # and the median delta LAST — it is the regression signal and
     # must survive on the line whenever it fits.
-    for shed in ("delta_vs_prev", "queries_median",
+    for shed in ("delta_vs_prev", "queries_median", "first_run_cold",
                  "delta_median_vs_prev"):
         if len(json.dumps(out)) <= 1800:
             break
         out.pop(shed, None)
     print(json.dumps(out))
+
+
+def _next_round_number() -> int | None:
+    """Newest driver-recorded BENCH_r{N} + 1 — the round this run's
+    record will belong to (None before the first recorded round)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(re.search(r"_r(\d+)", p).group(1))
+              for p in glob.glob(f"{here}/BENCH_r*.json")]
+    return max(rounds) + 1 if rounds else None
 
 
 def _latest_recorded_bench() -> dict | None:
@@ -193,13 +235,30 @@ def _latest_recorded_bench() -> dict | None:
         # what keeps delta_median_vs_prev alive round over round
         # (review find r08).
         if "queries_median" not in prev:
-            try:
-                with open(f"{here}/bench_full.json") as f:
-                    fullrec = json.load(f)
+            merged = False
+            # prefer the round-numbered snapshot (immune to interim
+            # ad-hoc overwrites of bench_full.json — ADVICE r08), fall
+            # back to the mutable file, same same-run equality guard
+            rn = re.search(r"_r(\d+)", files[-1]).group(1)
+            for cand in (f"{here}/bench_full_r{rn}.json",
+                         f"{here}/bench_full.json"):
+                try:
+                    with open(cand) as f:
+                        fullrec = json.load(f)
+                except (OSError, ValueError):
+                    continue
                 if fullrec.get("queries") == prev.get("queries"):
-                    prev["queries_median"] = fullrec["queries_median"]
-            except (OSError, ValueError, KeyError):
-                pass
+                    try:
+                        prev["queries_median"] = fullrec["queries_median"]
+                    except KeyError:
+                        continue
+                    merged = True
+                    break
+            if not merged:
+                print("bench: no full record matches the recorded "
+                      "run; medians merge skipped "
+                      "(delta_median_vs_prev will be partial)",
+                      file=sys.stderr)
         return prev
     # Some driver records carry parsed=null and only the TAIL of the
     # emitted JSON line (head truncated mid-object — observed:

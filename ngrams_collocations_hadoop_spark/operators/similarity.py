@@ -1418,11 +1418,45 @@ LEFT JOIN rr_side r
 
 PQ_TRAIN_ITERS = 2
 
-# Live persisted per-iteration centroid tables of the NEWEST training
-# invocation (each is 128 rows but its subtree scans the corpus; the
-# next iteration reads it once for assignment) — same bounded-pinning
-# pattern as textstats._BPE_LIVE_STATES.
+# Production training-sample budget (VERDICT r08 #4): Lloyd's cost is
+# iterations × |training set|, and at 100 TB a full-corpus pass per
+# codebook refresh is the one ANN-stack stage whose cost grows with
+# the corpus. A fixed ~1e5-point sample bounds it corpus-independent:
+# PQ_K=16 centroids per subspace need O(K · 1e3) points for stable
+# exact-quantized means, and past ~1e5 the centroids stop moving
+# (Jégou et al. 2011 train 256-centroid codebooks on ~1e5 points).
+# At fixture scale the corpus is smaller than the budget, so the
+# sample IS the corpus and the sampled codebook equals the
+# full-trained one (pinned in tests/test_dedup_similarity.py); the
+# sub-corpus sweep lives in scripts/probe_trained_quantizers.py and
+# SCALING.md.
+PQ_TRAIN_SAMPLE = 100_000
+
+# Live persisted per-iteration centroid tables (each is 128 rows but
+# its subtree scans the training set; the next iteration reads it
+# once for assignment). Tracked per DISTINCT plan (sameSemantics —
+# same-plan handles alias ONE cache entry) and bounded to two
+# codebook variants' worth of iterations, so the trained+sampled
+# recall audit keeps both chains warm instead of each invocation
+# evicting the other's.
 _PQ_TRAIN_LIVE: list[DataFrame] = []
+_PQ_TRAIN_LIVE_MAX = 2 * PQ_TRAIN_ITERS
+
+
+def _pq_train_track(cent: DataFrame) -> DataFrame:
+    for h in _PQ_TRAIN_LIVE:
+        if cent.sameSemantics(h):
+            lvl = h.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                # a catalog.clearCache() between invocations dropped
+                # the entry out from under the tracked handle
+                h.persist()
+            return h
+    cent = cent.persist()
+    _PQ_TRAIN_LIVE.append(cent)
+    while len(_PQ_TRAIN_LIVE) > _PQ_TRAIN_LIVE_MAX:
+        _PQ_TRAIN_LIVE.pop(0).unpersist(blocking=False)
+    return cent
 
 # per-candidate sub-vector d² inside the map-side argmin fold (s is
 # the (cid, cv) candidate struct from the broadcast per-subspace list)
@@ -1467,7 +1501,8 @@ def _pq_lloyd_round(sub: DataFrame, cent: DataFrame) -> DataFrame:
             .select("m", "cid", F.coalesce("cvn", "cv").alias("cv")))
 
 
-def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
+                         sample: int | None = None) -> DataFrame:
     """(cid, cv) codebook after PQ_TRAIN_ITERS Lloyd iterations per
     subspace — per-subspace k-means is the codebook construction of
     Jégou, Douze & Schmid 2011 ("Product Quantization for Nearest
@@ -1483,12 +1518,24 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     the update shuffles ≤ parts · M·K·SUB partial sums (map-side
     combine), independent of corpus size; each iteration's 128-row
     centroid table is persisted so iteration t+1's plan reads a
-    materialized table instead of re-running t."""
-    while _PQ_TRAIN_LIVE:
-        _PQ_TRAIN_LIVE.pop().unpersist(blocking=False)
+    materialized table instead of re-running t.
+
+    ``sample`` bounds the TRAINING set (VERDICT r08 #4, the production
+    path at corpus scale): the first ``sample`` finite vectors in
+    md5(vec_id) hash order — a deterministic, engine-reproducible
+    fixed-size sample (the ORDER BY is a partial top-N per partition,
+    never a full sort), so the sampled chain has the same unrolled-CTE
+    oracle as the full one. Encoding and serving always run over the
+    FULL corpus; only Lloyd's input shrinks. ``sample=None`` trains on
+    the whole corpus (the fixture-exact form)."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    first_k = (e.orderBy("vec_id").limit(PQ_K)
+    train = e
+    if sample is not None:
+        train = (e.orderBy(F.md5(F.col("vec_id").cast("string")),
+                           "vec_id")
+                 .limit(sample))
+    first_k = (train.orderBy("vec_id").limit(PQ_K)
                .select(F.col("vec_id").alias("cvid"),
                        F.col("v").alias("cv")))
     ids = first_k.select(F.col("cvid").alias("oid"))
@@ -1499,12 +1546,11 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = dense.select("cid", F.expr(
         f"inline(transform(sequence(0, {PQ_M - 1}), m -> "
         f"struct(m AS m, slice(cv, m * {PQ_SUB} + 1, {PQ_SUB}) AS cv)))"))
-    sub = e.select("vec_id", F.expr(
+    sub = train.select("vec_id", F.expr(
         f"inline(transform(sequence(0, {PQ_M - 1}), m -> "
         f"struct(m AS m, slice(v, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv)))"))
     for _ in range(PQ_TRAIN_ITERS):
-        cent = _pq_lloyd_round(sub, cent).persist()
-        _PQ_TRAIN_LIVE.append(cent)
+        cent = _pq_train_track(_pq_lloyd_round(sub, cent))
     return (cent.groupBy("cid")
             .agg(F.expr("flatten(transform(array_sort(collect_list("
                         "named_struct('m', m, 'cv', cv))), s -> s.cv))")
@@ -1557,23 +1603,62 @@ def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("recall_trained")))
 
 
-def _pq_trained_cent_sql() -> str:
+def q_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_pq_trained_topk`` on the PRODUCTION sampled-training path
+    (VERDICT r08 #4): the codebook's Lloyd iterations read only the
+    first ``PQ_TRAIN_SAMPLE`` finite vectors in md5(vec_id) hash
+    order, so training cost is corpus-independent while encoding,
+    ADC scoring, and ranking still cover the full corpus. At fixture
+    scale the corpus is below the sample budget, so this query's
+    result EQUALS ``sim_pq_trained_topk``'s (the full-sample pinning
+    the verdict asked for — also pytest-pinned); at 100 TB it is the
+    form you actually run per codebook refresh. The sub-budget
+    crossover (where sampling starts costing recall on this fixture)
+    is measured in scripts/probe_trained_quantizers.py → SCALING.md."""
+    codes, qarr = _pq_parts(
+        spark, sf_dir,
+        codebook=_pq_trained_codebook(spark, sf_dir,
+                                      sample=PQ_TRAIN_SAMPLE))
+    scored = (codes.crossJoin(F.broadcast(qarr))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("approx"), F.asc("vec_id")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK_NEIGHBORS)
+            .select("query_id", F.col("vec_id").alias("cand_id"),
+                    ieee_round(F.col("approx"), 6).alias("approx_dot"),
+                    "rank"))
+
+
+def _pq_trained_cent_sql(sample: int | None = None) -> str:
     """The Lloyd-chain CTE block ending in `cent` (cid, cv) — the
     trained twin of ``_pq_core_ctes``'s one-shot codebook CTE, fed to
     it via ``cent_sql``. Iterations are unrolled (a{t}/u{t}/cent{t});
     every float fold, quantized mean, and tiebreak is the shared
-    engine-exact idiom, so the chain is bit-reproducible."""
+    engine-exact idiom, so the chain is bit-reproducible. ``sample``
+    mirrors ``_pq_trained_codebook``'s training-set bound: a `samp`
+    CTE (first N finite vectors by md5(vec_id), the same
+    engine-identical hash order) replaces `e` as the Lloyd input;
+    encoding downstream still reads the full `e`."""
+    src = "e"
+    samp = ""
+    if sample is not None:
+        samp = (f"samp AS (SELECT * FROM e ORDER BY "
+                f"md5(CAST(vec_id AS VARCHAR)), vec_id "
+                f"LIMIT {sample}),\n")
+        src = "samp"
     sub_d2 = (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
               f"i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))")
-    parts = [f"""cent0 AS (
+    parts = [f"""{samp}cent0 AS (
     SELECT cid, m, cv[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})] AS cv
     FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                      AS cid, v AS cv
-          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {PQ_K})),
+          FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT {PQ_K})),
          UNNEST(range(0, {PQ_M})) AS r(m)),
 sub AS (
     SELECT vec_id, m, v[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})] AS sv
-    FROM e, UNNEST(range(0, {PQ_M})) AS r(m))"""]
+    FROM {src}, UNNEST(range(0, {PQ_M})) AS r(m))"""]
     for t in range(1, PQ_TRAIN_ITERS + 1):
         parts.append(f"""a{t} AS (
     SELECT vec_id, m, sv,
@@ -1599,6 +1684,13 @@ cent{t} AS (
 
 
 ORACLE_PQ_TRAINED_TOPK = f"""{_pq_ranked_ctes(_pq_trained_cent_sql())}
+SELECT query_id, cand_id, {ieee_round_sql('approx')} AS approx_dot, rank
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+ORACLE_PQ_SAMPLED_TOPK = f"""{_pq_ranked_ctes(
+    _pq_trained_cent_sql(PQ_TRAIN_SAMPLE))}
 SELECT query_id, cand_id, {ieee_round_sql('approx')} AS approx_dot, rank
 FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """

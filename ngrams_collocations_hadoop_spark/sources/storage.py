@@ -21,6 +21,20 @@ def write_partitioned(df: DataFrame, path: str,
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def drop_table_and_location(spark, table: str) -> None:
+    """Idempotence across sessions for managed-table writers: the
+    in-memory catalog forgets managed tables on restart but their
+    warehouse directory persists, and saveAsTable refuses to reuse the
+    location (LOCATION_ALREADY_EXISTS). Drop both. Shared by the
+    bucketed LSH index and the persisted components table."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith(("file:", "/")):
+        import shutil
+        local = warehouse.removeprefix("file:")
+        shutil.rmtree(f"{local}/{table.lower()}", ignore_errors=True)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int) -> None:
     """Bucketed + sorted catalog table: rows hash-distributed into
@@ -39,15 +53,7 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     exchange elimination never depends on this, only the sort)."""
     spark = df.sparkSession
     df = df.repartition(n_buckets, *bucket_cols)
-    # Idempotence across sessions: the in-memory catalog forgets managed
-    # tables on restart but their warehouse directory persists, and
-    # saveAsTable refuses to reuse the location. Drop both.
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith(("file:", "/")):
-        import shutil
-        local = warehouse.removeprefix("file:")
-        shutil.rmtree(f"{local}/{table.lower()}", ignore_errors=True)
+    drop_table_and_location(spark, table)
     (df.write.mode("overwrite")
      .bucketBy(n_buckets, *bucket_cols)
      .sortBy(*bucket_cols)

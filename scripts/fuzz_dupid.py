@@ -51,10 +51,12 @@ EXPECT_RAISE = {
     "sim_pq_rerank", "sim_pq_rerank_recall",
     "sim_ivfpq_topk", "sim_ivfpq_recall",
     # the trained-codebook variant encodes through the same _pq_parts
-    # aggregate, so it inherits the identical pinned gate
+    # aggregate, so it inherits the identical pinned gate — as does
+    # the sampled-training form (r09)
     "sim_pq_trained_topk", "sim_pq_trained_recall",
+    "sim_pq_sampled_topk",
     "dedup_components_lsh", "dedup_keep_one_lsh",
-    "dedup_components_incremental",
+    "dedup_components_incremental", "dedup_components_update",
     "dedup_communities_lsh", "dedup_incremental_lsh",
     "dedup_persisted_lsh", "dedup_persisted_lsh_match",
     "dedup_kcore", "dedup_clustering_coeff", "dedup_pagerank_lsh",

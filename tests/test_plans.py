@@ -568,6 +568,17 @@ def test_bench_queries_shuffle_budget(spark):
         # VERDICT r07 #5)
         "dedup_persisted_lsh": 7,
         "dedup_persisted_lsh_match": 7,
+        # sampled training (r09): same chain as sim_pq_trained_topk
+        # with the Lloyd input bounded by a hash-ordered top-N
+        # (TakeOrdered — no extra exchange); ≤ the trained bound.
+        # Prints as few as 5 when the other variant's persisted
+        # centroid chain substitutes in as InMemoryRelations.
+        "sim_pq_sampled_topk": 9,
+        # the amortized update's iterative propagation runs EAGERLY
+        # (per-round localCheckpoint) at construction; the returned
+        # lazy plan is the checkpointed labels + the size window +
+        # the batch-side verify tail
+        "dedup_components_update": 2,
     }
     # Count DISTINCT exchanges by plan_id (what the docstring always
     # promised): a persisted subtree's InMemoryRelation prints its
