@@ -115,10 +115,47 @@ def _ivf_recall(spark, sf, cents=None) -> float:
     return _recall(exact, found)
 
 
+def sample_sweep(sfs: list[str]) -> None:
+    """The sample/full crossover for the PRODUCTION sampled-training
+    path (VERDICT r08 #4): recall@10 of the ADC ranking and training
+    wall time per sample budget, per scale factor — where does a
+    fixed-budget Lloyd sample stop costing recall on this fixture?
+    Results are recorded in SCALING.md."""
+    import time
+
+    from ngrams_collocations_hadoop_spark.session import get_spark
+    import ngrams_collocations_hadoop_spark.operators.similarity as S
+
+    spark = get_spark(app_name="probe_pq_sample_sweep")
+    for sf in sfs:
+        n_corpus = S.load_finite_embeddings(spark, sf).count()
+        exact = S.q_cosine_topk(spark, sf).select("query_id", "cand_id")
+        budgets = [b for b in (64, 128, 256, 512, 1024, 2048, 4096,
+                               8192, 16384) if b < n_corpus]
+        for b in budgets + [None]:
+            # training time = materializing the codebook's own DAG
+            # (what a production refresh pays); recall via the shared
+            # ADC shortlist against the shared exact ground truth
+            t0 = time.time()
+            cb = S._pq_trained_codebook(spark, sf, sample=b)
+            cb.collect()
+            train_s = round(time.time() - t0, 2)
+            r = _recall(exact, _adc_shortlist(
+                spark, sf, cb, S.TOPK_NEIGHBORS))
+            label = b if b is not None else f"full({n_corpus})"
+            print(f"{sf}: sample={label} recall@10={r} "
+                  f"train={train_s}s", flush=True)
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     from ngrams_collocations_hadoop_spark.session import get_spark
     import ngrams_collocations_hadoop_spark.operators.similarity as S
 
+    if sys.argv[1:2] == ["--sample-sweep"]:
+        sample_sweep(sys.argv[2:] or ["/root/testdata/sf0.01",
+                                      "/root/testdata/sf0.1"])
+        return
     sfs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = get_spark(app_name="probe_trained_quantizers")
     for sf in sfs:
