@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "sim_pq_rerank",         # two-stage: ADC shortlist -> exact re-rank
     "sim_pq_trained_topk",   # Lloyd-trained codebook: train + encode + ADC
     "sim_pq_sampled_topk",   # production fixed-budget sampled training
+    # persisted PQ-codes lifecycle: run 1 carries the encode+write
+    # (first_run_cold); warm = serve-only against the materialized
+    # table — the amortized ANN steady state
+    "sim_pq_persisted_topk",
     "pipeline_ingest",       # incremental-ingest composition
     "pipeline_embed_ingest",  # embeddings ingest: resolve -> gate -> dedup
     "dedup_persisted_lsh",   # bucketed band-index build + batch match

@@ -1196,6 +1196,81 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ieee_round(F.col("approx"), 6).alias("approx_dot"), "rank"))
 
 
+# --- persisted PQ-codes index (encode once, serve per ingest) -----------
+
+PQ_INDEX_TABLE = "ncs_pq_codes"   # suffixed per embeddings-corpus state
+
+
+def pq_index_table(sf_dir: str, spark: SparkSession | None = None) -> str:
+    """Catalog name of the materialized PQ code table for a corpus
+    state — the ``lsh_index_table``/``components_table`` naming scheme
+    (``<prefix>_<dirhash>_<statehash>``), keyed on the EMBEDDINGS
+    input's state so a re-embedded corpus can never alias a stale
+    code table."""
+    import hashlib
+
+    from .dedup import _corpus_stat
+
+    dirh = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    st = _corpus_stat(sf_dir, spark, fname="embeddings.parquet")
+    state = sf_dir if st is None else f"{sf_dir}|{st[0]}|{st[1]}"
+    h = hashlib.md5(state.encode()).hexdigest()[:8]
+    return f"{PQ_INDEX_TABLE}_{dirh}_{h}"
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """The BUILD job of the persisted-PQ lifecycle: materialize the
+    4-bit code table (vec_id, codes) as a catalog table — the encode
+    pass (corpus × broadcast codebook, one map-side-partial argmin
+    aggregate) is paid once per index refresh instead of inside every
+    serving query. The ANN sibling of ``build_lsh_index``: at 100 TB
+    the PQ index IS a stored artifact (4 bytes/vector), not a
+    per-query subplan. The vec_id PK gate rides the encode aggregate
+    (``_pq_parts``), so a duplicate-id corpus fails loud at build
+    time. Returns the table name."""
+    from ..sources.storage import drop_table_and_location
+
+    table = pq_index_table(sf_dir, spark)
+    codes, _ = _pq_parts(spark, sf_dir)
+    drop_table_and_location(spark, table)
+    codes.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return table
+
+
+def q_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_pq_topk`` SERVED from the persisted code table — the
+    amortized steady state of the PQ lifecycle (build-if-absent on the
+    state-keyed name, like ``dedup_persisted_lsh_match``): every
+    construction after the first plans only the code-table scan, the
+    tiny query-distance-table build (queries × broadcast codebook),
+    and the ADC ranking — the corpus-wide encode aggregate is gone
+    from the serving plan (plan-asserted in tests/test_plans.py).
+    Output is IDENTICAL to ``q_pq_topk`` (materializing codes is
+    value-neutral), hence the shared oracle. The serve side carries
+    the fail-loud vec_id gate on the RAW column-pruned id scan (the
+    build's in-aggregate gate protected the table; this protects the
+    query-distance side when the table pre-exists)."""
+    from ..sources.tables import attach_pk_gate, load_table
+
+    table = pq_index_table(sf_dir, spark)
+    if not spark.catalog.tableExists(table):
+        build_pq_index(spark, sf_dir)
+    codes = spark.table(table)
+    _, qarr = _pq_parts(spark, sf_dir)   # only the query side is consumed
+    scored = (codes.crossJoin(F.broadcast(qarr))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("approx"), F.asc("vec_id")))
+    out = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= TOPK_NEIGHBORS)
+           .select("query_id", F.col("vec_id").alias("cand_id"),
+                   ieee_round(F.col("approx"), 6).alias("approx_dot"),
+                   "rank"))
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return attach_pk_gate(out, ids, "vec_id", "the PQ index serve")
+
+
 PQ_RERANK_C = 30   # ADC shortlist size the exact re-rank scores
 
 

@@ -322,15 +322,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # components query (same cache path), and the trained-PQ pair
 # (_PQ_TRAIN_LIVE switched to semantics-deduped bounded tracking +
 # the sample parameter threaded through _pq_trained_codebook) —
-# plus 2 new (dedup_components_update, the persisted-components
+# plus 3 new (dedup_components_update, the persisted-components
 # lifecycle's amortized per-ingest UPDATE job, VERDICT r08 #3;
 # sim_pq_sampled_topk, the production fixed-budget sampled Lloyd
 # training, VERDICT r08 #4 — at fixture scale the corpus is under
 # the 1e5 budget so it equals sim_pq_trained_topk, pinned in pytest
-# AND by its own unrolled-CTE oracle) — then the FULL 40-query
+# AND by its own unrolled-CTE oracle; sim_pq_persisted_topk, the
+# persisted PQ-codes index lifecycle — encode once per refresh,
+# serve from the materialized table, the ANN sibling of the
+# persisted LSH index) — then the FULL 40-query
 # r05 refresh queue (text_weighted_sample first, then
-# sim_power_iteration .. stream_dedup_bounded) and the stalest r06
-# row (colloc_scored).
+# sim_power_iteration .. stream_dedup_bounded); colloc_scored was
+# displaced to the tail head (new outranks refresh).
 # Accounting after r09: no query's newest official row older than
 # r06; the r10 refresh queue head is colloc_topk, then the remaining
 # r06 block, then r07.
@@ -352,6 +355,7 @@ QUERIES: dict[str, QueryFn] = {
     #     codebook (VERDICT r08 #4) ---
     "dedup_components_update": dedup.q_dedup_components_update,
     "sim_pq_sampled_topk": similarity.q_pq_sampled_topk,
+    "sim_pq_persisted_topk": similarity.q_pq_persisted_topk,
     # --- (3) the full 40-query r05-stale refresh queue
     #     (VERDICT r08 #1: text_weighted_sample first, then the r05
     #     block sim_power_iteration .. stream_dedup_bounded) ---
@@ -395,11 +399,12 @@ QUERIES: dict[str, QueryFn] = {
     "rel_window_firstlast": rel.q_window_firstlast,
     "stream_stateful_totals": sw.q_stream_stateful_totals,
     "stream_dedup_bounded": sw.q_stream_dedup_bounded,
-    # --- (4) the stalest r06 row fills the window ---
-    "colloc_scored": co.q_scored,
     # ================= end of the 50-query r09 window =================
-    # tail: r06-green rows first (the r10 refresh queue head), then
-    # r07-green, then r08-green — newest official evidence last
+    # tail: r06-green rows first (the r10 refresh queue head —
+    # colloc_scored was displaced from the window by the 3rd new
+    # query, new outranks refresh), then r07-green, then r08-green —
+    # newest official evidence last
+    "colloc_scored": co.q_scored,
     "colloc_topk": co.q_topk,
     "colloc_hebrew_topk": co.q_hebrew_topk,
     "colloc_topk_quirk": co.q_topk_quirk,
@@ -670,6 +675,9 @@ ORACLES: dict[str, str] = {
         dedup.ORACLE_DEDUP_COMPONENTS_INCREMENTAL,
     "dedup_components_update": dedup.ORACLE_DEDUP_COMPONENTS_UPDATE,
     "sim_pq_sampled_topk": similarity.ORACLE_PQ_SAMPLED_TOPK,
+    # the persisted form materializes the codes the in-query form
+    # computes — value-neutral, hence the shared oracle
+    "sim_pq_persisted_topk": similarity.ORACLE_PQ_TOPK,
     "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
     "rel_profile": rel.ORACLE_PROFILE,
     "rel_snapshot_diff": rel.ORACLE_SNAPSHOT_DIFF,

@@ -54,7 +54,7 @@ EXPECT_RAISE = {
     # aggregate, so it inherits the identical pinned gate — as does
     # the sampled-training form (r09)
     "sim_pq_trained_topk", "sim_pq_trained_recall",
-    "sim_pq_sampled_topk",
+    "sim_pq_sampled_topk", "sim_pq_persisted_topk",
     "dedup_components_lsh", "dedup_keep_one_lsh",
     "dedup_components_incremental", "dedup_components_update",
     "dedup_communities_lsh", "dedup_incremental_lsh",

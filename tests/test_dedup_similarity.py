@@ -951,3 +951,33 @@ def test_pq_train_sample_order_matches_duckdb(spark):
     # and it IS a shuffle of the id order, not a prefix (the sample
     # would otherwise silently be "first N by ingest order")
     assert ids != sorted(ids)
+
+
+def test_pq_persisted_matches_inquery_and_serves_from_table(spark):
+    """The persisted PQ-codes lifecycle: serving from the materialized
+    table must reproduce the in-query ``q_pq_topk`` ranking exactly
+    (materializing codes is value-neutral — the shared-oracle claim),
+    and the WARM serving plan must read the catalog table with NO
+    corpus-side encode aggregate (the codes' groupBy(vec_id) argmin) —
+    the whole point of paying the encode once per refresh."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        PQ_INDEX_TABLE, pq_index_table, q_pq_persisted_topk, q_pq_topk)
+
+    table = pq_index_table(SF_SMALL, spark)
+    served = q_pq_persisted_topk(spark, SF_SMALL)   # builds if absent
+    assert spark.catalog.tableExists(table)
+    a = {tuple(r) for r in served.collect()}
+    b = {tuple(r) for r in q_pq_topk(spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0
+    # warm re-construction: the plan reads the table, never the
+    # encode — q_pq_topk's plan has the corpus-side codes aggregate,
+    # the served plan must not
+    warm = q_pq_persisted_topk(spark, SF_SMALL)
+    plan = warm._jdf.queryExecution().executedPlan().toString()
+    assert PQ_INDEX_TABLE in plan
+    topk_plan = q_pq_topk(spark, SF_SMALL) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    warm_opt = warm._jdf.queryExecution().optimizedPlan().toString()
+    assert "min(named_struct(d," in topk_plan.replace(" ", "")
+    assert "min(named_struct(d," not in warm_opt.replace(" ", "")

@@ -580,6 +580,11 @@ def test_bench_queries_shuffle_budget(spark):
         # Prints as few as 5 when the other variant's persisted
         # centroid chain substitutes in as InMemoryRelations.
         "sim_pq_sampled_topk": 9,
+        # persisted-PQ serving: code-table scan + query-distance build
+        # + ADC window + the serve-side vec_id gate audit — the
+        # corpus-side encode aggregate is NOT in this plan
+        # (test_pq_persisted_matches_inquery_and_serves_from_table)
+        "sim_pq_persisted_topk": 4,
         # the amortized update's iterative propagation runs EAGERLY
         # (per-round localCheckpoint) at construction; the returned
         # lazy plan is the checkpointed labels + the size window +
