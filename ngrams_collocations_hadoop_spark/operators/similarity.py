@@ -1082,23 +1082,8 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
     if codebook is not None:
         cent = codebook.persist()
     else:
-        # Codebook = the first PQ_K FINITE vectors with DENSE 0-based
-        # ids: the ADC distance table is positional, so centroid ids
-        # must be 0..K-1 even when the finite-vector gate drops low
-        # vec_ids (a raw `vec_id < PQ_K` seeded a short table and
-        # out-of-bounds lookups — found by the NaN-vector fuzz).
-        # Dense rank via a tiny broadcast self-join (K rows), not an
-        # unpartitioned window.
-        first_k = (e.orderBy("vec_id").limit(PQ_K)
-                   .select(F.col("vec_id").alias("cvid"),
-                           F.col("v").alias("cv")))
-        ids = first_k.select(F.col("cvid").alias("oid"))
-        cent = (first_k.join(F.broadcast(ids), F.col("oid") <= F.col("cvid"))
-                .groupBy("cvid")
-                .agg(F.first("cv").alias("cv"),
-                     (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
-                .select("cid", "cv")
-                .persist())  # K rows, consumed by encoding AND query table
+        # K rows, consumed by encoding AND the query table
+        cent = _pq_oneshot_codebook(e).persist()
     # Bound pinned codebooks across repeated invocations (the ADVICE
     # r07 class), deduping by PLAN SEMANTICS: same-plan handles alias
     # ONE cache entry, so a naive FIFO release of an "old" handle
@@ -1110,25 +1095,55 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
         while len(_PQ_CENT_LIVE) > 2:
             _PQ_CENT_LIVE.pop(0).unpersist(blocking=False)
         _PQ_CENT_LIVE.append(cent)
-    pairs = e.crossJoin(F.broadcast(cent))
-    # vec_id PK PRECONDITION, pinned loudly (r07 identity campaign):
-    # the ADC index is positional (dense 0-based centroid ids, one
-    # code row per vec_id), so duplicate ids can't be made total —
-    # they must be resolved at ingest (resolve_embedding_identity).
-    # The check rides the encoding aggregate that exists anyway: each
-    # unique vec_id contributes exactly one cross-join row per
-    # codebook centroid, so any other count means duplicate id rows
-    # (or a duplicate inside the first-K codebook slice) and raises a
-    # diagnosable error instead of the former out-of-bounds crash.
-    # Zero extra shuffle: count(*) is one more cell in the same
-    # partial agg.
+    codes = _pq_encode(e.crossJoin(F.broadcast(cent)))
+    qarr = _pq_query_arr(e, cent)
+    return codes, qarr
+
+
+def _pq_oneshot_codebook(e: DataFrame) -> DataFrame:
+    """(cid, cv) one-shot codebook: the first PQ_K FINITE vectors with
+    DENSE 0-based ids — the ADC distance table is positional, so
+    centroid ids must be 0..K-1 even when the finite-vector gate drops
+    low vec_ids (a raw ``vec_id < PQ_K`` seeded a short table and
+    out-of-bounds lookups — found by the NaN-vector fuzz). Dense rank
+    via a tiny broadcast self-join (K rows), not an unpartitioned
+    window. Shared by ``_pq_parts`` (in-query) and ``build_pq_index``
+    (which MATERIALIZES it next to the code table)."""
+    first_k = (e.orderBy("vec_id").limit(PQ_K)
+               .select(F.col("vec_id").alias("cvid"),
+                       F.col("v").alias("cv")))
+    ids = first_k.select(F.col("cvid").alias("oid"))
+    return (first_k.join(F.broadcast(ids), F.col("oid") <= F.col("cvid"))
+            .groupBy("cvid")
+            .agg(F.first("cv").alias("cv"),
+                 (F.count(F.lit(1)) - 1).cast("int").alias("cid"))
+            .select("cid", "cv"))
+
+
+def _pq_encode(pairs: DataFrame) -> DataFrame:
+    """(vec_id, codes) from a vectors × broadcast-codebook stream —
+    the encode aggregate shared by ``_pq_parts`` (in-query forms),
+    ``build_pq_index`` (via _pq_parts), and ``append_pq_index``
+    (batch × the STORED codebook).
+
+    vec_id PK PRECONDITION, pinned loudly (r07 identity campaign):
+    the ADC index is positional (dense 0-based centroid ids, one
+    code row per vec_id), so duplicate ids can't be made total —
+    they must be resolved at ingest (resolve_embedding_identity).
+    The check rides the encoding aggregate that exists anyway: each
+    unique vec_id contributes exactly one cross-join row per
+    codebook centroid, so any other count means duplicate id rows
+    (or a duplicate inside the first-K codebook slice) and raises a
+    diagnosable error instead of the former out-of-bounds crash.
+    Zero extra shuffle: count(*) is one more cell in the same
+    partial agg."""
     codes = pairs.groupBy("vec_id").agg(
         F.array(*[
             F.expr(f"min(named_struct('d', {_pq_d2_expr(m, 'v', 'cv')}, "
                    f"'c', cid)).c")
             for m in range(PQ_M)]).alias("codes"),
         F.count(F.lit(1)).alias("_nc"))
-    codes = (codes.filter(F.assert_true(
+    return (codes.filter(F.assert_true(
         F.col("_nc") == PQ_K,
         F.concat(F.lit("embeddings.vec_id PK precondition violated "
                        "near vec_id="), F.col("vec_id").cast("string"),
@@ -1136,6 +1151,14 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
                        " PQ codebook slice); resolve identities at "
                        "ingest with resolve_embedding_identity"))
         ).isNull()).drop("_nc"))
+
+
+def _pq_query_arr(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, dt) per-query ADC distance table from a (cid, cv)
+    codebook — tiny (|Q| rows, PQ_M·PQ_K doubles each), built against
+    the broadcast codebook. Shared by ``_pq_parts`` and the persisted
+    serve (which reads the STORED codebook instead of re-deriving
+    it)."""
     q = (e.filter(F.col("vec_id") < N_QUERY_VECS)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv")))
@@ -1145,10 +1168,9 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
                 f"aggregate(zip_with(slice(qv, m * {PQ_SUB} + 1, {PQ_SUB}), "
                 f"slice(cv, m * {PQ_SUB} + 1, {PQ_SUB}), "
                 f"(x, y) -> x * y), 0D, (a, t) -> a + t))").alias("dots")))
-    qarr = (qtab.groupBy("query_id")
+    return (qtab.groupBy("query_id")
             .agg(F.expr("transform(array_sort(collect_list("
                         "struct(cid, dots))), s -> s.dots)").alias("dt")))
-    return codes, qarr
 
 
 # ADC score: PQ_M table lookups into the query's distance table —
@@ -1220,21 +1242,53 @@ def pq_index_table(sf_dir: str, spark: SparkSession | None = None) -> str:
 
 def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """The BUILD job of the persisted-PQ lifecycle: materialize the
-    4-bit code table (vec_id, codes) as a catalog table — the encode
+    4-bit code table (vec_id, codes) AND the codebook it was encoded
+    with (``<table>_cb``, 16 rows) as catalog tables — the encode
     pass (corpus × broadcast codebook, one map-side-partial argmin
     aggregate) is paid once per index refresh instead of inside every
     serving query. The ANN sibling of ``build_lsh_index``: at 100 TB
-    the PQ index IS a stored artifact (4 bytes/vector), not a
-    per-query subplan. The vec_id PK gate rides the encode aggregate
-    (``_pq_parts``), so a duplicate-id corpus fails loud at build
-    time. Returns the table name."""
+    the PQ index IS a stored artifact (4 bytes/vector), and the
+    codebook is stored WITH it because it is the index's schema —
+    appends must encode against the epoch's codebook, not re-derive
+    one from a drifted corpus (the bucket-spec-in-catalog lesson from
+    the LSH lifecycle, ADVICE r06). The vec_id PK gate rides the
+    encode aggregate (``_pq_encode``), so a duplicate-id corpus fails
+    loud at build time. Returns the code-table name."""
     from ..sources.storage import drop_table_and_location
 
     table = pq_index_table(sf_dir, spark)
     codes, _ = _pq_parts(spark, sf_dir)
+    e = load_finite_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     drop_table_and_location(spark, table)
     codes.write.mode("overwrite").format("parquet").saveAsTable(table)
+    drop_table_and_location(spark, f"{table}_cb")
+    (_pq_oneshot_codebook(e).write.mode("overwrite").format("parquet")
+     .saveAsTable(f"{table}_cb"))
     return table
+
+
+def append_pq_index(spark: SparkSession, sf_dir: str, table: str,
+                    batch: DataFrame) -> None:
+    """The APPEND job — the amortized per-ingest cost of the PQ
+    lifecycle: encode ONLY the batch's finite vectors against the
+    table's STORED codebook and append the code rows; the corpus is
+    never re-encoded and the codebook never drifts mid-epoch (a
+    re-derived first-K codebook over the grown corpus would silently
+    re-key the whole positional ADC index). Batch-proportional:
+    |batch| × PQ_K broadcast cross join, one map-side-partial argmin
+    aggregate, one parquet append. Duplicate ids WITHIN the batch
+    raise through the shared in-aggregate gate; batch-vs-corpus
+    duplicates are the ingest pipeline's resolve step
+    (``resolve_embedding_identity``), exactly as in the LSH append.
+    Append-then-serve ≡ encode-all-with-the-epoch-codebook, pinned in
+    tests/test_dedup_similarity.py."""
+    cent = spark.table(f"{table}_cb")
+    e = (batch.filter(F.expr(FINITE_EMB_COND))
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v")))
+    codes = _pq_encode(e.crossJoin(F.broadcast(cent)))
+    codes.write.mode("append").format("parquet").saveAsTable(table)
 
 
 def q_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,10 +1307,19 @@ def q_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import attach_pk_gate, load_table
 
     table = pq_index_table(sf_dir, spark)
-    if not spark.catalog.tableExists(table):
+    # build-if-absent checks BOTH artifacts: a code table without its
+    # codebook sibling (e.g. written by an older build) is unusable —
+    # the serve must never pair stored codes with a re-derived codebook
+    if not (spark.catalog.tableExists(table)
+            and spark.catalog.tableExists(f"{table}_cb")):
         build_pq_index(spark, sf_dir)
     codes = spark.table(table)
-    _, qarr = _pq_parts(spark, sf_dir)   # only the query side is consumed
+    # the query-distance table is built against the STORED codebook —
+    # the index's schema — never a re-derived one (a drifted corpus
+    # would silently re-key the positional ADC lookups)
+    e = load_finite_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qarr = _pq_query_arr(e, spark.table(f"{table}_cb"))
     scored = (codes.crossJoin(F.broadcast(qarr))
               .filter(F.col("vec_id") != F.col("query_id"))
               .withColumn("approx", F.expr(_PQ_ADC_EXPR)))

@@ -981,3 +981,68 @@ def test_pq_persisted_matches_inquery_and_serves_from_table(spark):
     warm_opt = warm._jdf.queryExecution().optimizedPlan().toString()
     assert "min(named_struct(d," in topk_plan.replace(" ", "")
     assert "min(named_struct(d," not in warm_opt.replace(" ", "")
+
+
+def test_pq_append_encodes_with_the_epoch_codebook(spark):
+    """The PQ APPEND contract: build the index over the PRE-batch
+    vectors (vec_id % 5 != 0), append the batch, and the appended
+    table's codes must equal encoding the FULL corpus with the
+    EPOCH's (pre-batch) codebook — NOT with a codebook re-derived
+    from the grown corpus (which would silently re-key the positional
+    ADC index). Also pins: the stored codebook is the build's
+    one-shot codebook; appending only grows the table by the batch;
+    duplicate ids inside a batch raise through the shared encode
+    gate."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators.similarity import (
+        FINITE_EMB_COND, _pq_encode, _pq_oneshot_codebook,
+        append_pq_index, build_pq_index, load_finite_embeddings,
+        pq_index_table)
+    from ngrams_collocations_hadoop_spark.sources.storage import (
+        drop_table_and_location)
+
+    e = load_finite_embeddings(spark, SF_SMALL).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pre = e.filter(F.col("vec_id") % 5 != 0)
+    batch_raw = (spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+                 .filter(F.col("vec_id") % 5 == 0))
+
+    table = pq_index_table(SF_SMALL, spark) + "_prebatch_test"
+    try:
+        # build over the pre-batch slice (mirror build_pq_index on a
+        # filtered corpus — the prod path parameterizes the scan)
+        cb = _pq_oneshot_codebook(pre)
+        drop_table_and_location(spark, table)
+        _pq_encode(pre.crossJoin(F.broadcast(cb))) \
+            .write.mode("overwrite").format("parquet").saveAsTable(table)
+        drop_table_and_location(spark, f"{table}_cb")
+        cb.write.mode("overwrite").format("parquet") \
+            .saveAsTable(f"{table}_cb")
+        n_pre = spark.table(table).count()
+
+        append_pq_index(spark, SF_SMALL, table, batch_raw)
+        appended = {(r.vec_id, tuple(r.codes))
+                    for r in spark.table(table).collect()}
+        n_batch = batch_raw.filter(F.expr(FINITE_EMB_COND)).count()
+        assert len(appended) == n_pre + n_batch
+
+        # ground truth: encode the FULL corpus with the EPOCH codebook
+        epoch_cb = spark.table(f"{table}_cb")
+        want = {(r.vec_id, tuple(r.codes)) for r in
+                _pq_encode(e.crossJoin(F.broadcast(epoch_cb))).collect()}
+        assert appended == want
+
+        # and the epoch codebook must DIFFER from the grown-corpus
+        # one-shot (else this test couldn't catch a re-derive bug)
+        grown = {(r.cid, tuple(r.cv))
+                 for r in _pq_oneshot_codebook(e).collect()}
+        stored = {(r.cid, tuple(r.cv)) for r in epoch_cb.collect()}
+        assert grown != stored
+
+        # duplicate ids inside one batch raise through the encode gate
+        dup = batch_raw.unionByName(batch_raw.limit(1))
+        with pytest.raises(Exception, match="PK precondition"):
+            append_pq_index(spark, SF_SMALL, table, dup)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_cb")
