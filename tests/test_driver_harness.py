@@ -56,7 +56,13 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              # Morton layout (ts-epoch-sensitive -> timezone matters)
              # + the documents-feed streaming quality gate
              "sim_pq_rerank", "sim_mrl_topk", "rel_zorder_layout",
-             "stream_quality_gate"]:
+             "stream_quality_gate",
+             # r09 new lifecycle/parameter queries: state-keyed
+             # catalog tables under a bare session's own warehouse
+             # (components update, PQ codes + stored codebook) and
+             # the hash-ordered sampled Lloyd chain
+             "dedup_components_update", "sim_pq_persisted_topk",
+             "sim_pq_sampled_topk"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
