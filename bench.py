@@ -60,7 +60,9 @@ BENCH_QUERIES = [
     # leaves the state-keyed components table in the catalog, so run 1
     # carries the build (visible in first_run) and the min is the
     # lifecycle's per-ingest UPDATE cost — the components sibling of
-    # the match row above.
+    # the match row above. Runs after dedup_persisted_lsh left the
+    # band index in the catalog, so the batch pairs come from the
+    # zero-exchange index match (the composed-lifecycles path).
     "dedup_components_update",
 ]
 

@@ -1046,3 +1046,33 @@ def test_pq_append_encodes_with_the_epoch_codebook(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_cb")
+
+
+def test_components_update_prefers_lsh_index(spark):
+    """The two lifecycles compose: when the corpus state has a
+    persisted LSH index, the components UPDATE takes its batch pairs
+    from the match-only job (zero exchange on the index side) and its
+    output must be IDENTICAL to the no-index fallback — same
+    membership, same labels, same sizes."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        build_components_table, build_lsh_index, lsh_index_table,
+        update_components_table)
+
+    ctable = build_components_table(spark, SF_SMALL)
+    ltable = lsh_index_table(SF_SMALL, spark)
+    try:
+        if not spark.catalog.tableExists(ltable):
+            build_lsh_index(spark, SF_SMALL)
+        with_index = update_components_table(spark, SF_SMALL, ctable)
+        # the propagation runs eagerly (localCheckpoint), so the path
+        # taken is exposed the connected_components.last_rounds way
+        assert update_components_table.last_pair_source == "index"
+        got = {tuple(r) for r in with_index.collect()}
+        spark.sql(f"DROP TABLE {ltable}")
+        without = update_components_table(spark, SF_SMALL, ctable)
+        assert update_components_table.last_pair_source == "in-dag"
+        want = {tuple(r) for r in without.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ctable}")
