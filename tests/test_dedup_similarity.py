@@ -1076,3 +1076,39 @@ def test_components_update_prefers_lsh_index(spark):
         assert got == want and len(got) > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ctable}")
+
+
+def test_components_refresh_loop(spark):
+    """The closed-loop components lifecycle: refresh (update +
+    write-back) must leave the table equal to the full post-ingest
+    membership, and a SECOND update over the refreshed table — the
+    next ingest cycle's starting point, with the batch's merges now
+    contracted into the stored clusters — must still equal the full
+    recompute (label stability under contraction), idempotently."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        build_components_table, refresh_components_table,
+        update_components_table,
+    )
+
+    table = build_components_table(spark, SF_SMALL)
+    try:
+        full = {(r.doc_id, r.component_id) for r in
+                update_components_table(spark, SF_SMALL, table)
+                .select("doc_id", "component_id").collect()}
+        refresh_components_table(spark, SF_SMALL, table)
+        stored = {(r.doc_id, r.component_id)
+                  for r in spark.table(table).collect()}
+        assert stored == full
+        # the next cycle's update over the refreshed table
+        again = {(r.doc_id, r.component_id) for r in
+                 update_components_table(spark, SF_SMALL, table)
+                 .select("doc_id", "component_id").collect()}
+        assert again == full
+        # and a second refresh is idempotent
+        refresh_components_table(spark, SF_SMALL, table)
+        stored2 = {(r.doc_id, r.component_id)
+                   for r in spark.table(table).collect()}
+        assert stored2 == full and len(full) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
