@@ -211,8 +211,11 @@ def _next_round_number() -> int | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [int(re.search(r"_r(\d+)", p).group(1))
-              for p in glob.glob(f"{here}/BENCH_r*.json")]
+    # anchored to the basename (ADVICE r09): a checkout path containing
+    # '_r<digits>' (e.g. /data_r2/repo) must not mis-parse the round
+    rounds = [int(m.group(1)) for p in glob.glob(f"{here}/BENCH_r*.json")
+              if (m := re.search(r"^BENCH_r(\d+)\.json$",
+                                 os.path.basename(p)))]
     return max(rounds) + 1 if rounds else None
 
 
@@ -223,10 +226,12 @@ def _latest_recorded_bench() -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = glob.glob(f"{here}/BENCH_r*.json")
+    files = [p for p in glob.glob(f"{here}/BENCH_r*.json")
+             if re.search(r"^BENCH_r(\d+)\.json$", os.path.basename(p))]
     if not files:
         return None
-    files.sort(key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    files.sort(key=lambda p: int(
+        re.search(r"^BENCH_r(\d+)\.json$", os.path.basename(p)).group(1)))
     try:
         with open(files[-1]) as f:
             rec = json.load(f)
@@ -245,7 +250,8 @@ def _latest_recorded_bench() -> dict | None:
             # prefer the round-numbered snapshot (immune to interim
             # ad-hoc overwrites of bench_full.json — ADVICE r08), fall
             # back to the mutable file, same same-run equality guard
-            rn = re.search(r"_r(\d+)", files[-1]).group(1)
+            rn = re.search(r"^BENCH_r(\d+)\.json$",
+                           os.path.basename(files[-1])).group(1)
             for cand in (f"{here}/bench_full_r{rn}.json",
                          f"{here}/bench_full.json"):
                 try:
