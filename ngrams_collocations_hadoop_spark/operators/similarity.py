@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import ieee_round, ieee_round_sql, uavg, uavg_sql
 
+from ..plans.cache import TrackedCache
 from ..sources.tables import load_table
 from .dedup import cosine_expr
 
@@ -1058,8 +1059,18 @@ def _pq_d2_expr(m: int, v: str, cv: str) -> str:
 # capped at 3 — bounds pinned storage across repeated PQ queries in
 # one session without dropping a cache entry that a still-lazy
 # composed query or a warm re-invocation references (the ADVICE r07
-# _bpe_chain pattern, semantics-deduped).
-_PQ_CENT_LIVE: list[DataFrame] = []
+# _bpe_chain pattern, semantics-deduped); state-keyed so an in-place
+# embeddings rewrite evicts instead of serving stale centroids
+# (ADVICE r09; policy in plans/cache.py).
+_PQ_CENT_LIVE = TrackedCache(max_live=3)
+
+
+def _emb_state(sf_dir: str, spark: SparkSession) -> object:
+    """The embeddings input's corpus state — the tracked-cache state
+    key for every embedding-derived pinned frame."""
+    from .dedup import _corpus_stat
+
+    return _corpus_stat(sf_dir, spark, fname="embeddings.parquet")
 
 
 def _pq_parts(spark: SparkSession, sf_dir: str,
@@ -1079,22 +1090,15 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
     the PK-precondition assert) is identical."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    if codebook is not None:
-        cent = codebook.persist()
-    else:
-        # K rows, consumed by encoding AND the query table
-        cent = _pq_oneshot_codebook(e).persist()
-    # Bound pinned codebooks across repeated invocations (the ADVICE
-    # r07 class), deduping by PLAN SEMANTICS: same-plan handles alias
-    # ONE cache entry, so a naive FIFO release of an "old" handle
-    # would evict the entry every warm re-invocation still reads
-    # (measured: the trained-topk bench flip-flopped 1.5 s warm /
-    # 8.4 s cold as the release lapped the cap). Distinct plans only
-    # are tracked; a composed query's two codebooks stay live.
-    if not any(cent.sameSemantics(h) for h in _PQ_CENT_LIVE):
-        while len(_PQ_CENT_LIVE) > 2:
-            _PQ_CENT_LIVE.pop(0).unpersist(blocking=False)
-        _PQ_CENT_LIVE.append(cent)
+    # K rows, consumed by encoding AND the query table. Pinned through
+    # the tracked cache: semantics-deduped (a naive FIFO release of an
+    # "old" same-plan handle would evict the entry every warm
+    # re-invocation still reads — measured: the trained-topk bench
+    # flip-flopped 1.5 s warm / 8.4 s cold as the release lapped the
+    # cap), bounded, and state-keyed on the embeddings input.
+    cent = _PQ_CENT_LIVE.get(
+        codebook if codebook is not None else _pq_oneshot_codebook(e),
+        state=_emb_state(sf_dir, spark))
     codes = _pq_encode(e.crossJoin(F.broadcast(cent)))
     qarr = _pq_query_arr(e, cent)
     return codes, qarr
@@ -1222,13 +1226,23 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_INDEX_TABLE = "ncs_pq_codes"   # suffixed per embeddings-corpus state
 
+# Codebook-construction scheme tag, folded into the state hash: the
+# stored codes are only meaningful WITH the codebook scheme that
+# produced them, so changing the scheme (r10: one-shot → sampled-Lloyd,
+# VERDICT r09 #2) must re-key the table name — an existing warehouse's
+# one-shot codes would otherwise satisfy build-if-absent and serve a
+# ranking the trained-chain oracle no longer matches. Old-scheme tables
+# become stale siblings and are dropped on the next full build.
+PQ_CB_SCHEME = "lloyd-s1e5"
+
 
 def pq_index_table(sf_dir: str, spark: SparkSession | None = None) -> str:
     """Catalog name of the materialized PQ code table for a corpus
     state — the ``lsh_index_table``/``components_table`` naming scheme
     (``<prefix>_<dirhash>_<statehash>``), keyed on the EMBEDDINGS
     input's state so a re-embedded corpus can never alias a stale
-    code table."""
+    code table, and on ``PQ_CB_SCHEME`` so a codebook-construction
+    change can never alias codes built under the old scheme."""
     import hashlib
 
     from .dedup import _corpus_stat
@@ -1236,8 +1250,24 @@ def pq_index_table(sf_dir: str, spark: SparkSession | None = None) -> str:
     dirh = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     st = _corpus_stat(sf_dir, spark, fname="embeddings.parquet")
     state = sf_dir if st is None else f"{sf_dir}|{st[0]}|{st[1]}"
-    h = hashlib.md5(state.encode()).hexdigest()[:8]
+    h = hashlib.md5(f"{state}|{PQ_CB_SCHEME}".encode()).hexdigest()[:8]
     return f"{PQ_INDEX_TABLE}_{dirh}_{h}"
+
+
+def _drop_stale_pq_siblings(spark: SparkSession, sf_dir: str,
+                            keep: str) -> None:
+    """Drop PQ code tables (and their ``_cb`` twins — same prefix) for
+    OTHER states of the same corpus path: fuzz/bench loops that rewrite
+    fixtures, and codebook-scheme upgrades, would otherwise leak one
+    full code-table copy per rewrite (the ``_drop_stale_lsh_siblings``
+    hygiene, ADVICE r09). Tables keyed to the current state survive."""
+    import hashlib
+
+    dirh = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    prefix = f"{PQ_INDEX_TABLE}_{dirh}_"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and not t.name.startswith(keep):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1253,18 +1283,35 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
     one from a drifted corpus (the bucket-spec-in-catalog lesson from
     the LSH lifecycle, ADVICE r06). The vec_id PK gate rides the
     encode aggregate (``_pq_encode``), so a duplicate-id corpus fails
-    loud at build time. Returns the code-table name."""
+    loud at build time. Returns the code-table name.
+
+    The stored codebook is the PRODUCTION one (VERDICT r09 #2): the
+    sampled-Lloyd ``_pq_trained_codebook(sample=PQ_TRAIN_SAMPLE)``, so
+    the serve path delivers the trained recall lift (measured +8-10
+    points @10 vs one-shot by ``q_sim_pq_trained_recall``) from the
+    table instead of persisting the stride codebook the same audit
+    shows is strictly worse. Training cost is paid once per index
+    refresh and capped at the sample budget (corpus-independent);
+    encoding covers the full corpus. Write order matters: the code
+    table is dropped BEFORE the new codebook lands so a crash mid-build
+    can never leave old codes paired with a new codebook (serve checks
+    both artifacts exist and rebuilds); encoding then reads the STORED
+    codebook — codes and schema can't drift even across a codebook-
+    construction change. A full build also drops stale sibling tables
+    of the same corpus path (older states / schemes)."""
     from ..sources.storage import drop_table_and_location
 
     table = pq_index_table(sf_dir, spark)
-    codes, _ = _pq_parts(spark, sf_dir)
+    _drop_stale_pq_siblings(spark, sf_dir, keep=table)
+    drop_table_and_location(spark, table)
+    cb = _pq_trained_codebook(spark, sf_dir, sample=PQ_TRAIN_SAMPLE)
+    drop_table_and_location(spark, f"{table}_cb")
+    cb.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_cb")
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    drop_table_and_location(spark, table)
+    codes = _pq_encode(
+        e.crossJoin(F.broadcast(spark.table(f"{table}_cb"))))
     codes.write.mode("overwrite").format("parquet").saveAsTable(table)
-    drop_table_and_location(spark, f"{table}_cb")
-    (_pq_oneshot_codebook(e).write.mode("overwrite").format("parquet")
-     .saveAsTable(f"{table}_cb"))
     return table
 
 
@@ -1291,21 +1338,36 @@ def append_pq_index(spark: SparkSession, sf_dir: str, table: str,
     codes.write.mode("append").format("parquet").saveAsTable(table)
 
 
-def q_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``q_pq_topk`` SERVED from the persisted code table — the
-    amortized steady state of the PQ lifecycle (build-if-absent on the
+def q_pq_persisted_topk(spark: SparkSession, sf_dir: str,
+                        emb: DataFrame | None = None) -> DataFrame:
+    """PQ ANN SERVED from the persisted code table — the amortized
+    steady state of the PQ lifecycle (build-if-absent on the
     state-keyed name, like ``dedup_persisted_lsh_match``): every
     construction after the first plans only the code-table scan, the
     tiny query-distance-table build (queries × broadcast codebook),
-    and the ADC ranking — the corpus-wide encode aggregate is gone
-    from the serving plan (plan-asserted in tests/test_plans.py).
-    Output is IDENTICAL to ``q_pq_topk`` (materializing codes is
-    value-neutral), hence the shared oracle. The serve side carries
-    the fail-loud vec_id gate on the RAW column-pruned id scan (the
-    build's in-aggregate gate protected the table; this protects the
-    query-distance side when the table pre-exists)."""
+    and the ADC ranking — the corpus-wide encode aggregate AND the
+    Lloyd training are gone from the serving plan (plan-asserted in
+    tests/test_plans.py). The stored codebook is the production
+    sampled-Lloyd one (``build_pq_index``), so output is IDENTICAL to
+    ``q_pq_sampled_topk`` (materializing codes is value-neutral),
+    hence the shared oracle — the serve delivers the trained recall
+    lift from the table (``q_sim_pq_persisted_recall`` measures it).
+    The serve side carries the fail-loud vec_id gate on the RAW
+    column-pruned id scan (the build's in-aggregate gate protected
+    the table; this protects the query-distance side when the table
+    pre-exists).
+
+    ``emb`` mirrors ``match_lsh_index``'s trusted override (VERDICT
+    r09 #5): a caller-provided, identity-resolved embeddings scan
+    skips the corpus-proportional vec_id audit, so resolved-ingest
+    pipelines don't pay a full id pass per serve. The default
+    raw-fixture scan stays gated — ad-hoc runs on unaudited corpora
+    fail loud. Equality of both paths is test-pinned."""
     from ..sources.tables import attach_pk_gate, load_table
 
+    gate = emb is None
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     table = pq_index_table(sf_dir, spark)
     # build-if-absent checks BOTH artifacts: a code table without its
     # codebook sibling (e.g. written by an older build) is unusable —
@@ -1317,7 +1379,7 @@ def q_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query-distance table is built against the STORED codebook —
     # the index's schema — never a re-derived one (a drifted corpus
     # would silently re-key the positional ADC lookups)
-    e = load_finite_embeddings(spark, sf_dir).select(
+    e = emb.filter(F.expr(FINITE_EMB_COND)).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     qarr = _pq_query_arr(e, spark.table(f"{table}_cb"))
     scored = (codes.crossJoin(F.broadcast(qarr))
@@ -1330,8 +1392,41 @@ def q_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", F.col("vec_id").alias("cand_id"),
                    ieee_round(F.col("approx"), 6).alias("approx_dot"),
                    "rank"))
-    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    return attach_pk_gate(out, ids, "vec_id", "the PQ index serve")
+    if gate:
+        # fail-loud PK audit on the raw column-pruned id scan, never
+        # the (possibly cached) wide scan — the r08/r09 gate lesson
+        ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+        out = attach_pk_gate(out, ids, "vec_id", "the PQ index serve")
+    return out
+
+
+def q_sim_pq_persisted_recall(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Recall@k of the one-shot in-query PQ ranking AND the ranking
+    SERVED FROM THE PERSISTED INDEX, side by side in one row — the
+    audit that the stored artifact actually delivers the trained
+    lift (VERDICT r09 #2): ``recall_served − recall_pq`` is what
+    persisting the sampled-Lloyd codebook (instead of the stride
+    one-shot) bought, measured THROUGH the table the production stack
+    serves from, not through the in-query training path. Shares the
+    exact brute-force ground truth with every other recall audit."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    pq = (q_pq_topk(spark, sf_dir)
+          .select("query_id", "cand_id").withColumn("_p", F.lit(1)))
+    srv = (q_pq_persisted_topk(spark, sf_dir)
+           .select("query_id", "cand_id").withColumn("_s", F.lit(1)))
+    n = F.count(F.lit(1))
+    hp = F.coalesce(F.sum("_p"), F.lit(0)).cast("long")
+    hs = F.coalesce(F.sum("_s"), F.lit(0)).cast("long")
+    return (exact.join(pq, on=["query_id", "cand_id"], how="left")
+            .join(srv, on=["query_id", "cand_id"], how="left")
+            .agg(n.alias("n_exact"),
+                 hp.alias("n_pq"),
+                 hs.alias("n_served"),
+                 ieee_round(F.try_divide(hp.cast("double"), n), 4)
+                 .alias("recall_pq"),
+                 ieee_round(F.try_divide(hs.cast("double"), n), 4)
+                 .alias("recall_served")))
 
 
 PQ_RERANK_C = 30   # ADC shortlist size the exact re-rank scores
@@ -1576,25 +1671,10 @@ PQ_TRAIN_SAMPLE = 100_000
 # same-plan handles alias ONE cache entry) and bounded to two
 # codebook variants' worth of iterations, so the trained+sampled
 # recall audit keeps both chains warm instead of each invocation
-# evicting the other's.
-_PQ_TRAIN_LIVE: list[DataFrame] = []
-_PQ_TRAIN_LIVE_MAX = 2 * PQ_TRAIN_ITERS
-
-
-def _pq_train_track(cent: DataFrame) -> DataFrame:
-    for h in _PQ_TRAIN_LIVE:
-        if cent.sameSemantics(h):
-            lvl = h.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                # a catalog.clearCache() between invocations dropped
-                # the entry out from under the tracked handle
-                h.persist()
-            return h
-    cent = cent.persist()
-    _PQ_TRAIN_LIVE.append(cent)
-    while len(_PQ_TRAIN_LIVE) > _PQ_TRAIN_LIVE_MAX:
-        _PQ_TRAIN_LIVE.pop(0).unpersist(blocking=False)
-    return cent
+# evicting the other's. State-keyed on the embeddings input (ADVICE
+# r09): an in-place rewrite evicts instead of feeding stale centroids
+# to a freshly built state-keyed PQ table.
+_PQ_TRAIN_LIVE = TrackedCache(max_live=2 * PQ_TRAIN_ITERS)
 
 # per-candidate sub-vector d² inside the map-side argmin fold (s is
 # the (cid, cv) candidate struct from the broadcast per-subspace list)
@@ -1640,7 +1720,8 @@ def _pq_lloyd_round(sub: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
-                         sample: int | None = None) -> DataFrame:
+                         sample: int | None = None,
+                         e: DataFrame | None = None) -> DataFrame:
     """(cid, cv) codebook after PQ_TRAIN_ITERS Lloyd iterations per
     subspace — per-subspace k-means is the codebook construction of
     Jégou, Douze & Schmid 2011 ("Product Quantization for Nearest
@@ -1665,9 +1746,15 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
     never a full sort), so the sampled chain has the same unrolled-CTE
     oracle as the full one. Encoding and serving always run over the
     FULL corpus; only Lloyd's input shrinks. ``sample=None`` trains on
-    the whole corpus (the fixture-exact form)."""
-    e = load_finite_embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    the whole corpus (the fixture-exact form).
+
+    ``e`` overrides the (vec_id, v) vectors frame — the epoch-slice
+    hook the PQ append test uses to train a PRE-batch codebook through
+    this exact production path (so the append-never-re-derives pin
+    exercises the codebook the build actually stores)."""
+    if e is None:
+        e = load_finite_embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     train = e
     if sample is not None:
         train = (e.orderBy(F.md5(F.col("vec_id").cast("string")),
@@ -1687,8 +1774,9 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
     sub = train.select("vec_id", F.expr(
         f"inline(transform(sequence(0, {PQ_M - 1}), m -> "
         f"struct(m AS m, slice(v, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv)))"))
+    st = _emb_state(sf_dir, spark)
     for _ in range(PQ_TRAIN_ITERS):
-        cent = _pq_train_track(_pq_lloyd_round(sub, cent))
+        cent = _PQ_TRAIN_LIVE.get(_pq_lloyd_round(sub, cent), state=st)
     return (cent.groupBy("cid")
             .agg(F.expr("flatten(transform(array_sort(collect_list("
                         "named_struct('m', m, 'cv', cv))), s -> s.cv))")
@@ -1850,6 +1938,28 @@ LEFT JOIN pq_side p
   ON x.query_id = p.query_id AND x.cand_id = p.cand_id
 LEFT JOIN tr_side t
   ON x.query_id = t.query_id AND x.cand_id = t.cand_id
+"""
+
+
+# The served ranking comes from the stored sampled-Lloyd codebook, so
+# its oracle side is the sampled Lloyd-chain CTE — the serve is
+# value-neutral vs the in-query sampled form (shared-oracle claim).
+ORACLE_SIM_PQ_PERSISTED_RECALL = f"""
+WITH exact_side AS ({ORACLE_COSINE_TOPK}),
+pq_side AS ({ORACLE_PQ_TOPK}),
+srv_side AS ({ORACLE_PQ_SAMPLED_TOPK})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(p.cand_id) AS BIGINT) AS n_pq,
+       CAST(count(s.cand_id) AS BIGINT) AS n_served,
+       {ieee_round_sql('count(p.cand_id)::DOUBLE / count(*)', 4)}
+           AS recall_pq,
+       {ieee_round_sql('count(s.cand_id)::DOUBLE / count(*)', 4)}
+           AS recall_served
+FROM exact_side x
+LEFT JOIN pq_side p
+  ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+LEFT JOIN srv_side s
+  ON x.query_id = s.query_id AND x.cand_id = s.cand_id
 """
 
 

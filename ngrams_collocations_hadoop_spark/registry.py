@@ -356,6 +356,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_components_update": dedup.q_dedup_components_update,
     "sim_pq_sampled_topk": similarity.q_pq_sampled_topk,
     "sim_pq_persisted_topk": similarity.q_pq_persisted_topk,
+    "sim_pq_persisted_recall": similarity.q_sim_pq_persisted_recall,
     # --- (3) the full 40-query r05-stale refresh queue
     #     (VERDICT r08 #1: text_weighted_sample first, then the r05
     #     block sim_power_iteration .. stream_dedup_bounded) ---
@@ -675,9 +676,13 @@ ORACLES: dict[str, str] = {
         dedup.ORACLE_DEDUP_COMPONENTS_INCREMENTAL,
     "dedup_components_update": dedup.ORACLE_DEDUP_COMPONENTS_UPDATE,
     "sim_pq_sampled_topk": similarity.ORACLE_PQ_SAMPLED_TOPK,
-    # the persisted form materializes the codes the in-query form
-    # computes — value-neutral, hence the shared oracle
-    "sim_pq_persisted_topk": similarity.ORACLE_PQ_TOPK,
+    # the persisted form materializes the codes the in-query SAMPLED
+    # form computes (the stored codebook is the production sampled-
+    # Lloyd one since r10, VERDICT r09 #2) — value-neutral, hence the
+    # shared oracle
+    "sim_pq_persisted_topk": similarity.ORACLE_PQ_SAMPLED_TOPK,
+    "sim_pq_persisted_recall":
+        similarity.ORACLE_SIM_PQ_PERSISTED_RECALL,
     "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
     "rel_profile": rel.ORACLE_PROFILE,
     "rel_snapshot_diff": rel.ORACLE_SNAPSHOT_DIFF,

@@ -872,24 +872,25 @@ def test_tokens_persisted_tracking(spark):
     cold forever."""
     import ngrams_collocations_hadoop_spark.operators.dedup as dd
 
-    saved = list(dd._TOK_LIVE)
-    dd._TOK_LIVE.clear()
+    saved = list(dd._TOK_LIVE._live)
+    dd._TOK_LIVE._live.clear()
     try:
+        max_live = dd._TOK_LIVE.max_live
         plans = [
             _docs(spark, [(i, BASE)]).select("doc_id", "toks")
-            for i in range(dd._TOK_LIVE_MAX + 1)
+            for i in range(max_live + 1)
         ]
         h0 = dd._tokens_persisted(plans[0])
         assert dd._tokens_persisted(plans[0]) is h0
-        assert len(dd._TOK_LIVE) == 1
+        assert len(dd._TOK_LIVE._live) == 1
         assert h0.storageLevel.useMemory or h0.storageLevel.useDisk
         for p in plans[1:]:
             dd._tokens_persisted(p)
         # bound trips: oldest evicted, newest MAX still tracked
-        assert len(dd._TOK_LIVE) == dd._TOK_LIVE_MAX
-        assert not any(h0.sameSemantics(h) for h in dd._TOK_LIVE)
+        assert len(dd._TOK_LIVE._live) == max_live
+        assert not any(h0.sameSemantics(h) for h in dd._TOK_LIVE.handles)
         # clearCache orphan: same handle comes back re-persisted
-        h1 = dd._TOK_LIVE[0]
+        h1 = dd._TOK_LIVE.handles[0]
         spark.catalog.clearCache()
         lvl = h1.storageLevel
         assert not (lvl.useMemory or lvl.useDisk)
@@ -898,9 +899,51 @@ def test_tokens_persisted_tracking(spark):
         lvl = h1.storageLevel
         assert lvl.useMemory or lvl.useDisk
     finally:
-        while dd._TOK_LIVE:
-            dd._TOK_LIVE.pop().unpersist(blocking=False)
-        dd._TOK_LIVE.extend(saved)
+        dd._TOK_LIVE.clear()
+        dd._TOK_LIVE._live.extend(saved)
+        spark.catalog.clearCache()
+
+
+def test_tracked_cache_state_eviction(spark):
+    """The corpus-state key on tracked caches (ADVICE r09): a
+    same-plan request whose state key moved (the input was rewritten
+    in place — plan semantics can't see that) must NOT return the old
+    handle; the stale entry is evicted and the caller's fresh frame is
+    persisted and tracked in its place. Same plan + same state keeps
+    returning the one tracked handle."""
+    import tempfile
+
+    from ngrams_collocations_hadoop_spark.plans.cache import TrackedCache
+
+    cache = TrackedCache(max_live=2)
+    base = tempfile.mkdtemp(prefix="ncs_trackcache_")
+    spark.range(5).write.parquet(f"{base}/t.parquet")
+    try:
+        # two scans of one path are sameSemantics — the production
+        # aliasing shape (load_table called per invocation)
+        p1 = spark.read.parquet(f"{base}/t.parquet")
+        p1_alias = spark.read.parquet(f"{base}/t.parquet")
+        h = cache.get(p1, state=(100, 7))
+        assert cache.get(p1_alias, state=(100, 7)) is h
+        assert len(cache._live) == 1
+        # the input was rewritten: same plan, new (mtime, size) state
+        h2 = cache.get(p1_alias, state=(200, 7))
+        assert h2 is not h
+        assert h2 is p1_alias
+        assert len(cache._live) == 1
+        lvl = h2.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+        # the stale handle was released (async — its entry is gone)
+        assert not any(h is t for t in cache.handles)
+        # None state (stat unavailable) degrades to plan-only keying
+        # (two scans of one path, the production aliasing shape —
+        # separately-built createDataFrame plans would NOT be
+        # sameSemantics, so the alias must come from the same source)
+        spark.range(3).write.parquet(f"{base}/u.parquet")
+        hn = cache.get(spark.read.parquet(f"{base}/u.parquet"))
+        assert cache.get(spark.read.parquet(f"{base}/u.parquet")) is hn
+    finally:
+        cache.clear()
         spark.catalog.clearCache()
 
 
@@ -955,32 +998,47 @@ def test_pq_train_sample_order_matches_duckdb(spark):
 
 def test_pq_persisted_matches_inquery_and_serves_from_table(spark):
     """The persisted PQ-codes lifecycle: serving from the materialized
-    table must reproduce the in-query ``q_pq_topk`` ranking exactly
-    (materializing codes is value-neutral — the shared-oracle claim),
-    and the WARM serving plan must read the catalog table with NO
-    corpus-side encode aggregate (the codes' groupBy(vec_id) argmin) —
-    the whole point of paying the encode once per refresh."""
+    table must reproduce the in-query ``q_pq_sampled_topk`` ranking
+    exactly (the stored codebook IS the production sampled-Lloyd one
+    since r10 — VERDICT r09 #2 — and materializing its codes is
+    value-neutral: the shared-oracle claim), and the WARM serving plan
+    must read the catalog table with NO corpus-side encode aggregate
+    (the codes' groupBy(vec_id) argmin) and NO Lloyd-training subtree —
+    the whole point of paying encode+training once per refresh. Also
+    pins the trusted ``emb`` override (VERDICT r09 #5): a caller-
+    resolved embeddings frame returns the same rows while skipping the
+    corpus-proportional vec_id audit (no pk-gate observe in the
+    plan)."""
     from .conftest import SF_SMALL
     from ngrams_collocations_hadoop_spark.operators.similarity import (
-        PQ_INDEX_TABLE, pq_index_table, q_pq_persisted_topk, q_pq_topk)
+        PQ_INDEX_TABLE, pq_index_table, q_pq_persisted_topk,
+        q_pq_sampled_topk)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
 
     table = pq_index_table(SF_SMALL, spark)
     served = q_pq_persisted_topk(spark, SF_SMALL)   # builds if absent
     assert spark.catalog.tableExists(table)
     a = {tuple(r) for r in served.collect()}
-    b = {tuple(r) for r in q_pq_topk(spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in q_pq_sampled_topk(spark, SF_SMALL).collect()}
     assert a == b and len(a) > 0
     # warm re-construction: the plan reads the table, never the
-    # encode — q_pq_topk's plan has the corpus-side codes aggregate,
-    # the served plan must not
+    # encode/training — the sampled in-query plan has the corpus-side
+    # argmin aggregates, the served plan must not
     warm = q_pq_persisted_topk(spark, SF_SMALL)
     plan = warm._jdf.queryExecution().executedPlan().toString()
     assert PQ_INDEX_TABLE in plan
-    topk_plan = q_pq_topk(spark, SF_SMALL) \
+    topk_plan = q_pq_sampled_topk(spark, SF_SMALL) \
         ._jdf.queryExecution().optimizedPlan().toString()
     warm_opt = warm._jdf.queryExecution().optimizedPlan().toString()
     assert "min(named_struct(d," in topk_plan.replace(" ", "")
     assert "min(named_struct(d," not in warm_opt.replace(" ", "")
+    # trusted override: same rows, gate audit gone from the plan
+    trusted = q_pq_persisted_topk(
+        spark, SF_SMALL, emb=load_table(spark, SF_SMALL, "embeddings"))
+    assert {tuple(r) for r in trusted.collect()} == a
+    assert "PK precondition" in warm_opt
+    assert "PK precondition" not in \
+        trusted._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_pq_append_encodes_with_the_epoch_codebook(spark):
@@ -989,15 +1047,17 @@ def test_pq_append_encodes_with_the_epoch_codebook(spark):
     table's codes must equal encoding the FULL corpus with the
     EPOCH's (pre-batch) codebook — NOT with a codebook re-derived
     from the grown corpus (which would silently re-key the positional
-    ADC index). Also pins: the stored codebook is the build's
-    one-shot codebook; appending only grows the table by the batch;
-    duplicate ids inside a batch raise through the shared encode
-    gate."""
+    ADC index). The epoch codebook is built through the PRODUCTION
+    sampled-Lloyd path (the codebook ``build_pq_index`` actually
+    stores since r10 — VERDICT r09 #2), so the re-derive pin covers
+    the trained scheme, not the retired one-shot. Also pins:
+    appending only grows the table by the batch; duplicate ids inside
+    a batch raise through the shared encode gate."""
     from .conftest import SF_SMALL
     from ngrams_collocations_hadoop_spark.operators.similarity import (
-        FINITE_EMB_COND, _pq_encode, _pq_oneshot_codebook,
-        append_pq_index, build_pq_index, load_finite_embeddings,
-        pq_index_table)
+        FINITE_EMB_COND, PQ_TRAIN_SAMPLE, _pq_encode,
+        _pq_trained_codebook, append_pq_index, build_pq_index,
+        load_finite_embeddings, pq_index_table)
     from ngrams_collocations_hadoop_spark.sources.storage import (
         drop_table_and_location)
 
@@ -1010,14 +1070,17 @@ def test_pq_append_encodes_with_the_epoch_codebook(spark):
     table = pq_index_table(SF_SMALL, spark) + "_prebatch_test"
     try:
         # build over the pre-batch slice (mirror build_pq_index on a
-        # filtered corpus — the prod path parameterizes the scan)
-        cb = _pq_oneshot_codebook(pre)
+        # filtered corpus — the prod path parameterizes the scan;
+        # the codebook is the production sampled-Lloyd one)
+        cb = _pq_trained_codebook(spark, SF_SMALL,
+                                  sample=PQ_TRAIN_SAMPLE, e=pre)
         drop_table_and_location(spark, table)
-        _pq_encode(pre.crossJoin(F.broadcast(cb))) \
-            .write.mode("overwrite").format("parquet").saveAsTable(table)
         drop_table_and_location(spark, f"{table}_cb")
         cb.write.mode("overwrite").format("parquet") \
             .saveAsTable(f"{table}_cb")
+        _pq_encode(pre.crossJoin(F.broadcast(
+            spark.table(f"{table}_cb")))) \
+            .write.mode("overwrite").format("parquet").saveAsTable(table)
         n_pre = spark.table(table).count()
 
         append_pq_index(spark, SF_SMALL, table, batch_raw)
@@ -1033,9 +1096,10 @@ def test_pq_append_encodes_with_the_epoch_codebook(spark):
         assert appended == want
 
         # and the epoch codebook must DIFFER from the grown-corpus
-        # one-shot (else this test couldn't catch a re-derive bug)
+        # trained one (else this test couldn't catch a re-derive bug)
         grown = {(r.cid, tuple(r.cv))
-                 for r in _pq_oneshot_codebook(e).collect()}
+                 for r in _pq_trained_codebook(
+                     spark, SF_SMALL, sample=PQ_TRAIN_SAMPLE).collect()}
         stored = {(r.cid, tuple(r.cv)) for r in epoch_cb.collect()}
         assert grown != stored
 
