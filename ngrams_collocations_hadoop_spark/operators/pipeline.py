@@ -48,11 +48,16 @@ QUALITY_THRESHOLD = 0.6
 
 
 def _quality_survivors(spark: SparkSession, sf_dir: str,
-                       docs: DataFrame | None = None) -> DataFrame:
+                       docs: DataFrame | None = None,
+                       full_row: bool = False) -> DataFrame:
     """(doc_id, lang, n_tokens) of documents passing the quality bar —
     the text_quality score expression inlined (same formula, same
     rounding). ``docs`` overrides the documents source (the ingest
-    pipeline passes its identity-resolved scan)."""
+    pipeline passes its identity-resolved scan). ``full_row=True``
+    returns the surviving documents with their ORIGINAL columns
+    (text included) instead of the summary projection — the shape the
+    streaming LSH ingest needs, since the surviving docs continue into
+    tokenize/band stages."""
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     docs = docs.withColumn("tokens", F.split("text", " "))
@@ -65,8 +70,10 @@ def _quality_survivors(spark: SparkSession, sf_dir: str,
     ttr = F.size(F.array_distinct("tokens")).cast("double") / n_tok
     score = ieee_round(F.least(mean_len / 10, F.lit(1.0)) * 0.3
                        + (1 - stop_ratio) * 0.3 + ttr * 0.4, 6)
-    return (docs.filter(score >= QUALITY_THRESHOLD)
-            .select("doc_id", "lang", n_tok.cast("long").alias("n_tokens")))
+    kept = docs.filter(score >= QUALITY_THRESHOLD)
+    if full_row:
+        return kept.drop("tokens")
+    return kept.select("doc_id", "lang", n_tok.cast("long").alias("n_tokens"))
 
 
 def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -357,6 +357,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_pq_sampled_topk": similarity.q_pq_sampled_topk,
     "sim_pq_persisted_topk": similarity.q_pq_persisted_topk,
     "sim_pq_persisted_recall": similarity.q_sim_pq_persisted_recall,
+    "stream_lsh_ingest": sw.q_stream_lsh_ingest,
     # --- (3) the full 40-query r05-stale refresh queue
     #     (VERDICT r08 #1: text_weighted_sample first, then the r05
     #     block sim_power_iteration .. stream_dedup_bounded) ---
@@ -683,6 +684,7 @@ ORACLES: dict[str, str] = {
     "sim_pq_persisted_topk": similarity.ORACLE_PQ_SAMPLED_TOPK,
     "sim_pq_persisted_recall":
         similarity.ORACLE_SIM_PQ_PERSISTED_RECALL,
+    "stream_lsh_ingest": sw.ORACLE_STREAM_LSH_INGEST,
     "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
     "rel_profile": rel.ORACLE_PROFILE,
     "rel_snapshot_diff": rel.ORACLE_SNAPSHOT_DIFF,

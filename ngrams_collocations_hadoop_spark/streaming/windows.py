@@ -1216,3 +1216,155 @@ WHERE score >= {QUALITY_THRESHOLD}
 
 
 ORACLE_STREAM_QUALITY_GATE = _oracle_stream_quality_gate()
+
+
+# --- streaming ingest maintains the persisted LSH index -------------------
+#
+# The composition VERDICT r09 #6 asked for: the quality-gated document
+# stream APPENDS to the persisted band index per micro-batch
+# (foreachBatch -> append_lsh_index), then the per-ingest match job
+# reads the maintained index — "continuous ingest maintains the
+# indexes" as a pinned, oracle-backed job instead of prose.
+
+
+def _ingest_batch_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file parquet layout of the ingest batch slice
+    (doc_id % NEW_BATCH_MOD == 0) so the file source delivers it as TWO
+    micro-batches under maxFilesPerTrigger=1 — the multi-batch shim for
+    the lifecycle-ingest stream (a production stream reads a log
+    directory or Kafka; the fixture is one file = one batch, which
+    would make the per-micro-batch append claim vacuous). Written once
+    per corpus STATE: the directory name carries the documents input's
+    (mtime_ns, size), so a rewritten fixture gets a fresh layout
+    instead of streaming stale files (the ``_schema_cache_key``
+    staleness discipline; on stat failure ``_corpus_stat`` already
+    warns about path-only degradation)."""
+    import os
+
+    from ..operators.dedup import NEW_BATCH_MOD, _corpus_stat
+    from ..sources.tables import load_table
+
+    sf_abs = os.path.abspath(sf_dir)
+    st = _corpus_stat(sf_abs, spark)
+    state = "" if st is None else f"_{st[0]}_{st[1]}"
+    d = f"/tmp/ncs_stream/{_dir_slug(sf_abs)}_docbatch{state}"
+    if not os.path.exists(f"{d}/_SUCCESS"):
+        (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+         .repartition(2)
+         .write.mode("overwrite").parquet(d))
+    return d
+
+
+def q_stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest MAINTAINS the persisted LSH index: the
+    document stream is quality-gated with the SHARED formula
+    (``_quality_survivors`` — one definition, so the continuous ingest
+    and the batch pipeline cannot disagree about who enters the
+    corpus), each surviving micro-batch is APPENDED to the persisted
+    band index inside ``foreachBatch`` (``append_lsh_index`` —
+    batch-proportional bucketed appends honoring the stored bucket
+    spec, the corpus never rewrites), and the per-ingest match job
+    then reads the maintained index (zero exchange on the index side).
+
+    Batch-equivalence oracle: the final pair set ≡ the batch form over
+    (pre-batch corpus ∪ quality-surviving batch) — the incremental-LSH
+    oracle with its corpus CTE swapped for the gated union. Pairs
+    between a surviving batch doc and a REJECTED batch doc must not
+    appear (the rejected doc never entered the corpus) — that is the
+    composition property this row adjudicates.
+
+    Exactly-once story, test-pinned in test_streaming_extra.py: the
+    checkpoint gives file-level exactly-once across restarts (a
+    restarted stream appends only unseen batches — checkpoint/restart
+    parity), and WITHIN-batch append retries (at-least-once delivery)
+    are output-invariant through the match's pair-set dedup
+    (``_batch_index_candidates.dropDuplicates``), so the sink needs no
+    transactional table format for CORRECTNESS — only for storage
+    hygiene (duplicate band rows until the next compaction/rebuild).
+
+    Epoch state: the pre-batch index is (re)built fresh per invocation
+    (the registry self-containment idiom, as ``dedup_persisted_lsh``);
+    production runs build per refresh / this job per ingest tick. On a
+    duplicate-id corpus the eager build fails loud with the pinned PK
+    error before any stream starts; the returned plan additionally
+    carries the doc_id gate on the raw pruned id scan."""
+    import tempfile
+
+    from ..operators.dedup import (NEW_BATCH_MOD, append_lsh_index,
+                                   build_lsh_index, match_lsh_index)
+    from ..operators.pipeline import _quality_survivors
+    from ..sources.tables import attach_pk_gate, load_table
+
+    _ensure_session_confs(spark)
+    table = build_lsh_index(spark, sf_dir, old_only=True)
+    batch_dir = _ingest_batch_dir(spark, sf_dir)
+    stream = (spark.readStream
+              .schema(_peek_schema(spark, batch_dir))
+              .option("maxFilesPerTrigger", "1")
+              .parquet(batch_dir))
+    gated = _quality_survivors(spark, sf_dir, docs=stream, full_row=True)
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        append_lsh_index(batch.sparkSession, table, batch)
+
+    cp = tempfile.mkdtemp(prefix="ncs_lsh_ingest_cp_")
+    (gated.writeStream.foreachBatch(ingest_batch)
+     .outputMode("append")
+     .option("checkpointLocation", cp)
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+    # foreachBatch runs under a CLONED session; the appends it wrote
+    # are invisible to THIS session's cached table relation (stale
+    # file listing) until an explicit refresh — measured: a parent
+    # session that had read the table pre-stream counted the old rows
+    # after the stream. Serving from a stale index would silently drop
+    # this ingest's pairs.
+    spark.catalog.refreshTable(table)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+              .unionByName(_quality_survivors(
+                  spark, sf_dir,
+                  docs=docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0),
+                  full_row=True)))
+    out = match_lsh_index(spark, sf_dir, table, docs=corpus)
+    return attach_pk_gate(out, docs.select("doc_id"), "doc_id",
+                          "the streaming LSH ingest")
+
+
+def _oracle_stream_lsh_ingest() -> str:
+    from ..functions.exact import ieee_round_sql
+    from ..operators.dedup import (_MINHASH_LSH_PAIRS_SQL,
+                                   JACCARD_THRESHOLD, NEW_BATCH_MOD)
+    from ..operators.pipeline import QUALITY_THRESHOLD, _SCORE_SQL
+
+    # the incremental-LSH pair fragment over the INGESTED corpus:
+    # pre-batch docs plus only the quality-surviving batch docs
+    pairs = _MINHASH_LSH_PAIRS_SQL.replace("FROM documents",
+                                           "FROM corpus", 1)
+    return f"""
+WITH dq AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens, text
+            FROM documents),
+qsurv AS (
+    SELECT doc_id
+    FROM (SELECT doc_id, {ieee_round_sql(_SCORE_SQL, 6)} AS score FROM dq)
+    WHERE score >= {QUALITY_THRESHOLD}),
+corpus AS (
+    SELECT * FROM documents WHERE doc_id % {NEW_BATCH_MOD} != 0
+    UNION ALL
+    SELECT d.* FROM documents d JOIN qsurv USING (doc_id)
+    WHERE d.doc_id % {NEW_BATCH_MOD} = 0),
+{pairs}
+SELECT CASE WHEN doc_a % {NEW_BATCH_MOD} = 0 THEN doc_a ELSE doc_b END
+           AS doc_new,
+       CASE WHEN doc_a % {NEW_BATCH_MOD} = 0 THEN doc_b ELSE doc_a END
+           AS doc_match,
+       {ieee_round_sql('jaccard')} AS jaccard
+FROM lsh_pairs
+WHERE jaccard >= {JACCARD_THRESHOLD}
+  AND (doc_a % {NEW_BATCH_MOD} = 0 OR doc_b % {NEW_BATCH_MOD} = 0)
+"""
+
+
+ORACLE_STREAM_LSH_INGEST = _oracle_stream_lsh_ingest()

@@ -598,3 +598,92 @@ def test_rocksdb_checkpoint_restart(spark, tmp_path):
                                    "event_type", "n", "sum_value")
                            ).collect()}
         assert out2 == batch and len(out2) == 4
+
+
+def test_stream_lsh_ingest_checkpoint_restart_and_retry_parity(
+        spark, tmp_path):
+    """The streaming-to-lifecycle composition's exactly-once story
+    (VERDICT r09 #6), pinned end to end on the REAL index jobs:
+
+    (a) checkpoint/restart parity — a quality-gated ingest stream
+        appending to the persisted LSH index via foreachBatch is
+        stopped after batch 1 and RESTARTED from its checkpoint after
+        batch 2 arrives; the restarted run must read only the new file
+        (progress counters) and the index must grow by exactly the new
+        batch's band rows — file-level exactly-once across restarts;
+    (b) batch equivalence — the match over the stream-maintained index
+        equals the in-DAG incremental match over the same ingested
+        corpus (prebatch ∪ gated batch), the oracle-backed claim of
+        the registry row;
+    (c) at-least-once retry safety — re-appending an already-delivered
+        micro-batch (a foreachBatch retry) duplicates band rows in
+        storage but leaves the MATCH OUTPUT unchanged (pair-set dedup
+        in _batch_index_candidates), so correctness needs no
+        transactional sink."""
+    from .conftest import SF_SMALL
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        NEW_BATCH_MOD, append_lsh_index, build_lsh_index,
+        match_lsh_index, q_dedup_incremental_lsh)
+    from ngrams_collocations_hadoop_spark.operators.pipeline import (
+        _quality_survivors)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    gated_batch = _quality_survivors(
+        spark, SF_SMALL,
+        docs=docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0),
+        full_row=True)
+    corpus = (docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+              .unionByName(gated_batch))
+    half1 = gated_batch.filter(F.col("doc_id") % 2 == 0)
+    half2 = gated_batch.filter(F.col("doc_id") % 2 != 0)
+    n_half1, n_half2 = half1.count(), half2.count()
+    assert n_half1 > 0 and n_half2 > 0
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+    half1.toPandas().to_parquet(f"{indir}/b1.parquet", index=False)
+    schema = spark.read.parquet(indir).schema
+
+    table = build_lsh_index(spark, SF_SMALL, old_only=True)
+    try:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(indir)
+
+            def ingest(batch, batch_id):
+                append_lsh_index(batch.sparkSession, table, batch)
+
+            q = (stream.writeStream.foreachBatch(ingest)
+                 .outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            # the clone-session append staleness the production job
+            # also refreshes away (see q_stream_lsh_ingest)
+            spark.catalog.refreshTable(table)
+            return sum(p["numInputRows"] for p in q.recentProgress)
+
+        assert run_once() == n_half1
+        rows_1 = spark.table(table).count()
+
+        half2.toPandas().to_parquet(f"{indir}/b2.parquet", index=False)
+        assert run_once() == n_half2          # (a) only the new file
+        rows_2 = spark.table(table).count()
+        from ngrams_collocations_hadoop_spark.operators.dedup import (
+            LSH_BANDS)
+        assert rows_2 - rows_1 == n_half2 * LSH_BANDS
+
+        got = {tuple(r) for r in match_lsh_index(
+            spark, SF_SMALL, table, docs=corpus).collect()}
+        want = {tuple(r) for r in q_dedup_incremental_lsh(
+            spark, SF_SMALL, docs=corpus).collect()}
+        assert got == want and len(got) > 0    # (b) batch equivalence
+
+        # (c) a replayed micro-batch: storage grows, output does not
+        append_lsh_index(spark, table, half2)
+        assert spark.table(table).count() == rows_2 + n_half2 * LSH_BANDS
+        again = {tuple(r) for r in match_lsh_index(
+            spark, SF_SMALL, table, docs=corpus).collect()}
+        assert again == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
