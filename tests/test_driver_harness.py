@@ -62,7 +62,12 @@ for name in ["rel_sessionize", "rel_tumbling_window", "rel_date_math",
              # (components update, PQ codes + stored codebook) and
              # the hash-ordered sampled Lloyd chain
              "dedup_components_update", "sim_pq_persisted_topk",
-             "sim_pq_sampled_topk"]:
+             "sim_pq_sampled_topk",
+             # r10 new: the served-recall audit (reads the persisted
+             # PQ artifacts under a bare session's warehouse) and the
+             # streaming ingest composition (foreachBatch clone
+             # session + checkpoint + state-keyed index table)
+             "sim_pq_persisted_recall", "stream_lsh_ingest"]:
     a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     b = con.execute(os_[name]).df()
     a = a.reindex(sorted(a.columns), axis=1)
