@@ -15,6 +15,13 @@ Each tree is run in its own subprocess (own JVM, own PYTHONPATH), one
 warm-up at the sibling sf0.001 dir (skipped when absent or when it IS
 the timed dir) then RUNS timed executions at <sf_dir>, interleaved
 nothing: the box should otherwise be idle.
+
+RUN THE PROBE IN BOTH TREE ORDERS before believing a delta (r10
+lesson): the tree that runs second can suffer 2-3x task-time
+inflation on its early runs (cross-JVM page-cache/GC residue) with
+byte-identical shuffle volumes — a single-order probe "confirmed" a
+3x regression that reversed-order showed to be contamination
+(probe_records/r10_components_lsh_ab.json).
 """
 
 from __future__ import annotations
