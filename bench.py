@@ -44,9 +44,12 @@ BENCH_QUERIES = [
     "sim_pq_rerank",         # two-stage: ADC shortlist -> exact re-rank
     "sim_pq_trained_topk",   # Lloyd-trained codebook: train + encode + ADC
     "sim_pq_sampled_topk",   # production fixed-budget sampled training
-    # persisted PQ-codes lifecycle: run 1 carries the encode+write
-    # (first_run_cold); warm = serve-only against the materialized
-    # table — the amortized ANN steady state
+    # persisted PQ-codes lifecycle: run 1 carries training+encode+write
+    # (first_run_cold — the stored codebook is the production
+    # sampled-Lloyd one since r10, so the cold build now includes the
+    # Lloyd iterations the serve amortizes per refresh); warm =
+    # serve-only against the materialized table — the amortized ANN
+    # steady state
     "sim_pq_persisted_topk",
     "pipeline_ingest",       # incremental-ingest composition
     "pipeline_embed_ingest",  # embeddings ingest: resolve -> gate -> dedup
@@ -64,6 +67,13 @@ BENCH_QUERIES = [
     # band index in the catalog, so the batch pairs come from the
     # zero-exchange index match (the composed-lifecycles path).
     "dedup_components_update",
+    # streaming-ingest-maintains-the-index composition (r10): each run
+    # is self-contained — prebatch index build + 2-micro-batch gated
+    # stream with foreachBatch appends + match over the maintained
+    # index — so this row times the full continuous-ingest tick, not
+    # an amortized leg (the legs are probed separately:
+    # scripts/probe_append_legs.py).
+    "stream_lsh_ingest",
 ]
 
 

@@ -351,16 +351,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dedup_incremental_lsh, dedup_components_incremental and the
 # trained/sampled PQ chains); dedup_components_update kept its PK
 # gate under path-only state keying (post-r09-adjudication commit) —
-# plus 2 new (sim_pq_persisted_recall, the trained lift measured
+# plus 3 new (sim_pq_persisted_recall, the trained lift measured
 # THROUGH the stored index; stream_lsh_ingest, the quality-gated
 # document stream appending to the persisted band index per
 # micro-batch via foreachBatch with checkpoint/restart parity pinned,
-# VERDICT r09 #6) — then 38 of the 41-query r06 refresh queue
-# (flagship colloc family first, colloc_scored at the head).
+# VERDICT r09 #6; stream_components_maintain, the second half of the
+# composition — per-tick index append + tick-only match + components
+# refresh write-back, same oracle as the batch amortized update) —
+# then 37 of the 41-query r06 refresh queue (flagship colloc family
+# first, colloc_scored at the head).
 # Accounting after r10: no query's newest official row older than
-# r07; the r11 refresh queue head is the 3 displaced r06 rows
-# (text_quality, text_lang_id, text_fingerprint), then the r07 block
-# (dedup_embedding_cosine .. stream_quality_gate).
+# r07; the r11 refresh queue head is the 4 displaced r06 rows
+# (rel_bucketed_join, text_quality, text_lang_id, text_fingerprint),
+# then the r07 block (dedup_embedding_cosine .. stream_quality_gate).
 QUERIES: dict[str, QueryFn] = {
     # --- (1) implementation changed this round (r10: the persisted
     #     PQ index now stores the production sampled-Lloyd codebook
@@ -388,11 +391,12 @@ QUERIES: dict[str, QueryFn] = {
     #     maintained index, VERDICT r09 #6) ---
     "sim_pq_persisted_recall": similarity.q_sim_pq_persisted_recall,
     "stream_lsh_ingest": sw.q_stream_lsh_ingest,
+    "stream_components_maintain": sw.q_stream_components_maintain,
     # --- (3) the r06-stale refresh queue (VERDICT r09 #1: the
     #     flagship colloc family first — colloc_scored heads it,
     #     resolving the r09 queue-head nit in favor of the tail
     #     order — then the core relational block and the remaining
-    #     r06 rows; 38 of the 41 fit, the last 3 displaced to the
+    #     r06 rows; 37 of the 41 fit, the last 4 displaced to the
     #     tail head) ---
     "colloc_scored": co.q_scored,
     "colloc_topk": co.q_topk,
@@ -431,12 +435,12 @@ QUERIES: dict[str, QueryFn] = {
     "rel_incremental_agg": rel.q_incremental_agg,
     "dedup_triangles": dedup.q_dedup_triangles,
     "rel_string_agg": rel.q_string_agg,
-    "rel_bucketed_join": storage.q_bucketed_join,
     # ================= end of the 50-query r10 window =================
-    # tail: the 3 displaced r06 rows first (the r11 refresh queue
-    # head — text_quality, text_lang_id, text_fingerprint), then
-    # r07-green, r08-green, r09-green — newest official evidence
-    # last
+    # tail: the 4 displaced r06 rows first (the r11 refresh queue
+    # head — rel_bucketed_join, text_quality, text_lang_id,
+    # text_fingerprint), then r07-green, r08-green, r09-green —
+    # newest official evidence last
+    "rel_bucketed_join": storage.q_bucketed_join,
     "text_quality": textstats.q_text_quality,
     "text_lang_id": textstats.q_lang_id,
     "text_fingerprint": textstats.q_fingerprint,
@@ -718,6 +722,9 @@ ORACLES: dict[str, str] = {
     "sim_pq_persisted_recall":
         similarity.ORACLE_SIM_PQ_PERSISTED_RECALL,
     "stream_lsh_ingest": sw.ORACLE_STREAM_LSH_INGEST,
+    # same full post-ingest membership as the batch amortized update —
+    # N ticks of append+match+refresh ≡ one batch update
+    "stream_components_maintain": dedup.ORACLE_DEDUP_COMPONENTS_UPDATE,
     "rel_sliding_distinct": rel.ORACLE_SLIDING_DISTINCT,
     "rel_profile": rel.ORACLE_PROFILE,
     "rel_snapshot_diff": rel.ORACLE_SNAPSHOT_DIFF,

@@ -17,7 +17,7 @@ native state store. The memory sink is only the test harness.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import usum, usum_sql
@@ -1368,3 +1368,75 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 ORACLE_STREAM_LSH_INGEST = _oracle_stream_lsh_ingest()
+
+
+def q_stream_components_maintain(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Continuous ingest maintains the persisted COMPONENTS table —
+    the second half of the streaming-to-lifecycle composition: per
+    micro-batch, (1) append the tick's docs to the persisted band
+    index, (2) match ONLY the tick against the maintained index
+    (``match_index_pairs_for_tick`` — per-tick cost tracks the tick;
+    its relaxed keep rule surfaces cross-tick new×new pairs from the
+    later endpoint, the pair's only discoverable side), (3) refresh
+    the components table with the tick's edges (star-contracted
+    write-back, so the NEXT tick contracts this tick's merges). The
+    final table is the full post-ingest membership — the SAME oracle
+    as the batch amortized update (``dedup_components_update``),
+    which is the batch-equivalence claim: N ticks of
+    append+match+refresh ≡ one batch update ≡ the full recompute.
+
+    The tick loop IS the label-stability argument made operational:
+    refresh write-backs between ticks are exactly the refresh-loop
+    idempotence the lifecycle pinned in
+    test_components_refresh_loop — here it runs under foreachBatch
+    with cloned sessions (both tables refreshTable'd per tick and at
+    the end: the clone-write staleness hazard found by
+    ``q_stream_lsh_ingest``). No quality gate: the components
+    lifecycle clusters the whole corpus, matching its oracle. On a
+    duplicate-id corpus the eager pre-batch builds fail loud with the
+    pinned PK error before any stream starts."""
+    import tempfile
+
+    from ..operators.dedup import (append_lsh_index,
+                                   build_components_table,
+                                   build_lsh_index, components_table,
+                                   match_index_pairs_for_tick,
+                                   refresh_components_table)
+    from ..sources.tables import load_table
+
+    _ensure_session_confs(spark)
+    lsh_table = build_lsh_index(spark, sf_dir, old_only=True)
+    cc_table = build_components_table(
+        spark, sf_dir, table=components_table(sf_dir, spark) + "_stream")
+    batch_dir = _ingest_batch_dir(spark, sf_dir)
+    stream = (spark.readStream
+              .schema(_peek_schema(spark, batch_dir))
+              .option("maxFilesPerTrigger", "1")
+              .parquet(batch_dir))
+
+    def tick(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        append_lsh_index(sess, lsh_table, batch)
+        # clone sessions cache table relations independently; each
+        # tick must see the prior tick's appends and write-backs
+        sess.catalog.refreshTable(lsh_table)
+        sess.catalog.refreshTable(cc_table)
+        pairs = match_index_pairs_for_tick(
+            sess, lsh_table, batch,
+            docs=load_table(sess, sf_dir, "documents"))
+        refresh_components_table(sess, sf_dir, cc_table,
+                                 batch_pairs=pairs)
+
+    cp = tempfile.mkdtemp(prefix="ncs_cc_maintain_cp_")
+    (stream.writeStream.foreachBatch(tick)
+     .outputMode("append")
+     .option("checkpointLocation", cp)
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+    spark.catalog.refreshTable(cc_table)
+    w = Window.partitionBy("component_id")
+    return (spark.table(cc_table)
+            .withColumn("component_size",
+                        F.count(F.lit(1)).over(w).cast("long"))
+            .select("doc_id", "component_id", "component_size"))

@@ -687,3 +687,53 @@ def test_stream_lsh_ingest_checkpoint_restart_and_retry_parity(
         assert again == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_components_maintain_finds_cross_tick_pairs(spark, tmp_path):
+    """The per-tick matcher's relaxed keep rule is load-bearing: a
+    new×new near-dup pair whose LOWER doc id arrived in an EARLIER
+    tick is discoverable only from the HIGHER id's tick (the lower
+    id's tick ran before its partner was in the index), which the
+    standard lo<hi keep rule would drop. Craft exactly that shape —
+    two near-dup batch docs delivered in separate micro-batches, the
+    lower id first — and pin that the maintained components table
+    clusters them. Also pins the per-tick match path end to end on a
+    corpus where the ONLY near-dup edge is cross-tick."""
+    from ngrams_collocations_hadoop_spark.operators.dedup import (
+        append_lsh_index, build_lsh_index, match_index_pairs_for_tick)
+    from ngrams_collocations_hadoop_spark.sources.tables import load_table
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    rows = [
+        # prebatch docs (ids % 5 != 0), unrelated to the batch cluster
+        (1, "one completely unrelated document body here", "en", "s", 1),
+        (2, "another disjoint vocabulary entirely separate", "en", "s", 1),
+        # the cross-tick near-dup pair: both % 5 == 0, LOWER id ticks
+        # first; j(base, base+' uniform') ~ 0.95 > threshold
+        (10, base, "en", "s", 1),
+        (15, base + " uniform", "en", "s", 1),
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    table = build_lsh_index(spark, d, old_only=True)
+    try:
+        docs = load_table(spark, d, "documents")
+        tick1 = docs.filter(F.col("doc_id") == 10)
+        tick2 = docs.filter(F.col("doc_id") == 15)
+        append_lsh_index(spark, table, tick1)
+        p1 = match_index_pairs_for_tick(spark, table, tick1, docs=docs)
+        assert p1.count() == 0        # partner not arrived yet
+        append_lsh_index(spark, table, tick2)
+        spark.catalog.refreshTable(table)
+        p2 = match_index_pairs_for_tick(spark, table, tick2, docs=docs)
+        got = {(r.doc_new, r.doc_match) for r in p2.collect()}
+        # found from the HIGHER id's tick — (15, 10), the orientation
+        # the standard lo<hi rule would have dropped
+        assert (15, 10) in got, got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
