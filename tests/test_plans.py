@@ -590,6 +590,15 @@ def test_bench_queries_shuffle_budget(spark):
         # lazy plan is the checkpointed labels + the size window +
         # the batch-side verify tail
         "dedup_components_update": 2,
+        # streaming-ingest composition (r10): construction runs the
+        # build + gated stream EAGERLY (their exchanges are paid in
+        # foreachBatch jobs, not this plan); the returned plan is the
+        # match over the maintained index — batch-side band shuffle +
+        # candidate repartition + verify joins + the result-side
+        # doc_id gate audit; the INDEX side still contributes no
+        # exchange. 6 measured, +1 slack for cache substitution order
+        # (the dedup_persisted_lsh_match convention).
+        "stream_lsh_ingest": 7,
     }
     # Count DISTINCT exchanges by plan_id (what the docstring always
     # promised): a persisted subtree's InMemoryRelation prints its
