@@ -63,6 +63,11 @@ EXPECT_RAISE = {
     "dedup_triangles_lsh", "dedup_link_prediction",
     "dedup_lsh_recall", "dedup_cdc_chunks",
     "pipeline_training_prep",
+    # r10: the persisted-recall audit serves through the gated PQ
+    # build; both streaming compositions fail loud at their EAGER
+    # pre-batch index build, before any stream starts
+    "sim_pq_persisted_recall", "stream_lsh_ingest",
+    "stream_components_maintain",
 }
 
 # Empty since r08: nothing in the registry is allowed to silently
