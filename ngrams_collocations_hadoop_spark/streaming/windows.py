@@ -1416,15 +1416,23 @@ def q_stream_components_maintain(spark: SparkSession,
               .parquet(batch_dir))
 
     def tick(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import (_corpus_stat, _tokens,
+                                       _tokens_persisted)
+
         sess = batch.sparkSession
         append_lsh_index(sess, lsh_table, batch)
         # clone sessions cache table relations independently; each
         # tick must see the prior tick's appends and write-backs
         sess.catalog.refreshTable(lsh_table)
         sess.catalog.refreshTable(cc_table)
-        pairs = match_index_pairs_for_tick(
-            sess, lsh_table, batch,
-            docs=load_table(sess, sf_dir, "documents"))
+        # verify-side token lookup through the shared persisted cache:
+        # one corpus tokenize materialization per corpus state, reused
+        # across ticks (and by every other LSH query of this corpus)
+        toks = _tokens_persisted(
+            _tokens(load_table(sess, sf_dir, "documents"))
+            .select("doc_id", "toks"),
+            state=_corpus_stat(sf_dir, sess))
+        pairs = match_index_pairs_for_tick(sess, lsh_table, batch, toks)
         refresh_components_table(sess, sf_dir, cc_table,
                                  batch_pairs=pairs)
 

@@ -700,7 +700,8 @@ def test_stream_components_maintain_finds_cross_tick_pairs(spark, tmp_path):
     clusters them. Also pins the per-tick match path end to end on a
     corpus where the ONLY near-dup edge is cross-tick."""
     from ngrams_collocations_hadoop_spark.operators.dedup import (
-        append_lsh_index, build_lsh_index, match_index_pairs_for_tick)
+        _tokens, append_lsh_index, build_lsh_index,
+        match_index_pairs_for_tick)
     from ngrams_collocations_hadoop_spark.sources.tables import load_table
 
     base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
@@ -726,11 +727,12 @@ def test_stream_components_maintain_finds_cross_tick_pairs(spark, tmp_path):
         tick1 = docs.filter(F.col("doc_id") == 10)
         tick2 = docs.filter(F.col("doc_id") == 15)
         append_lsh_index(spark, table, tick1)
-        p1 = match_index_pairs_for_tick(spark, table, tick1, docs=docs)
+        toks = _tokens(docs).select("doc_id", "toks")
+        p1 = match_index_pairs_for_tick(spark, table, tick1, toks)
         assert p1.count() == 0        # partner not arrived yet
         append_lsh_index(spark, table, tick2)
         spark.catalog.refreshTable(table)
-        p2 = match_index_pairs_for_tick(spark, table, tick2, docs=docs)
+        p2 = match_index_pairs_for_tick(spark, table, tick2, toks)
         got = {(r.doc_new, r.doc_match) for r in p2.collect()}
         # found from the HIGHER id's tick — (15, 10), the orientation
         # the standard lo<hi rule would have dropped
