@@ -285,11 +285,14 @@ def test_image_dims_no_python(spark):
 def test_connected_components_one_job_per_round(spark):
     """The observe-folded convergence check must not run a second pass
     per iteration. With AQE off (so a job isn't split into per-stage
-    jobs) the count is exact: 2 setup checkpoints (the directed edge
-    list — edge count rides it as an observe, not a job — and the seed
-    labels) + 1 checkpoint job per round — the old join-then-count
-    formulation ran 2 per round, and the old bidirectional-union
-    checkpoint ran the edge SOURCE twice inside one job."""
+    jobs) the count is exact: 1 setup checkpoint (the directed edge
+    list — edge count rides it as an observe, not a job) + 1
+    checkpoint job per round — the old join-then-count formulation ran
+    2 per round, the old bidirectional-union checkpoint ran the edge
+    SOURCE twice inside one job, and the former seed-labels checkpoint
+    (a distinct-nodes job) is folded into round 1 since r10
+    (label(m) == m initially, so the first neighbor-min reads the edge
+    view directly)."""
     from ngrams_collocations_hadoop_spark.operators.dedup import (
         connected_components,
     )
@@ -307,7 +310,7 @@ def test_connected_components_one_job_per_round(spark):
     finally:
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    assert len(jobs) == 2 + rounds, (len(jobs), rounds)
+    assert len(jobs) == 1 + rounds, (len(jobs), rounds)
     got = {(r["node"], r["component"]) for r in comp.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
