@@ -53,6 +53,23 @@ def llr(c1: Column, c2: Column, c12: Column, n: Column) -> Column:
     return F.when(invalid, F.lit(None).cast("double")).otherwise(value)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def llr_named(c1: str = "c1", c2: str = "c2", c12: str = "c12",
+              n: str = "n_total") -> Column:
+    """``llr`` over NAME-bound columns, built once per process per
+    name-combo (r10, guide §1.2): the expression tree is ~90 Column
+    ops = ~200 py4j round-trips ≈ 0.2 s of driver time per query
+    CONSTRUCTION, and every caller binds the same four column names —
+    the tree is a constant. Column objects are immutable unresolved
+    expression trees, safe to re-attach to any plan that resolves the
+    names (the standard module-level-Column idiom). Plan-identical to
+    calling ``llr`` directly."""
+    return llr(F.col(c1), F.col(c2), F.col(c12), F.col(n))
+
+
 def llr_sql(c1: str, c2: str, c12: str, n: str) -> str:
     """The same computation as ANSI SQL (DuckDB oracle), structured with
     the identical operation order so float64 results agree to the ulp."""

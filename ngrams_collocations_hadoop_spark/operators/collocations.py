@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..constants import LLR_ROUND, TOP_K
 from ..functions.exact import ieee_round
-from ..functions.llr import llr
+from ..functions.llr import llr, llr_named
 from ..functions.text import clean_token, decade
 from ..sources.ngram_source import (
     bigram_records,
@@ -268,8 +268,10 @@ def score_collocations(c12_df: DataFrame, c1_df: DataFrame,
         # Two-step projection: _llr_raw is referenced 3x by ieee_round's
         # guard; the raw alias keeps LLR single-eval (CollapseProject
         # refuses to inline a non-cheap alias referenced >1x, and codegen
-        # subexpression elimination covers it regardless).
-        .withColumn("_llr_raw", llr(c1c, c2c, c12c, nc))
+        # subexpression elimination covers it regardless). llr_named is
+        # the process-cached constant tree (same expression, built once
+        # — r10 driver-overhead cut, see functions/llr.py).
+        .withColumn("_llr_raw", llr_named("c1", "c2", "c12", "n_total"))
         .withColumn("llr", ieee_round(F.col("_llr_raw"), LLR_ROUND))
     )
     return scored.select("lang", "decade", "w1", "w2",
@@ -299,9 +301,14 @@ def top_collocations(scored: DataFrame, k: int = TOP_K) -> DataFrame:
 # --- whole-pipeline wrappers (spark, sf_dir) -> DataFrame ----------------
 
 def _cleaned_inputs(spark: SparkSession, sf_dir: str):
+    from ..sources.ngram_source import _docs_with_tokens
+
     stop = stopwords_df(spark)
-    uni = clean_unigrams(unigram_records(spark, sf_dir), stop)
-    big = clean_bigrams(bigram_records(spark, sf_dir), stop)
+    # one shared source subtree for both record streams (r10 driver-
+    # overhead cut; plan-identical — see unigram_records)
+    docs = _docs_with_tokens(spark, sf_dir)
+    uni = clean_unigrams(unigram_records(spark, sf_dir, docs=docs), stop)
+    big = clean_bigrams(bigram_records(spark, sf_dir, docs=docs), stop)
     return uni, big
 
 def q_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,9 +371,13 @@ def q_topk_quirk(spark: SparkSession, sf_dir: str,
     ``q_topk(quirk_mode=True)`` remains the physically-faithful form
     (real input partitions via spark_partition_id); this one trades
     that fidelity for a cross-engine-reproducible surrogate."""
+    from ..sources.ngram_source import _docs_with_tokens
+
     stop = stopwords_df(spark)
-    uni = clean_unigrams(unigram_records(spark, sf_dir), stop)
-    big = clean_bigrams(bigram_records(spark, sf_dir, keep_doc=True),
+    docs = _docs_with_tokens(spark, sf_dir)   # shared subtree (r10)
+    uni = clean_unigrams(unigram_records(spark, sf_dir, docs=docs), stop)
+    big = clean_bigrams(bigram_records(spark, sf_dir, keep_doc=True,
+                                       docs=docs),
                         stop, carry=("doc_id",))
     c1_df = unigram_counts(uni)
     scored = score_collocations(bigram_counts_quirk_det(big), c1_df,
@@ -382,9 +393,14 @@ def q_hebrew_topk(spark: SparkSession, sf_dir: str,
     ``Stopwords.java``; EMR run in ``Analysis.md``). Exercises clean →
     stopword anti-join → counts → joins → LLR → Top-K end to end on
     non-Latin text; same operators, different codepoint plane."""
+    from ..sources.ngram_source import (_docs_with_tokens,
+                                        HEBREW_TEXT_SQL, HEBREW_WHERE_SQL)
+
     stop = stopwords_df(spark)
-    uni = clean_unigrams(hebrew_unigram_records(spark, sf_dir), stop)
-    big = clean_bigrams(hebrew_bigram_records(spark, sf_dir), stop)
+    docs = _docs_with_tokens(spark, sf_dir, HEBREW_TEXT_SQL, "'he'",
+                             HEBREW_WHERE_SQL)   # shared subtree (r10)
+    uni = clean_unigrams(unigram_records(spark, sf_dir, docs=docs), stop)
+    big = clean_bigrams(bigram_records(spark, sf_dir, docs=docs), stop)
     c1_df = unigram_counts(uni)
     totals_df = (c1_df.groupBy("lang", "decade")
                  .agg(F.sum("c1").alias("n_total")))

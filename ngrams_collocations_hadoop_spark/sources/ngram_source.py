@@ -59,12 +59,20 @@ def _docs_with_tokens(spark: SparkSession, sf_dir: str,
 def unigram_records(spark: SparkSession, sf_dir: str,
                     text_sql: str = "text",
                     lang_sql: str = "lang",
-                    where_sql: str = "TRUE") -> DataFrame:
-    """(lang, token, year, occurrences) — raw, pre-cleaning."""
-    return (
-        _docs_with_tokens(spark, sf_dir, text_sql, lang_sql, where_sql)
-        .select("lang", "year", "occurrences", F.explode("ts").alias("token"))
-    )
+                    where_sql: str = "TRUE",
+                    docs: DataFrame | None = None) -> DataFrame:
+    """(lang, token, year, occurrences) — raw, pre-cleaning.
+
+    ``docs`` lets a caller that also builds the bigram stream pass ONE
+    shared ``_docs_with_tokens`` subtree (r10): the two streams' source
+    plans are identical, and constructing it twice cost ~0.16 s of
+    driver py4j round-trips per query construction. Plan-identical —
+    Catalyst canonicalized the two copies anyway."""
+    if docs is None:
+        docs = _docs_with_tokens(spark, sf_dir, text_sql, lang_sql,
+                                 where_sql)
+    return docs.select("lang", "year", "occurrences",
+                       F.explode("ts").alias("token"))
 
 
 # The Hebrew corpus derives from the ENGLISH documents only (one
@@ -85,21 +93,26 @@ def bigram_records(spark: SparkSession, sf_dir: str,
                    text_sql: str = "text",
                    lang_sql: str = "lang",
                    where_sql: str = "TRUE",
-                   keep_doc: bool = False) -> DataFrame:
+                   keep_doc: bool = False,
+                   docs: DataFrame | None = None) -> DataFrame:
     """(lang, token1, token2, year, occurrences) — adjacent pairs.
 
     `transform` over a slice pairs ts[i] with ts[i+1] entirely JVM-side
     (Spark SQL array subscripts are 0-based); single-token documents
     produce no pairs. ``keep_doc=True`` carries the source ``doc_id``
     (the deterministic map-task surrogate of the quirk-emulation
-    surface needs it)."""
+    surface needs it). ``docs`` shares the source subtree with a
+    sibling ``unigram_records`` (see there)."""
     pairs = F.expr(
         "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
         "(x, i) -> struct(x AS token1, ts[i + 1] AS token2))"
     )
     extra = ["doc_id"] if keep_doc else []
+    if docs is None:
+        docs = _docs_with_tokens(spark, sf_dir, text_sql, lang_sql,
+                                 where_sql)
     return (
-        _docs_with_tokens(spark, sf_dir, text_sql, lang_sql, where_sql)
+        docs
         .select(*extra, "lang", "year", "occurrences",
                 F.explode(pairs).alias("bg"))
         .select(*extra, "lang", F.col("bg.token1").alias("token1"),
