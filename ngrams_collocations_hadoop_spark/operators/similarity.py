@@ -1676,6 +1676,26 @@ PQ_TRAIN_SAMPLE = 100_000
 # to a freshly built state-keyed PQ table.
 _PQ_TRAIN_LIVE = TrackedCache(max_live=2 * PQ_TRAIN_ITERS)
 
+# Process-level memo of the CONSTRUCTED trained-codebook plan, keyed on
+# (sf_dir, sample) and guarded by the session identity and the
+# embeddings corpus state (r10 optimization, guide §1.2 per-"task"
+# work where the task is the driver): building the Lloyd chain is
+# ~0.5-0.9 s of py4j Column-tree round-trips per invocation — paid by
+# every warm re-run of sim_pq_trained_topk / sim_pq_sampled_topk and
+# both recall audits, at any corpus scale, for a plan that is a pure
+# function of (sf_dir, sample, corpus state). The memo stores the
+# per-round persisted handles too and re-`get`s them on a hit, so a
+# `catalog.clearCache()` between invocations re-pins the chain exactly
+# as a fresh construction would (TrackedCache re-persists orphaned
+# same-plan handles). A state move (in-place embeddings rewrite — the
+# registry-fuzz scenario) or a new session misses and rebuilds; the
+# `e`-override path (epoch-slice training) is never memoized. Same
+# idiom as functions/llr.py's cached LLR tree, extended with the
+# state/session guards a DataFrame (unlike a Column) needs.
+_PQ_CB_MEMO: dict[tuple[str, int | None],
+                  tuple[object, object, list[DataFrame], DataFrame]] = {}
+_PQ_CB_MEMO_MAX = 8
+
 # per-candidate sub-vector d² inside the map-side argmin fold (s is
 # the (cid, cv) candidate struct from the broadcast per-subspace list)
 _PQ_SUB_D2 = ("aggregate(zip_with(sv, s.cv, (x, y) -> (x - y) * (x - y)), "
@@ -1751,7 +1771,39 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
     ``e`` overrides the (vec_id, v) vectors frame — the epoch-slice
     hook the PQ append test uses to train a PRE-batch codebook through
     this exact production path (so the append-never-re-derives pin
-    exercises the codebook the build actually stores)."""
+    exercises the codebook the build actually stores).
+
+    The default (``e is None``) path serves the constructed plan from
+    ``_PQ_CB_MEMO`` (see its comment): the chain is a pure function of
+    (sf_dir, sample, embeddings state), so rebuilding its Column trees
+    per invocation is per-invocation driver cost for an identical
+    plan."""
+    if e is None:
+        st = _emb_state(sf_dir, spark)
+        key = (sf_dir, sample)
+        hit = _PQ_CB_MEMO.get(key)
+        if hit is not None and hit[0] is spark and hit[1] == st:
+            for h in hit[2]:
+                # re-pin: no-op when still cached, re-persist after a
+                # clearCache, rebuild-equivalent after FIFO eviction
+                _PQ_TRAIN_LIVE.get(h, state=st)
+            return hit[3]
+        rounds, final = _pq_trained_chain(spark, sf_dir, sample, None)
+        _PQ_CB_MEMO[key] = (spark, st, rounds, final)
+        while len(_PQ_CB_MEMO) > _PQ_CB_MEMO_MAX:
+            _PQ_CB_MEMO.pop(next(iter(_PQ_CB_MEMO)))
+        return final
+    return _pq_trained_chain(spark, sf_dir, sample, e)[1]
+
+
+def _pq_trained_chain(spark: SparkSession, sf_dir: str,
+                      sample: int | None,
+                      e: DataFrame | None
+                      ) -> tuple[list[DataFrame], DataFrame]:
+    """Build the Lloyd chain (the body of ``_pq_trained_codebook``;
+    see its docstring for the algorithm and scale shape). Returns the
+    per-iteration tracked handles alongside the final codebook so the
+    plan memo can re-pin them on a hit."""
     if e is None:
         e = load_finite_embeddings(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -1775,12 +1827,15 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
         f"inline(transform(sequence(0, {PQ_M - 1}), m -> "
         f"struct(m AS m, slice(v, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv)))"))
     st = _emb_state(sf_dir, spark)
+    rounds: list[DataFrame] = []
     for _ in range(PQ_TRAIN_ITERS):
         cent = _PQ_TRAIN_LIVE.get(_pq_lloyd_round(sub, cent), state=st)
-    return (cent.groupBy("cid")
-            .agg(F.expr("flatten(transform(array_sort(collect_list("
-                        "named_struct('m', m, 'cv', cv))), s -> s.cv))")
-                 .alias("cv")))
+        rounds.append(cent)
+    return rounds, (cent.groupBy("cid")
+                    .agg(F.expr("flatten(transform(array_sort("
+                                "collect_list(named_struct('m', m, "
+                                "'cv', cv))), s -> s.cv))")
+                         .alias("cv")))
 
 
 def q_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -755,6 +755,40 @@ def test_pq_trained_codebook_dense_and_carries_empty_cells(spark):
     assert out[(0, 0)] == [0.5, 0.5]       # members 0,1 -> exact mean
 
 
+def test_pq_trained_codebook_plan_memo(spark):
+    """r10 optimization: the trained-codebook PLAN is memoized per
+    (sf_dir, sample) under session + corpus-state guards — a warm
+    re-invocation returns the identical constructed plan instead of
+    paying ~0.5-0.9 s of py4j Column-tree rebuilds; a clearCache is
+    healed by re-pinning the chain's round handles on the hit path; a
+    corpus-state move misses and rebuilds an equal plan; the
+    e-override (epoch-slice) path never memoizes."""
+    from ngrams_collocations_hadoop_spark.operators import similarity as S
+    from .conftest import SF_SMALL
+
+    S._PQ_CB_MEMO.clear()
+    a = S._pq_trained_codebook(spark, SF_SMALL)
+    assert S._pq_trained_codebook(spark, SF_SMALL) is a  # memo hit
+    # hit path re-pins the per-round handles after a clearCache
+    spark.catalog.clearCache()
+    assert S._pq_trained_codebook(spark, SF_SMALL) is a
+    lvls = [h.storageLevel for h in S._PQ_CB_MEMO[(SF_SMALL, None)][2]]
+    assert lvls and all(lvl.useMemory or lvl.useDisk for lvl in lvls)
+    # a corpus-state move (in-place embeddings rewrite) must miss and
+    # rebuild — same plan, fresh construction
+    sess, _, rounds, final = S._PQ_CB_MEMO[(SF_SMALL, None)]
+    S._PQ_CB_MEMO[(SF_SMALL, None)] = (sess, ("moved",), rounds, final)
+    d = S._pq_trained_codebook(spark, SF_SMALL)
+    assert d is not a and d.sameSemantics(a)
+    # the e-override path (append test's epoch-slice training) bypasses
+    # the memo entirely
+    n0 = len(S._PQ_CB_MEMO)
+    e = S.load_finite_embeddings(spark, SF_SMALL).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    S._pq_trained_codebook(spark, SF_SMALL, e=e)
+    assert len(S._PQ_CB_MEMO) == n0
+
+
 def test_incremental_components_merge_old_clusters(spark):
     """Crafted bridge case for q_dedup_components_incremental's
     engine: two pre-batch clusters get chained by ONE batch edge —
