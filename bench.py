@@ -114,6 +114,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     steal_pct: dict[str, float] = {}
+    steal_min_pct: dict[str, float] = {}
     for name in names:
         if name == "dedup_persisted_lsh_match":
             # Guard the list-order coupling (VERDICT r06 watch item):
@@ -146,17 +147,45 @@ def main() -> None:
         # attributable from the artifact alone: a real regression
         # shifts the MEDIAN; a transient stall widens max-min with a
         # stable min.
-        b0, s0 = _cpu_jiffies()
-        while len(runs) < 5:
+        # Steal-robust timing (r11, VERDICT r10 #1): steal is now
+        # measured PER RUN, and when the run that produced the row's
+        # MIN was itself contaminated (>= 5% steal — min-of-5 cannot
+        # escape a multi-minute 40% burst), the row gets up to 3
+        # bounded extra runs; timing stays MIN over ALL runs (extra
+        # runs can only lower a min, so the r01-r10 basis is
+        # unchanged), the median stays over the FIRST 5 runs (the
+        # r10-comparable dispersion), and rows whose best run still
+        # carries >= 5% steal are flagged on the compact line
+        # (steal_flagged) so the driver's record is adjudicable or
+        # visibly contaminated, never silently both.
+        jif: list[tuple[int, int]] = []   # (busy, steal) per run
+
+        def _timed_run() -> None:
+            rb0, rs0 = _cpu_jiffies()
             t0 = time.time()
             (QUERIES[name](spark, sf_dir)
              .write.format("noop").mode("overwrite").save())
             runs.append(round(time.time() - t0, 3))
-        b1, s1 = _cpu_jiffies()
-        db, ds = b1 - b0, s1 - s0
+            rb1, rs1 = _cpu_jiffies()
+            jif.append((rb1 - rb0, rs1 - rs0))
+
+        def _run_steal(i: int) -> float:
+            db, ds = jif[i]
+            return round(100.0 * ds / max(1, db + ds), 2)
+
+        def _min_run_steal() -> float:
+            return _run_steal(min(range(len(runs)), key=runs.__getitem__))
+
+        while len(runs) < 5:
+            _timed_run()
+        while _min_run_steal() >= 5.0 and len(runs) < 8:
+            _timed_run()
+        db = sum(j[0] for j in jif)
+        ds = sum(j[1] for j in jif)
         steal_pct[name] = round(100.0 * ds / max(1, db + ds), 2)
+        steal_min_pct[name] = _min_run_steal()
         timings[name] = min(runs)   # headline stays min: continuity
-        medians[name] = round(statistics.median(runs), 3)
+        medians[name] = round(statistics.median(runs[:5]), 3)
         all_runs[name] = runs
         spark.catalog.clearCache()
         gc.collect()  # drop checkpoint/block refs so ContextCleaner
@@ -181,7 +210,13 @@ def main() -> None:
         "first_run_cold": first_run_cold,  # rows where run 1 carries a
         #   one-time (training/build) cost; full split in queries_runs
         "sf": float(sf),
-        "runs_per_query": "5; timing = min",
+        "runs_per_query": "5 (+<=3 if min-run steal >= 5%); timing = min",
+        # rows whose BEST run was still measured under >= 5% hypervisor
+        # steal after the bounded re-runs — their wall numbers are
+        # inflated by the environment, attributable from this line
+        # alone (r11; usually {})
+        "steal_flagged": {n: p for n, p in steal_min_pct.items()
+                          if p >= 5.0},
     }
     prev = _latest_recorded_bench()
     if prev:
@@ -212,6 +247,11 @@ def main() -> None:
     # inside a contention burst and its wall numbers are inflated
     # no matter what the code does (see OPTIMIZATION_r10.md)
     full["queries_steal_pct"] = steal_pct
+    # steal over the single run that produced each row's MIN — the
+    # number that decides whether the headline timing is trustworthy
+    # (the row-level aggregate above can be high while the min run was
+    # quiet, and vice versa)
+    full["queries_steal_min_pct"] = steal_min_pct
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, "bench_full.json")
     try:

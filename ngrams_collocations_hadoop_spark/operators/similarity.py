@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import ieee_round, ieee_round_sql, uavg, uavg_sql
 
-from ..plans.cache import TrackedCache
+from ..plans.cache import PlanMemo, TrackedCache
 from ..sources.tables import load_table
 from .dedup import cosine_expr
 
@@ -1088,6 +1088,16 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
     trained-codebook variant (``_pq_trained_codebook``) passes its
     Lloyd-refined centroids; everything downstream (encoding, ADC,
     the PK-precondition assert) is identical."""
+    codes, qarr, _ = _pq_parts_cent(spark, sf_dir, codebook)
+    return codes, qarr
+
+
+def _pq_parts_cent(spark: SparkSession, sf_dir: str,
+                   codebook: DataFrame | None = None
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``_pq_parts`` plus the pinned centroid HANDLE — the extra return
+    lets the full-query plan memo (r11) re-pin the codebook on a hit
+    exactly as a fresh construction would."""
     e = load_finite_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # K rows, consumed by encoding AND the query table. Pinned through
@@ -1101,7 +1111,7 @@ def _pq_parts(spark: SparkSession, sf_dir: str,
         state=_emb_state(sf_dir, spark))
     codes = _pq_encode(e.crossJoin(F.broadcast(cent)))
     qarr = _pq_query_arr(e, cent)
-    return codes, qarr
+    return codes, qarr, cent
 
 
 def _pq_oneshot_codebook(e: DataFrame) -> DataFrame:
@@ -1194,6 +1204,49 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
 
 
+# Full-query plan memo for the PQ ANN family (r11, VERDICT r10 #2 —
+# the _PQ_CB_MEMO recipe extended from the Lloyd chain to the whole
+# declared query): every q_pq_*_topk / q_pq_rerank plan is a pure
+# function of (sf_dir, embeddings corpus state) — no eager
+# materialization, no catalog reads — yet each invocation rebuilt
+# ~0.4-0.6 s of _pq_parts + rank-window Column trees plus one eager
+# parquet footer read (load_finite_embeddings). Guards/bounds/repin
+# discipline centralized in plans.cache.PlanMemo.
+_PQ_QUERY_MEMO = PlanMemo(max_entries=8)
+
+
+def _pq_adc_topk_plan(spark: SparkSession, sf_dir: str,
+                      cb_fn=None):
+    """(df, repin) — the full ADC top-k plan (encode → cross-join the
+    broadcast query distance tables → filter self → WindowGroupLimit
+    top-k), over the one-shot codebook (``cb_fn=None``) or a trained
+    one (``cb_fn()`` builds it — a ``_pq_trained_codebook`` call whose
+    own memo makes the re-invocation in ``repin`` a pure
+    re-pin-and-return). Bodies extracted verbatim from
+    q_pq_topk / q_pq_trained_topk / q_pq_sampled_topk; plans
+    unchanged."""
+    cb = cb_fn() if cb_fn is not None else None
+    codes, qarr, cent = _pq_parts_cent(spark, sf_dir, cb)
+    st = _emb_state(sf_dir, spark)
+
+    def repin() -> None:
+        if cb_fn is not None:
+            cb_fn()   # inner memo hit: re-pins the Lloyd round handles
+        _PQ_CENT_LIVE.get(cent, state=st)
+
+    scored = (codes.crossJoin(F.broadcast(qarr))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("approx"), F.asc("vec_id")))
+    df = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+          .filter(F.col("rank") <= TOPK_NEIGHBORS)
+          .select("query_id", F.col("vec_id").alias("cand_id"),
+                  ieee_round(F.col("approx"), 6).alias("approx_dot"),
+                  "rank"))
+    return df, repin
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: compress every vector to PQ_M 4-bit
     codes (argmin sub-vector centroid per subspace), score queries by
@@ -1212,14 +1265,13 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-distance-table broadcast against codes and never touches raw
     vectors; ranking is WindowGroupLimit top-k. Determinism: argmin is
     min(named_struct(d2, cid)) — lexicographic, exact tiebreak — and
-    every float fold has fixed index order shared with the oracle."""
-    scored = _pq_scored(spark, sf_dir)
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("approx"), F.asc("vec_id")))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= TOPK_NEIGHBORS)
-            .select("query_id", F.col("vec_id").alias("cand_id"),
-                    ieee_round(F.col("approx"), 6).alias("approx_dot"), "rank"))
+    every float fold has fixed index order shared with the oracle.
+
+    The constructed plan is memoized per (sf_dir, corpus state) —
+    plan-identical, see ``_PQ_QUERY_MEMO``."""
+    return _PQ_QUERY_MEMO.get(
+        ("topk", sf_dir), spark, _emb_state(sf_dir, spark),
+        lambda: _pq_adc_topk_plan(spark, sf_dir))
 
 
 # --- persisted PQ-codes index (encode once, serve per ingest) -----------
@@ -1490,14 +1542,26 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-vector read; it re-joins the embeddings scan as a broadcast
     (|Q|·C rows), so the refinement is one map-side pass over the
     corpus with a pushed id filter — no second corpus shuffle, no
-    |corpus|² term anywhere."""
-    scored = _pq_scored(spark, sf_dir)
-    wc = (Window.partitionBy("query_id")
-          .orderBy(F.desc("approx"), F.asc("vec_id")))
-    cands = (scored.withColumn("crank", F.row_number().over(wc))
-             .filter(F.col("crank") <= PQ_RERANK_C)
-             .select("query_id", F.col("vec_id").alias("cand_id")))
-    return _exact_refine(spark, sf_dir, cands)
+    |corpus|² term anywhere.
+
+    Plan memoized per (sf_dir, corpus state) — see
+    ``_PQ_QUERY_MEMO``."""
+    def build():
+        codes, qarr, cent = _pq_parts_cent(spark, sf_dir)
+        st = _emb_state(sf_dir, spark)
+        scored = (codes.crossJoin(F.broadcast(qarr))
+                  .filter(F.col("vec_id") != F.col("query_id"))
+                  .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
+        wc = (Window.partitionBy("query_id")
+              .orderBy(F.desc("approx"), F.asc("vec_id")))
+        cands = (scored.withColumn("crank", F.row_number().over(wc))
+                 .filter(F.col("crank") <= PQ_RERANK_C)
+                 .select("query_id", F.col("vec_id").alias("cand_id")))
+        return (_exact_refine(spark, sf_dir, cands),
+                lambda: _PQ_CENT_LIVE.get(cent, state=st))
+
+    return _PQ_QUERY_MEMO.get(
+        ("rerank", sf_dir), spark, _emb_state(sf_dir, spark), build)
 
 
 # the per-candidate ADC score text (PQ_M distance-table lookups),
@@ -1677,24 +1741,22 @@ PQ_TRAIN_SAMPLE = 100_000
 _PQ_TRAIN_LIVE = TrackedCache(max_live=2 * PQ_TRAIN_ITERS)
 
 # Process-level memo of the CONSTRUCTED trained-codebook plan, keyed on
-# (sf_dir, sample) and guarded by the session identity and the
-# embeddings corpus state (r10 optimization, guide §1.2 per-"task"
-# work where the task is the driver): building the Lloyd chain is
-# ~0.5-0.9 s of py4j Column-tree round-trips per invocation — paid by
-# every warm re-run of sim_pq_trained_topk / sim_pq_sampled_topk and
-# both recall audits, at any corpus scale, for a plan that is a pure
-# function of (sf_dir, sample, corpus state). The memo stores the
-# per-round persisted handles too and re-`get`s them on a hit, so a
-# `catalog.clearCache()` between invocations re-pins the chain exactly
-# as a fresh construction would (TrackedCache re-persists orphaned
-# same-plan handles). A state move (in-place embeddings rewrite — the
-# registry-fuzz scenario) or a new session misses and rebuilds; the
-# `e`-override path (epoch-slice training) is never memoized. Same
-# idiom as functions/llr.py's cached LLR tree, extended with the
-# state/session guards a DataFrame (unlike a Column) needs.
-_PQ_CB_MEMO: dict[tuple[str, int | None],
-                  tuple[object, object, list[DataFrame], DataFrame]] = {}
-_PQ_CB_MEMO_MAX = 8
+# (sf_dir, sample) (r10 optimization, guide §1.2 per-"task" work where
+# the task is the driver): building the Lloyd chain is ~0.5-0.9 s of
+# py4j Column-tree round-trips per invocation — paid by every warm
+# re-run of sim_pq_trained_topk / sim_pq_sampled_topk and both recall
+# audits, at any corpus scale, for a plan that is a pure function of
+# (sf_dir, sample, corpus state). The repin closure re-`get`s the
+# per-round persisted handles on a hit, so a `catalog.clearCache()`
+# between invocations re-pins the chain exactly as a fresh
+# construction would (TrackedCache re-persists orphaned same-plan
+# handles). A state move (in-place embeddings rewrite — the
+# registry-fuzz scenario) or a new session/JVM misses and rebuilds;
+# the `e`-override path (epoch-slice training) is never memoized.
+# Guards/recency/bounds centralized in plans.cache.PlanMemo (r11 —
+# the ADVICE r10 fixes: None-state bypass, reinsert recency,
+# applicationId session guard).
+_PQ_CB_MEMO = PlanMemo(max_entries=8)
 
 # per-candidate sub-vector d² inside the map-side argmin fold (s is
 # the (cid, cv) candidate struct from the broadcast per-subspace list)
@@ -1780,19 +1842,20 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
     plan."""
     if e is None:
         st = _emb_state(sf_dir, spark)
-        key = (sf_dir, sample)
-        hit = _PQ_CB_MEMO.get(key)
-        if hit is not None and hit[0] is spark and hit[1] == st:
-            for h in hit[2]:
-                # re-pin: no-op when still cached, re-persist after a
+
+        def build():
+            rounds, final = _pq_trained_chain(spark, sf_dir, sample,
+                                              None)
+
+            def repin() -> None:
+                # no-op when still cached, re-persist after a
                 # clearCache, rebuild-equivalent after FIFO eviction
-                _PQ_TRAIN_LIVE.get(h, state=st)
-            return hit[3]
-        rounds, final = _pq_trained_chain(spark, sf_dir, sample, None)
-        _PQ_CB_MEMO[key] = (spark, st, rounds, final)
-        while len(_PQ_CB_MEMO) > _PQ_CB_MEMO_MAX:
-            _PQ_CB_MEMO.pop(next(iter(_PQ_CB_MEMO)))
-        return final
+                for h in rounds:
+                    _PQ_TRAIN_LIVE.get(h, state=st)
+
+            return final, repin
+
+        return _PQ_CB_MEMO.get((sf_dir, sample), spark, st, build)
     return _pq_trained_chain(spark, sf_dir, sample, e)[1]
 
 
@@ -1842,19 +1905,13 @@ def q_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``q_pq_topk`` with the TRAINED codebook: same encoding, same
     ADC scoring, same ranking — only the centroids differ. The paired
     recall audit (``q_sim_pq_trained_recall``) is where the training
-    shows up as measured recall instead of a claim."""
-    codes, qarr = _pq_parts(spark, sf_dir,
-                            codebook=_pq_trained_codebook(spark, sf_dir))
-    scored = (codes.crossJoin(F.broadcast(qarr))
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("approx"), F.asc("vec_id")))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= TOPK_NEIGHBORS)
-            .select("query_id", F.col("vec_id").alias("cand_id"),
-                    ieee_round(F.col("approx"), 6).alias("approx_dot"),
-                    "rank"))
+    shows up as measured recall instead of a claim. Plan memoized per
+    (sf_dir, corpus state) — see ``_PQ_QUERY_MEMO``."""
+    return _PQ_QUERY_MEMO.get(
+        ("trained", sf_dir), spark, _emb_state(sf_dir, spark),
+        lambda: _pq_adc_topk_plan(
+            spark, sf_dir,
+            cb_fn=lambda: _pq_trained_codebook(spark, sf_dir)))
 
 
 def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1895,21 +1952,15 @@ def q_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verdict asked for — also pytest-pinned); at 100 TB it is the
     form you actually run per codebook refresh. The sub-budget
     crossover (where sampling starts costing recall on this fixture)
-    is measured in scripts/probe_trained_quantizers.py → SCALING.md."""
-    codes, qarr = _pq_parts(
-        spark, sf_dir,
-        codebook=_pq_trained_codebook(spark, sf_dir,
-                                      sample=PQ_TRAIN_SAMPLE))
-    scored = (codes.crossJoin(F.broadcast(qarr))
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .withColumn("approx", F.expr(_PQ_ADC_EXPR)))
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("approx"), F.asc("vec_id")))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= TOPK_NEIGHBORS)
-            .select("query_id", F.col("vec_id").alias("cand_id"),
-                    ieee_round(F.col("approx"), 6).alias("approx_dot"),
-                    "rank"))
+    is measured in scripts/probe_trained_quantizers.py → SCALING.md.
+    Plan memoized per (sf_dir, corpus state) — see
+    ``_PQ_QUERY_MEMO``."""
+    return _PQ_QUERY_MEMO.get(
+        ("sampled", sf_dir), spark, _emb_state(sf_dir, spark),
+        lambda: _pq_adc_topk_plan(
+            spark, sf_dir,
+            cb_fn=lambda: _pq_trained_codebook(spark, sf_dir,
+                                               sample=PQ_TRAIN_SAMPLE)))
 
 
 def _pq_trained_cent_sql(sample: int | None = None) -> str:

@@ -81,3 +81,70 @@ class TrackedCache:
         """Release every tracked handle (test harness hook)."""
         while self._live:
             self._live.pop()[0].unpersist(blocking=False)
+
+
+class PlanMemo:
+    """Process-level memo of CONSTRUCTED DataFrame plans (r10/r11
+    optimization, guide §1.2 — per-"task" work where the task is the
+    DRIVER): building a heavy operator's Column trees is ~0.3-0.9 s of
+    py4j round-trips per invocation, paid by every warm re-run at any
+    corpus scale, for a plan that is a pure function of (inputs,
+    corpus state). This is NOT result caching: the memo stores the
+    DataFrame HANDLE (an unresolved plan); every action against it
+    still executes the full DAG from the parquet inputs.
+
+    Guards, centralizing the ADVICE r10 fixes on the r10 ad-hoc memo:
+
+    - session: hits require the same Python session object AND the
+      same ``applicationId`` — a stopped-and-recreated JVM context
+      under a reused session object must rebuild, not hand back
+      Columns wrapping dead JavaObjects.
+    - corpus state: a hit requires the builder-supplied ``state``
+      (the ``_corpus_stat`` (mtime_ns, size) pair) to be unchanged;
+      an in-place input rewrite rebuilds. A state of None (stat
+      unavailable — non-local FS without a fallback) DISABLES
+      memoization for that call instead of treating None == None as
+      a valid hit.
+    - recency: reinsert deletes the key first, so the FIFO eviction
+      order tracks recency (an overwritten hot entry is not evicted
+      before cold ones); bounded at ``max_entries``.
+
+    Only memoize builders that are PURE PLAN CONSTRUCTION: no eager
+    materialization (localCheckpoint, eager index/table builds), no
+    catalog lookups that may change between invocations — a memo hit
+    skips the builder entirely. Builders return ``(df, repin)``;
+    ``repin`` (or None) re-pins the plan's TrackedCache handles and
+    runs on every hit, so a ``catalog.clearCache()`` between
+    invocations re-persists exactly as a fresh construction would.
+    """
+
+    def __init__(self, max_entries: int = 8) -> None:
+        self.max_entries = max_entries
+        # key -> (session, app_id, state, repin, df), oldest first
+        self._memo: dict = {}
+
+    def get(self, key, spark, state, build):
+        """The memoized plan for ``key``, rebuilding via ``build()``
+        (-> (df, repin)) on any guard miss."""
+        if state is None:
+            return build()[0]
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:   # stopped/stopping context — never memoize
+            return build()[0]
+        hit = self._memo.get(key)
+        if (hit is not None and hit[0] is spark and hit[1] == app
+                and hit[2] == state):
+            if hit[3] is not None:
+                hit[3]()
+            return hit[4]
+        df, repin = build()
+        self._memo.pop(key, None)   # reinsert = move to recent end
+        self._memo[key] = (spark, app, state, repin, df)
+        while len(self._memo) > self.max_entries:
+            self._memo.pop(next(iter(self._memo)))
+        return df
+
+    def clear(self) -> None:
+        """Drop every memoized plan (test harness hook)."""
+        self._memo.clear()
